@@ -1,13 +1,168 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.OracleSql._
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (or the
+  * large-scale data-pipeline extensions) expressed through the graft
+  * library over the driver's deterministic tables; [[oracleSql]] holds
+  * the ANSI-SQL twin the driver runs in DuckDB. Numeric results are
+  * engineered to be bit-identical across engines (see
+  * [[graft.functions.ExactAgg]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def T(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = T(spark, "/root/testdata/sf0.001") _
+    StarJoin.revenueByNation(
+      t("region"), t("nation"), t("customer"), t("orders"), t("lineitem"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: per-key velocity profile
+    "q_user_velocity" -> ((s, d) =>
+      WindowedAggs.keyVelocity(T(s, d)("events"))),
+    // A2: per-merchant stats incl. exact stddev + distinct counts
+    "q_supplier_stats" -> ((s, d) =>
+      WindowedAggs.supplierStats(T(s, d)("lineitem"))),
+    // A9: epoch-hour roll-up
+    "q_hourly_rollup" -> ((s, d) =>
+      WindowedAggs.hourlyRollup(T(s, d)("events"))),
+    // A1 sliding window: 5 min / 1 min panes
+    "q_sliding_window" -> ((s, d) =>
+      WindowedAggs.slidingCounts(T(s, d)("events"))),
+    // A3: session windows, 30-min gap
+    "q_session_window" -> ((s, d) =>
+      WindowedAggs.userSessions(T(s, d)("events"))),
+    // J1/J2: broadcast enrichment join with defaults on miss
+    "q_enrich_orders" -> ((s, d) => {
+      val t = T(s, d) _
+      Enrichment.ordersBySegment(t("orders"), t("customer"))
+    }),
+    // multi-way star join + aggregation (broadcast dims)
+    "q_star_revenue" -> ((s, d) => {
+      val t = T(s, d) _
+      StarJoin.revenueByNation(
+        t("region"), t("nation"), t("customer"), t("orders"), t("lineitem"))
+    }),
+    // S8: last-N-per-key retention via row_number
+    "q_topn_recent" -> ((s, d) =>
+      TopN.recentPerKey(T(s, d)("events"), "user_id", "ts", "event_id", 3)
+        .select("user_id", "event_id", "rn")),
+    // decision CASE ladders (TransactionProcessor.java:444-473)
+    "q_decision_ladder" -> ((s, d) =>
+      Decisions.orderDecisions(T(s, d)("orders"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_user_velocity" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_supplier_stats" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n_items,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${dstd("l_extendedprice")} AS std_price,
+         |  COUNT(DISTINCT l_partkey) AS n_parts
+         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_hourly_rollup" ->
+      s"""SELECT date_trunc('hour', ts) AS bucket_hour,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_sliding_window" ->
+      s"""SELECT pane_start, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value
+         |FROM (
+         |  SELECT date_trunc('minute', ts) - k * INTERVAL '1 minute'
+         |           AS pane_start,
+         |         value
+         |  FROM events, (SELECT UNNEST([0,1,2,3,4]) AS k) panes
+         |) GROUP BY pane_start""".stripMargin,
+
+    "q_session_window" ->
+      s"""WITH d AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM d
+         |)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  MIN(ts) AS session_start
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_enrich_orders" ->
+      s"""SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+         |  COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_amount,
+         |  ${davg("COALESCE(c_acctbal, 5000.0) / 10000.0", 6)} AS avg_cust_risk
+         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    "q_star_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey  = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_topn_recent" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q_decision_ladder" ->
+      s"""WITH s AS (
+         |  SELECT GREATEST(0.0, LEAST(1.0, o_totalprice / 500000.0))
+         |           AS score,
+         |         o_totalprice
+         |  FROM orders
+         |)
+         |SELECT
+         |  CASE WHEN score >= 0.9 THEN 'CRITICAL'
+         |       WHEN score >= 0.7 THEN 'HIGH'
+         |       WHEN score >= 0.5 THEN 'MEDIUM'
+         |       ELSE 'LOW' END AS risk_level,
+         |  CASE WHEN score >= 0.9 THEN 'DECLINE'
+         |       WHEN score >= 0.7 THEN 'REVIEW'
+         |       ELSE 'APPROVE' END AS decision,
+         |  COUNT(*) AS n,
+         |  ${dsum("o_totalprice")} AS total_amount
+         |FROM s GROUP BY 1, 2""".stripMargin,
+  )
 }

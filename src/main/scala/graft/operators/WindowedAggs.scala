@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg._
+
+/** Batch forms of the reference's windowed aggregations
+  * (reference: services/flink-jobs/.../windows/WindowProcessor.java:36-166).
+  * The same groupBy(window(...)) shapes run unchanged under Structured
+  * Streaming with a watermark (see graft.streaming); the batch forms
+  * are the oracle-checkable surface.
+  *
+  * Scale notes: every aggregate here is partial+final (map-side
+  * combine before the shuffle), distinct counts are exact for the
+  * oracle but the library exposes approx variants for the 100 TB
+  * path, and sliding windows fan each row out to window/slide panes
+  * *after* projection so only the needed columns are replicated.
+  */
+object WindowedAggs {
+
+  /** A1-style per-key velocity profile (count / sum / distinct kinds /
+    * first / last) — WindowProcessor.java:248-352 without the window,
+    * i.e. the whole-history roll-up the oracle can check.
+    */
+  def keyVelocity(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("total_value"),
+      countDistinct(col("event_type")).as("n_types"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"))
+
+  /** A2-style per-merchant stats: count/sum/avg/stddev/distinct.
+    * stddev here is the exact-reproducible two-sum form; the
+    * reference keeps a full List<Double> to compute it
+    * (WindowProcessor.java:383,439-457) — O(n) state the Spark form
+    * never materializes.
+    */
+  def supplierStats(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_suppkey")).agg(
+      count(lit(1)).as("n_items"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      davg(col("l_extendedprice")).as("avg_price"),
+      dstd(col("l_extendedprice")).as("std_price"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** A9 hourly roll-up (epoch-hour bucketing,
+    * RedisTransactionSink.java:140-262) via date_trunc.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("bucket_hour")).agg(
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("total_value"),
+      countDistinct(col("user_id")).as("n_users"))
+
+  /** A1's sliding window (5 min window / 1 min slide,
+    * WindowProcessor.java:36-49): each event lands in 5 panes.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("pane_start"),
+              col("n_events"), col("total_value"))
+
+  /** A3 session windows (30-minute inactivity gap,
+    * WindowProcessor.java:74-87) per user.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("total_value"),
+           min(col("ts")).as("session_start"))
+      .drop("session_window")
+}

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's correctness gate.
+
+Runs graft.Verify (unless --skip-run), then executes each oracle SQL in
+DuckDB over the same parquet tables and compares against the Spark
+parquet dumps. Flags both hard mismatches and floats that are close but
+not bit-identical (the driver hash-compares, so we aim for bit-equal).
+
+Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-run] [--only q1,q2]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    key = df.apply(lambda r: tuple(str(v) for v in r), axis=1)
+    return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
+
+
+def compare(name, spark_df, oracle_df):
+    issues = []
+    a, b = norm(spark_df), norm(oracle_df)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float); bv = bv.astype(float)
+            bit = np.array([x == y or (math.isnan(x) and math.isnan(y))
+                            for x, y in zip(av, bv)])
+            if not bit.all():
+                close = np.isclose(av, bv, rtol=1e-9, equal_nan=True)
+                n_off = int((~bit).sum())
+                i = int(np.argmax(~bit))
+                tag = "CLOSE-BUT-NOT-BITEQUAL" if close.all() else "VALUE MISMATCH"
+                issues.append(
+                    f"{tag} col={c} n={n_off} e.g. row{i}: "
+                    f"spark={av[i]!r} oracle={bv[i]!r}")
+        else:
+            eq = (pd.Series(av).astype(str) == pd.Series(bv).astype(str))
+            if not eq.all():
+                i = int(np.argmax(~eq.to_numpy()))
+                issues.append(
+                    f"VALUE MISMATCH col={c} n={int((~eq).sum())} "
+                    f"e.g. row{i}: spark={av[i]!r} oracle={bv[i]!r}")
+    return issues
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    outdir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
+    if "--skip-run" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+        if r.returncode != 0:
+            print(tail); sys.exit(1)
+        if "[verify]" in r.stdout + r.stderr:
+            print("verify-time failures:")
+            for line in (r.stdout + r.stderr).splitlines():
+                if "[verify]" in line:
+                    print(" ", line)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_glob = f"{outdir}/{name}/*.parquet"
+        try:
+            sdf = con.sql(f"SELECT * FROM '{spark_glob}'").df()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        issues = compare(name, sdf, odf)
+        if issues:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} rows)")
+            for it in issues[:6]:
+                print("   ", it)
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(sdf)} rows)")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
