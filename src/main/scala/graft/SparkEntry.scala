@@ -62,12 +62,47 @@ object SparkEntry {
     // decision CASE ladders (TransactionProcessor.java:444-473)
     "q_decision_ladder" -> ((s, d) =>
       Decisions.orderDecisions(T(s, d)("orders"))),
+
+    // ---- training-data pipeline operators ----
+    // exact dedup via hash-groupBy
+    "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(T(s, d)("documents"))),
+    // 3-gram Jaccard near-dup pairs
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(T(s, d)("documents"), threshold = 0.5)),
+    // MinHash + LSH banding candidates
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(T(s, d)("documents"))),
+    // SimHash near-dup pairs (byte-block LSH + hamming verify)
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(T(s, d)("documents"), maxHamming = 3)),
+    // brute-force cosine top-k (ANN baseline)
+    "q_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // sign-bit LSH-bucketed ANN (scale path)
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // embedding-cosine near-dup pairs
+    "q_emb_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(T(s, d)("embeddings"), threshold = 0.4)),
+    // token counting (whitespace + BPE-ish regex)
+    "q_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(T(s, d)("documents"))),
+    // quality scoring
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(T(s, d)("documents"))),
+    // stopword language heuristic
+    "q_text_langid" -> ((s, d) => TextAnalysis.langId(T(s, d)("documents"))),
+    // rolling-window document fingerprint
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(T(s, d)("documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = graft.oracle.DocOracles.sql ++ Map(
     "q_user_velocity" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  ${dsum("value")} AS total_value,

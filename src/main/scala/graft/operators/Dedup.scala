@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Large-scale document deduplication — the LLM-training-data
+  * operators layered on the engine (builder brief; not present in the
+  * reference, which has no document pipeline).
+  *
+  * All hashing is md5-based so the DuckDB oracle can reproduce results
+  * exactly: md5 hex strings are lexicographically comparable in both
+  * engines, which gives deterministic MinHash (min over strings) and
+  * SimHash (bit = high bit of a hex digit) without any
+  * engine-specific hash function.
+  *
+  * Scale design: every stage is shuffle-by-key (shingle, band, byte
+  * bucket) with no global collect; candidate generation is always
+  * through an equi-join on a derived key so Catalyst plans plain
+  * hash joins. Ultra-frequent shingles are dropped by a document-
+  * frequency cap before the pair join — the classic skew guard that
+  * keeps the shingle join from quadratic blowup on boilerplate text.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the full text. Output one row per
+    * distinct text with its multiplicity and the id to keep.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  /** (doc_id, shingle) pairs: distinct word n-grams (default n=3),
+    * with shingles above the document-frequency cap removed.
+    */
+  def shingles(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n,
+      expr(s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+              |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")}))"""
+        .stripMargin)).otherwise(array().cast("array<string>"))
+    val ex = graft.sources.Par.fan(docs)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
+    val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    ex.join(freq, "sh").select("doc_id", "sh")
+  }
+
+  /** N-gram Jaccard near-dup pairs: self-join distinct shingle sets,
+    * |A∩B| / |A∪B| ≥ threshold. Integer-ratio division so the double
+    * is bit-identical across engines.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                   maxDocFreq: Long = 1000): DataFrame = {
+    val sh = shingles(docs, n, maxDocFreq).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: h_j(doc) = min over shingles of md5("j:"+sh).
+    * One aggregation pass computes all hashes (no per-hash shuffle).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val sh = shingles(docs, 3, maxDocFreq)
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (rows-per-band
+    * hashes concatenated), join docs sharing any band bucket.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8,
+                        bands: Int = 2): DataFrame = {
+    val rows = numHashes / bands
+    // cached: the banded view is consumed 4× (2 bands × 2 join sides)
+    val sigs = minhashSignatures(docs, numHashes).cache()
+    val banded = (0 until bands).map { b =>
+      val key = md5(concat_ws("|",
+        (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+      sigs.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionAll _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash. Token hash bits come from md5 hex digits: bit j
+    * of a token = 1 iff hex digit j of md5(token) is in [8,f] (its
+    * high bit) — reproducible in any engine with md5 + substr.
+    * Weighted by token multiplicity (explode without distinct).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = graft.sources.Par.fan(docs).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val sig = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at scale: LSH on the two bytes of the
+    * 16-bit signature (near-dups within hamming ≤ maxHamming share at
+    * least one exact byte when maxHamming < 8 per half — pigeonhole
+    * would need 2 blocks for ≤1 bit... we use byte-block candidates
+    * as the standard recall/scale trade-off), verified by
+    * bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+      .withColumn("b0", pmod(col("simhash"), lit(256L)))
+      .withColumn("b1", expr("simhash DIV 256"))
+    def pairsOn(k: String) =
+      sig.as("a").join(sig.as("b"),
+          col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+    pairsOn("b0").unionAll(pairsOn("b1")).distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

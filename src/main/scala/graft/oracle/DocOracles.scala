@@ -1,0 +1,199 @@
+package graft.oracle
+
+import graft.operators.TextAnalysis
+
+/** DuckDB-SQL twins of the document/embedding operators
+  * (graft.operators.{Dedup, Similarity, TextAnalysis}).
+  *
+  * Each string is generated with the same structural parameters
+  * (n-gram size, hash counts, bit widths, stopword lists, term
+  * association order) as the Spark implementation, so every float in
+  * the result is bit-identical across engines.
+  */
+object DocOracles {
+
+  /** Distinct, document-frequency-capped 3-gram shingles per doc —
+    * mirror of Dedup.shingles. Leaves CTE `e(doc_id, sh)` in scope.
+    */
+  private val shinglesCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 3 THEN
+      |          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |        ELSE [] END AS shs
+      |      FROM t),
+      |e0 AS (SELECT doc_id, UNNEST(shs) AS sh FROM g),
+      |f AS (SELECT sh FROM e0 GROUP BY sh HAVING COUNT(*) <= 1000),
+      |e AS (SELECT e0.doc_id, e0.sh FROM e0 JOIN f ON e0.sh = f.sh)""".stripMargin
+
+  private def minhashSql: String = {
+    val hashes = (0 until 8).map(j =>
+      s"MIN(md5('$j:' || sh)) AS h$j").mkString(", ")
+    def band(b: Int) = {
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM s"
+    }
+    s"""$shinglesCte,
+       |s AS (SELECT doc_id, $hashes FROM e GROUP BY doc_id),
+       |bd AS (${band(0)} UNION ALL ${band(1)})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bd a JOIN bd b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private def simhashPairsSql: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val bitSums = (0 until 16).map(j =>
+      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sig = (0 until 16).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+       |bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs),
+       |sb AS (SELECT doc_id, simhash, simhash % 256 AS b0, simhash // 256 AS b1 FROM sg),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM sb a JOIN sb b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+       |  FROM sb a JOIN sb b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM pr WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+  }
+
+  /** Left-associated 64-term dot product — mirror of Similarity.dot. */
+  private def dot(a: String, b: String): String =
+    (1 to 64).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
+  private def cos(a: String, b: String): String =
+    s"(${dot(a, b)}) / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)}))"
+
+  private val embCte =
+    """WITH d AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def annTopkSql: String =
+    s"""$embCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 8),
+       |s AS (SELECT query_id, d.vec_id AS neighbor_id,
+       |        ${cos("qv", "d.v")} AS cos
+       |      FROM q, d WHERE d.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+
+  private def annLshSql: String = {
+    val bkt = (1 to 8).map(i =>
+      s"CASE WHEN v[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""$embCte,
+       |db AS (SELECT vec_id, v, CAST($bkt AS BIGINT) AS bkt FROM d),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+       |      FROM db WHERE vec_id < 8),
+       |s AS (SELECT query_id, db.vec_id AS neighbor_id,
+       |        ${cos("qv", "db.v")} AS cos
+       |      FROM q JOIN db ON db.bkt = q.qbkt WHERE db.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+  }
+
+  private def embNearDupSql: String =
+    s"""$embCte
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cos("a.v", "b.v")} AS cos
+       |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+       |WHERE cos > 0.4""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private def stopCount(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(words)})))"
+
+  private def langIdSql: String = {
+    val langs = TextAnalysis.StopWords
+    val counts = langs.map { case (l, ws) =>
+      s"${stopCount(ws)} AS c_$l" }.mkString(", ")
+    val names = langs.map(_._1)
+    val pred = names.init.zipWithIndex.foldRight(s"'${names.last}'") {
+      case ((lang, i), onElse) =>
+        val beats = names.drop(i + 1).map(o => s"c_$lang >= c_$o")
+          .mkString(" AND ")
+        s"CASE WHEN $beats THEN '$lang' ELSE $onElse END"
+    }
+    s"""WITH c AS (SELECT doc_id, lang, $counts FROM documents)
+       |SELECT doc_id, $pred AS predicted_lang, lang AS labeled_lang
+       |FROM c""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val en = inList(TextAnalysis.StopWords.head._2)
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |       t -> t IN ($en))) AS DOUBLE) AS nstop,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nchar
+       |  FROM documents)
+       |SELECT doc_id, ntok AS n_tokens,
+       |  nstop / ntok AS stopword_ratio,
+       |  nchar / ntok AS mean_token_len,
+       |  0.3 * LEAST(1.0, ntok / 100.0) + 0.4 * (1.0 - nstop / ntok)
+       |    + 0.3 * LEAST(1.0, (nchar / ntok) / 8.0) AS quality
+       |FROM b""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""$shinglesCte,
+         |n AS (SELECT doc_id, COUNT(*) AS nsh FROM e GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
+         |  FROM p JOIN n na ON doc_a = na.doc_id
+         |         JOIN n nb ON doc_b = nb.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_simhash" -> simhashPairsSql,
+    "q_ann_topk" -> annTopkSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_emb_neardup" -> embNearDupSql,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |       AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_obs
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" -> qualitySql,
+    "q_text_langid" -> langIdSql,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  MIN(md5(substr(text, CAST(i AS INTEGER), 8))) AS fingerprint
+        |FROM (SELECT doc_id, text,
+        |        UNNEST(generate_series(1, GREATEST(length(text) - 7, 1))) AS i
+        |      FROM documents)
+        |GROUP BY doc_id""".stripMargin,
+  )
+}

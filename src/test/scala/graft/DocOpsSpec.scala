@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DocOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val g = Dedup.exactGroups(d).collect()
+    assert(g.length == 2)
+    assert(g.find(_.getLong(1) == 2).get.getLong(2) == 1L) // keep min id
+  }
+
+  test("jaccard pairs finds near-dup, skips unrelated") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.jaccardPairs(
+      docs((1L, base), (2L, nearDup), (3L, other)), threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("minhash candidates include exact duplicates") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val c = Dedup.minhashCandidates(docs((1L, t), (2L, t))).collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs is identical; hamming 0 pair found") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val sigs = Dedup.simhash(docs((1L, t), (2L, t))).collect()
+    assert(sigs.map(_.getLong(1)).distinct.length == 1)
+    val pairs = Dedup.simhashPairs(docs((1L, t), (2L, t)), 3).collect()
+    assert(pairs.exists(r => r.getInt(2) == 0))
+  }
+
+  test("brute-force topk ranks an identical vector first") {
+    val v = Array.tabulate(64)(i => i.toFloat / 64)
+    val w = Array.tabulate(64)(i => (63 - i).toFloat / 64)
+    val df = Seq((0L, v), (1L, v), (2L, w)).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, col("vec_id") === 0, 2).collect()
+    val first = top.find(_.getInt(3) == 1).get
+    assert(first.getLong(1) == 1L)
+    assert(math.abs(first.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("langid is deterministic and prefers matching stopwords") {
+    val d = Seq((1L, "der und das ist ein test", "de"),
+                (2L, "the of and is a to", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de" && out(2L) == "en")
+  }
+
+  test("fingerprint is stable under doc duplication") {
+    val d = docs((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"))
+    val fp = TextAnalysis.fingerprint(d).collect().map(_.getString(1))
+    assert(fp.distinct.length == 1)
+  }
+}
