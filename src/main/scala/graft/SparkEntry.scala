@@ -97,12 +97,39 @@ object SparkEntry {
     // rolling-window document fingerprint
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(T(s, d)("documents"))),
+
+    // ---- fraud-domain operators over the events stream ----
+    // A8: multi-horizon (5min/1h/24h) rolling velocity counters
+    "q_velocity_multi" -> ((s, d) =>
+      FraudQueries.velocityMulti(T(s, d)("events"))),
+    // J3: time-bounded interval join with correlation risk factors
+    "q_interval_join" -> ((s, d) =>
+      Joins.intervalJoin(T(s, d)("events"), "user_id", "ts")),
+    // J5: banded (bucketed-similarity) join, pre-aggregated per band
+    "q_banded_join" -> ((s, d) => {
+      val t = T(s, d) _
+      Joins.bandedJoin(t("lineitem"), t("part"), width = 100.0)
+    }),
+    // J7: graph neighborhood co-occurrence (shared-part supplier pairs)
+    "q_graph_cooccur" -> ((s, d) =>
+      Joins.coOccurrence(T(s, d)("lineitem"), "l_suppkey", "l_partkey")),
+    // §2.6: amount/time feature library
+    "q_event_features" -> ((s, d) =>
+      FraudQueries.eventFeatures(T(s, d)("events"))),
+    // rule scoring + decision ladder roll-up
+    "q_fraud_scoring" -> ((s, d) =>
+      FraudQueries.fraudScoring(T(s, d)("events"))),
+    // A11: ensemble combiners
+    "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
+    // A4/geo: grid key, high-risk predicate, haversine
+    "q_geo_features" -> ((s, d) => FraudQueries.geoFeatures(T(s, d)("events"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = graft.oracle.DocOracles.sql ++ Map(
+  def oracleSql: Map[String, String] =
+    graft.oracle.DocOracles.sql ++ graft.oracle.FraudOracles.sql ++ Map(
     "q_user_velocity" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  ${dsum("value")} AS total_value,

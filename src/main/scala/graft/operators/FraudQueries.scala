@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Features => F, Scoring}
+
+/** The fraud-domain operator surface mapped onto the driver's generic
+  * test tables (events as the transaction stream), so every feature /
+  * scoring / velocity operator is oracle-checkable. The same column
+  * library runs unchanged over the Transaction schema in
+  * graft.streaming.
+  */
+object FraudQueries {
+
+  /** §2.6 feature extraction: amount + time features per event. */
+  def eventFeatures(events: DataFrame): DataFrame = {
+    val v = col("value")
+    graft.sources.Par.fan(events).select(col("event_id"),
+      F.amountSqrt(v).as("amount_sqrt"),
+      round(F.amountLog(v), 6).as("amount_log_r"),
+      F.isRoundAmount(v, 10.0).as("round_10"),
+      F.amountBucket(v).as("amount_bucket"),
+      F.amountClusterKey(v).as("amount_cluster"),
+      F.hourOfDay(col("ts")).as("hour_of_day"),
+      F.dayOfWeekSun1(col("ts")).as("dow_sun1"),
+      F.isWeekend(col("ts")).as("is_weekend"),
+      F.periodOfDay(col("ts")).as("period_of_day"),
+      F.isBusinessHours(col("ts")).as("business_hours"),
+      F.isNight(col("ts")).as("is_night"),
+      F.epochHour(col("ts")).as("epoch_hour"))
+  }
+
+  /** Rule scoring + decision ladder (TransactionProcessor.java:327-473
+    * weights/shape) over event-derived flags, rolled up per decision.
+    */
+  def fraudScoring(events: DataFrame): DataFrame = {
+    val score = Scoring.ruleScore(Seq(
+      (col("value") > 150.0) -> 0.25,
+      (col("event_type") === "error") -> 0.2,
+      F.isNight(col("ts")) -> 0.15,
+      F.isWeekend(col("ts")) -> 0.15,
+      F.isRoundAmount(col("value"), 10.0) -> 0.1))
+    events
+      .select(Decisions.riskLevel(score).as("risk_level"),
+              Decisions.decision(score).as("decision"))
+      .groupBy("risk_level", "decision")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A11 ensemble combiners over three deterministic pseudo-model
+    * scores (weighted average / majority vote / confidence-weighted).
+    */
+  def ensemble(events: DataFrame): DataFrame = {
+    val s1 = (col("value") % 100.0) / 100.0
+    val s2 = (col("event_id") % 97).cast("double") / 97.0
+    val s3 = (col("user_id") % 89).cast("double") / 89.0
+    events.select(col("event_id"),
+      Scoring.weightedAverage(Seq(s1 -> 0.5, s2 -> 0.25, s3 -> 0.25))
+        .as("ens_wavg"),
+      Scoring.majorityVote(Seq(s1, s2, s3)).as("ens_vote"),
+      Scoring.confidenceWeighted(Seq(s1, s2, s3)).as("ens_conf"))
+  }
+
+  /** Geo features over synthetic-but-deterministic coordinates derived
+    * from event values: grid key (A4), high-risk predicate, haversine
+    * distance to a fixed point (rounded: libm trig is not
+    * correctly-rounded across engines).
+    */
+  def geoFeatures(events: DataFrame): DataFrame = {
+    val lat = col("value") % 180.0 - 90.0
+    val lon = (col("value") * 3.0) % 360.0 - 180.0
+    graft.sources.Par.fan(events).select(col("event_id"),
+      F.geoGridKey(lat, lon).as("geo_grid"),
+      F.isHighRiskLocation(lat, lon).as("high_risk_loc"),
+      round(F.haversineKm(lat, lon, lit(40.7), lit(-74.0)), 3)
+        .as("dist_km_r"))
+  }
+
+  /** A8 multi-horizon velocity, per-event read-your-writes counters. */
+  def velocityMulti(events: DataFrame): DataFrame =
+    Velocity.multiHorizon(events)
+      .select("event_id", "n_5min", "amt_5min", "n_1h", "amt_1h",
+              "n_24h", "amt_24h")
+}

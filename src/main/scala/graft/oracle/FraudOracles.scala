@@ -1,0 +1,162 @@
+package graft.oracle
+
+import graft.functions.OracleSql._
+
+/** DuckDB twins for the fraud-domain operator queries (features,
+  * scoring, velocity, joins). Shapes and literal order mirror the
+  * Spark column expressions exactly; libm-dependent functions (ln,
+  * trig) are rounded in BOTH engines at a scale where a 1-ulp libm
+  * divergence cannot flip the rounded value.
+  */
+object FraudOracles {
+
+  /** Spark `cast(ts as long)` truncates µs → s; DuckDB CAST rounds,
+    * so the oracle uses integer floor-division on epoch_us.
+    */
+  private val sec = "epoch_us(ts) // 1000000"
+
+  private def velocitySql: String = {
+    def winCols(sfx: String, secs: Long) =
+      s"""COUNT(*) OVER w$sfx AS n_$sfx,
+         |  (CAST(SUM(CAST(ROUND(value * 1.0e4, 0) AS BIGINT)) OVER w$sfx
+         |        AS DOUBLE) / 1.0e4) AS amt_$sfx""".stripMargin
+    def win(sfx: String, secs: Long) =
+      s"w$sfx AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN $secs PRECEDING AND CURRENT ROW)"
+    s"""SELECT event_id,
+       |  ${winCols("5min", 300)},
+       |  ${winCols("1h", 3600)},
+       |  ${winCols("24h", 86400)}
+       |FROM (SELECT event_id, user_id, value, $sec AS sec FROM events)
+       |WINDOW ${win("5min", 300)}, ${win("1h", 3600)}, ${win("24h", 86400)}""".stripMargin
+  }
+
+  private val intervalJoinSql =
+    """SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
+      |  CASE WHEN b.event_type = 'error' THEN 0.3
+      |       WHEN b.event_type = 'login' THEN 0.2
+      |       ELSE 0.0 END AS pair_risk
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'""".stripMargin
+
+  private def bandedJoinSql: String =
+    s"""WITH li AS (
+       |  SELECT CAST(FLOOR(l_extendedprice / 100.0) * 100.0 AS BIGINT) AS band,
+       |    COUNT(*) AS n_li, ${davg("l_extendedprice")} AS avg_li
+       |  FROM lineitem GROUP BY 1),
+       |p AS (
+       |  SELECT CAST(FLOOR(p_retailprice / 100.0) * 100.0 AS BIGINT) AS band,
+       |    COUNT(*) AS n_p, ${davg("p_retailprice")} AS avg_p
+       |  FROM part GROUP BY 1)
+       |SELECT band, n_li, avg_li, n_p, avg_p,
+       |  1.0 - ABS(avg_li - avg_p) / GREATEST(avg_li, avg_p) AS band_similarity
+       |FROM li JOIN p USING (band)""".stripMargin
+
+  private val coOccurSql =
+    """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS v FROM lineitem)
+      |SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS shared
+      |FROM e a JOIN e b ON a.v = b.v AND a.s < b.s
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Exponent = digits(floor(x))−1 (exact; see Features.amountClusterKey). */
+  private val clusterExp =
+    "(length(CAST(CAST(FLOOR(GREATEST(value, 1.0)) AS BIGINT) AS VARCHAR)) - 1)"
+
+  private val featureSql =
+    s"""SELECT event_id,
+       |  SQRT(value) AS amount_sqrt,
+       |  ROUND(LN(1.0 + value), 6) AS amount_log_r,
+       |  fmod(value, 10.0) = 0.0 AS round_10,
+       |  CASE WHEN value < 10.0 THEN 'micro'
+       |       WHEN value < 100.0 THEN 'small'
+       |       WHEN value < 1000.0 THEN 'medium'
+       |       WHEN value < 10000.0 THEN 'large'
+       |       ELSE 'very_large' END AS amount_bucket,
+       |  'amount' || '_' || CAST($clusterExp AS BIGINT) || '_' ||
+       |    CAST(FLOOR(GREATEST(value, 1.0)
+       |         / POW(10.0, CAST($clusterExp AS DOUBLE))) AS BIGINT)
+       |    AS amount_cluster,
+       |  CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow_sun1,
+       |  dayofweek(ts) IN (0, 6) AS is_weekend,
+       |  CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'morning'
+       |       WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'afternoon'
+       |       WHEN hour(ts) >= 18 AND hour(ts) < 22 THEN 'evening'
+       |       ELSE 'night' END AS period_of_day,
+       |  hour(ts) BETWEEN 9 AND 17 AS business_hours,
+       |  hour(ts) <= 6 OR hour(ts) >= 22 AS is_night,
+       |  CAST(($sec) // 3600 AS BIGINT) AS epoch_hour
+       |FROM events""".stripMargin
+
+  private val scoringSql =
+    """WITH f AS (
+      |  SELECT
+      |    CASE WHEN value > 150.0 THEN 1.0 ELSE 0.0 END AS f_high,
+      |    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS f_err,
+      |    CASE WHEN hour(ts) <= 6 OR hour(ts) >= 22 THEN 1.0 ELSE 0.0 END AS f_night,
+      |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1.0 ELSE 0.0 END AS f_wkd,
+      |    CASE WHEN fmod(value, 10.0) = 0.0 THEN 1.0 ELSE 0.0 END AS f_round
+      |  FROM events),
+      |s AS (SELECT GREATEST(0.0, LEAST(1.0,
+      |        f_high * 0.25 + f_err * 0.2 + f_night * 0.15
+      |        + f_wkd * 0.15 + f_round * 0.1)) AS score FROM f)
+      |SELECT
+      |  CASE WHEN score >= 0.9 THEN 'CRITICAL'
+      |       WHEN score >= 0.7 THEN 'HIGH'
+      |       WHEN score >= 0.5 THEN 'MEDIUM'
+      |       ELSE 'LOW' END AS risk_level,
+      |  CASE WHEN score >= 0.9 THEN 'DECLINE'
+      |       WHEN score >= 0.7 THEN 'REVIEW'
+      |       ELSE 'APPROVE' END AS decision,
+      |  COUNT(*) AS n
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  private val ensembleSql =
+    """WITH s AS (SELECT event_id,
+      |    fmod(value, 100.0) / 100.0 AS s1,
+      |    CAST(event_id % 97 AS DOUBLE) / 97.0 AS s2,
+      |    CAST(user_id % 89 AS DOUBLE) / 89.0 AS s3
+      |  FROM events)
+      |SELECT event_id,
+      |  (s1 * 0.5 + s2 * 0.25 + s3 * 0.25) / 1.0 AS ens_wavg,
+      |  CAST((CASE WHEN s1 > 0.5 THEN 1 ELSE 0 END
+      |      + CASE WHEN s2 > 0.5 THEN 1 ELSE 0 END
+      |      + CASE WHEN s3 > 0.5 THEN 1 ELSE 0 END) >= 2 AS INTEGER)
+      |    AS ens_vote,
+      |  CASE WHEN (ABS(s1 - 0.5) * 2.0) + (ABS(s2 - 0.5) * 2.0)
+      |          + (ABS(s3 - 0.5) * 2.0) > 0.0
+      |       THEN (s1 * (ABS(s1 - 0.5) * 2.0) + s2 * (ABS(s2 - 0.5) * 2.0)
+      |           + s3 * (ABS(s3 - 0.5) * 2.0))
+      |          / ((ABS(s1 - 0.5) * 2.0) + (ABS(s2 - 0.5) * 2.0)
+      |           + (ABS(s3 - 0.5) * 2.0))
+      |       ELSE 0.5 END AS ens_conf
+      |FROM s""".stripMargin
+
+  private val geoSql = {
+    val lat = "(fmod(value, 180.0) - 90.0)"
+    val lon = "(fmod(value * 3.0, 360.0) - 180.0)"
+    val a = s"""SIN(RADIANS(40.7 - $lat) / 2) * SIN(RADIANS(40.7 - $lat) / 2)
+               | + COS(RADIANS($lat)) * COS(RADIANS(40.7))
+               |   * SIN(RADIANS(-74.0 - $lon) / 2) * SIN(RADIANS(-74.0 - $lon) / 2)"""
+      .stripMargin
+    s"""SELECT event_id,
+       |  'geo' || '_' || CAST(FLOOR($lat) AS BIGINT) || '_'
+       |        || CAST(FLOOR($lon) AS BIGINT) AS geo_grid,
+       |  ABS($lat) > 60.0 OR (ABS($lat) < 10.0 AND ABS($lon) < 10.0)
+       |    AS high_risk_loc,
+       |  ROUND(6371.0 * 2.0 * ATAN2(SQRT($a), SQRT(1.0 - ($a))), 3)
+       |    AS dist_km_r
+       |FROM events""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_velocity_multi" -> velocitySql,
+    "q_interval_join" -> intervalJoinSql,
+    "q_banded_join" -> bandedJoinSql,
+    "q_graph_cooccur" -> coOccurSql,
+    "q_event_features" -> featureSql,
+    "q_fraud_scoring" -> scoringSql,
+    "q_ensemble" -> ensembleSql,
+    "q_geo_features" -> geoSql,
+  )
+}
