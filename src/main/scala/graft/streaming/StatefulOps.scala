@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed-state operators — the cases Structured Streaming's
+  * declarative surface can't express (SURVEY §2.8):
+  *
+  * - A6: CountTrigger(10) early-firing high-frequency alerts
+  *   (WindowProcessor.java:132-147) — SS has no early-fire trigger
+  *   API, so the count threshold lives in flatMapGroupsWithState;
+  * - A8: multi-horizon velocity with read-your-writes semantics
+  *   (RedisTransactionSink.java:87-135) — state holds a pruned
+  *   timestamp ring, each event emits counters *including itself*;
+  * - S8: recent-N ring buffer (RedisService.java:296-321).
+  *
+  * State is bounded per key (pruned by horizon / capped at N), so
+  * state-store size scales with |keys|, not |events| — the property
+  * that keeps these runnable against an unbounded stream.
+  */
+object StatefulOps {
+
+  final case class KeyedEvent(key: String, ts: Timestamp, value: Double)
+
+  // ---- A6: count-triggered high-frequency alerts ----
+
+  final case class FreqAlert(key: String, count: Long, windowStart: Timestamp)
+  final case class FreqState(count: Long, windowStartMs: Long)
+
+  /** Emits an alert every `threshold` events per key within a
+    * `windowMs` tumbling window (count resets when the window rolls).
+    */
+  def highFrequencyAlerts(events: Dataset[KeyedEvent], threshold: Int = 10,
+                          windowMs: Long = 5 * 60 * 1000): Dataset[FreqAlert] = {
+    implicit val se = Encoders.product[FreqState]
+    implicit val ae = Encoders.product[FreqAlert]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[KeyedEvent], st: GroupState[FreqState]) => {
+          var s = st.getOption.getOrElse(FreqState(0L, -1L))
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[FreqAlert]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val w = e.ts.getTime / windowMs * windowMs
+            s = if (w != s.windowStartMs) FreqState(1L, w)
+                else s.copy(count = s.count + 1)
+            if (s.count % threshold == 0)
+              alerts += FreqAlert(key, s.count, new Timestamp(w))
+          }
+          st.update(s)
+          alerts.iterator
+        })
+  }
+
+  // ---- A8: streaming multi-horizon velocity ----
+
+  final case class VelocityOut(key: String, ts: Timestamp,
+                               n5min: Long, n1h: Long, n24h: Long,
+                               amt5min: Double, amt1h: Double, amt24h: Double)
+  final case class VelState(events: List[(Long, Double)])
+
+  /** Per event: counters over (t−h, t] for h ∈ {5min, 1h, 24h},
+    * including the event itself (the reference's INCR-then-read).
+    * State keeps only events within the largest horizon.
+    */
+  def velocity(events: Dataset[KeyedEvent]): Dataset[VelocityOut] = {
+    implicit val se = Encoders.product[VelState]
+    implicit val oe = Encoders.product[VelocityOut]
+    val H5 = 300000L; val H1 = 3600000L; val H24 = 86400000L
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[KeyedEvent], st: GroupState[VelState]) => {
+          var kept = st.getOption.map(_.events).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            val t = e.ts.getTime
+            kept = ((t, e.value) :: kept).filter(_._1 > t - H24)
+            def cnt(h: Long) = kept.count(_._1 > t - h).toLong
+            def amt(h: Long) = kept.filter(_._1 > t - h).map(_._2).sum
+            VelocityOut(key, e.ts, cnt(H5), cnt(H1), cnt(H24),
+              amt(H5), amt(H1), amt(H24))
+          }
+          st.update(VelState(kept))
+          out.iterator
+        })
+  }
+
+  // ---- S8: recent-N ring buffer ----
+
+  final case class RecentN(key: String, ts: Timestamp, recent: Seq[Double])
+  final case class RingState(items: List[(Long, Double)])
+
+  /** Emits, per event, the key's latest ≤N values (newest first) —
+    * the lpush+ltrim list as bounded operator state.
+    */
+  def recentN(events: Dataset[KeyedEvent], n: Int = 100): Dataset[RecentN] = {
+    implicit val se = Encoders.product[RingState]
+    implicit val oe = Encoders.product[RecentN]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[KeyedEvent], st: GroupState[RingState]) => {
+          var ring = st.getOption.map(_.items).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            ring = ((e.ts.getTime, e.value) :: ring).take(n)
+            RecentN(key, e.ts, ring.map(_._2))
+          }
+          st.update(RingState(ring))
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StatefulOps, TransactionPipeline, WindowedStreams}
+import graft.streaming.StatefulOps.KeyedEvent
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def t(min: Int, sec: Int = 0) =
+    new Timestamp(min * 60000L + sec * 1000L)
+
+  private var qn = 0
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+                          mode: String = "append") = {
+    qn += 1
+    val name = s"out$qn"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("A6 count-trigger: alert fires per N events inside the window") {
+    val in = MemoryStream[KeyedEvent](spark)
+    in.addData((1 to 25).map(i => KeyedEvent("u1", t(0, i), 1.0)): _*)
+    val out = runToMemory(
+      StatefulOps.highFrequencyAlerts(in.toDS(), threshold = 10).toDF())
+    val counts = out.collect().map(_.getAs[Long]("count")).sorted
+    assert(counts.toSeq == Seq(10L, 20L)) // fired at the 10th and 20th
+  }
+
+  test("A8 streaming velocity matches batch multiHorizon on same data") {
+    val events = Seq(
+      KeyedEvent("u1", t(0), 100.0), KeyedEvent("u1", t(2), 50.0),
+      KeyedEvent("u1", t(70), 25.0), KeyedEvent("u2", t(1), 10.0))
+    val in = MemoryStream[KeyedEvent](spark)
+    in.addData(events: _*)
+    val streamed = runToMemory(StatefulOps.velocity(in.toDS()).toDF())
+      .select($"key", $"ts", $"n5min", $"n1h")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    val batch = graft.operators.Velocity.multiHorizon(
+        events.toDF("user_id", "ts", "value")
+          .withColumnRenamed("user_id", "key")
+          .select($"key".as("user_id"), $"ts", $"value"))
+      .select($"user_id", $"ts", $"n_5min", $"n_1h")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("S8 recent-N ring keeps newest-first bounded list") {
+    val in = MemoryStream[KeyedEvent](spark)
+    in.addData((1 to 5).map(i => KeyedEvent("u1", t(i), i.toDouble)): _*)
+    val out = runToMemory(StatefulOps.recentN(in.toDS(), n = 3).toDF())
+    val last = out.orderBy(desc("ts")).head()
+      .getAs[scala.collection.Seq[Double]]("recent").toSeq
+    assert(last == Seq(5.0, 4.0, 3.0))
+  }
+
+  test("watermark drops late rows in sliding velocity (append mode)") {
+    val in = MemoryStream[KeyedEvent](spark)
+    val agg = WindowedStreams.slidingVelocity(
+      in.toDF().withColumnRenamed("key", "user_id")
+        .withColumn("event_type", lit("e")),
+      watermark = "10 seconds")
+    in.addData(KeyedEvent("u1", t(0), 1.0), KeyedEvent("u1", t(1), 1.0))
+    in.addData(KeyedEvent("u1", t(60), 1.0)) // advances watermark far ahead
+    val q = agg.writeStream.format("memory").queryName("wmq")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(KeyedEvent("u1", t(2), 99.0)) // late: behind watermark
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("wmq")
+      .select(sum($"total_value")).head().getDouble(0)
+    assert(closed > 0 && closed < 99.0) // late row never contributed
+  }
+
+  test("end-to-end pipeline: parse errors and blacklist drive decisions") {
+    val users = Seq(("u1", 0.2, "verified", 100.0))
+      .toDF("user_id", "risk_score", "kyc_status", "avg_transaction_amount")
+    val merchants = Seq(("m1", 0.01, "low", false))
+      .toDF("merchant_id", "fraud_rate", "risk_level", "is_blacklisted")
+    def txJson(id: String, amount: Double) =
+      s"""{"transaction_id":"$id","user_id":"u1","merchant_id":"m1",
+         |"amount":$amount,"timestamp":"2024-01-01T12:00:00Z",
+         |"user_agent":"Mozilla/5.0 (X11; Linux x86_64) Gecko",
+         |"geolocation":{"lat":40.0,"lon":-74.0},
+         |"merchant_location":{"lat":40.1,"lon":-74.1}}""".stripMargin
+    val raw = Seq(txJson("t1", 50.0), txJson("t2", 5000.0), "NOT JSON{{{")
+      .toDF("json")
+    val out = TransactionPipeline.pipeline(raw, users, merchants)
+      .select("transaction_id", "fraud_score", "risk_level", "decision")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(out.exists(r => r._1 == "t1" && r._3 == "APPROVE"))
+    assert(out.exists(r => r._1.startsWith("ERROR_") && r._2 == "ERROR"
+      && r._3 == "REVIEW"))
+  }
+
+  test("pipeline runs identically as a streaming query") {
+    val users = Seq(("u1", 0.2, "verified", 100.0))
+      .toDF("user_id", "risk_score", "kyc_status", "avg_transaction_amount")
+    val merchants = Seq(("m1", 0.01, "low", false))
+      .toDF("merchant_id", "fraud_rate", "risk_level", "is_blacklisted")
+    val in = MemoryStream[String](spark)
+    in.addData("""{"transaction_id":"s1","user_id":"u1","merchant_id":"m1",
+      |"amount":10.0,"timestamp":"2024-01-01T09:00:00Z",
+      |"user_agent":"Mozilla/5.0 (X11; Linux) Gecko/20100101 Firefox",
+      |"geolocation":{"lat":40.0,"lon":-74.0},
+      |"merchant_location":{"lat":40.0,"lon":-74.0}}""".stripMargin)
+    val out = runToMemory(TransactionPipeline.pipeline(
+      in.toDF().withColumnRenamed("value", "json"), users, merchants)
+      .select("transaction_id", "decision"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("s1", "APPROVE")))
+  }
+}
