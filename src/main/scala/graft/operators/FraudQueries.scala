@@ -73,7 +73,9 @@ object FraudQueries {
     graft.sources.Par.fan(events).select(col("event_id"),
       F.geoGridKey(lat, lon).as("geo_grid"),
       F.isHighRiskLocation(lat, lon).as("high_risk_loc"),
-      round(F.haversineKm(lat, lon, lit(40.7), lit(-74.0)), 3)
+      // native codegen expression (value-identical to the column-math
+      // composition — CatalystSpec asserts bit-equality)
+      round(graft.plans.HaversineDistance(lat, lon, lit(40.7), lit(-74.0)), 3)
         .as("dist_km_r"))
   }
 

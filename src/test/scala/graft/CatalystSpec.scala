@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Features
+import graft.plans.{ApproxDistinctRewrite, GraftExtensions, HaversineDistance}
+
+class CatalystSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("HaversineDistance expression equals the column-math composition") {
+    val df = Seq(
+      (40.7128, -74.0060, 34.0522, -118.2437),
+      (0.0, 0.0, 0.0, 0.0),
+      (-33.86, 151.21, 51.5, -0.13))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+    val out = df.select(
+      HaversineDistance(col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+        .as("expr_d"),
+      Features.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+        .as("col_d")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"codegen expression diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("HaversineDistance survives both codegen and interpreted paths") {
+    val df = (1 to 100).map(i => (i.toDouble / 3, i.toDouble / 7))
+      .toDF("lat", "lon")
+    // wholestage on (default)
+    val a = df.select(sum(HaversineDistance(col("lat"), col("lon"),
+      lit(0.0), lit(0.0)))).head().getDouble(0)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val b = df.select(sum(HaversineDistance(col("lat"), col("lon"),
+        lit(0.0), lit(0.0)))).head().getDouble(0)
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("haversine_km is SQL-callable and rewrite rule fires only when enabled") {
+    val s2 = spark
+    GraftExtensions.install(s2)
+    try {
+      import s2.implicits._
+      val d = s2.sql(
+        "SELECT haversine_km(40.7128d, -74.0060d, 34.0522d, -118.2437d) AS d")
+        .head().getDouble(0)
+      assert(math.abs(d - 3935.7) < 1.0)
+
+      val df = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9)).toDF("k", "v")
+      def planOf(enabled: Boolean): String = {
+        s2.conf.set(ApproxDistinctRewrite.ConfKey, enabled.toString)
+        df.groupBy($"k").agg(size(collect_set($"v")).as("n"))
+          .queryExecution.optimizedPlan.toString
+      }
+      assert(planOf(false).contains("collect_set"))
+      val rewritten = planOf(true)
+      assert(!rewritten.contains("collect_set") &&
+        rewritten.toLowerCase.contains("approx_count_distinct"),
+        s"rewrite did not fire:\n$rewritten")
+      // and the rewritten plan still executes
+      s2.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+      val n = df.groupBy($"k").agg(size(collect_set($"v")).as("n"))
+        .orderBy($"k").collect().map(_.getAs[Int]("n"))
+      assert(n.toSeq == Seq(2, 1))
+    } finally {
+      s2.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+    }
+  }
+}
