@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media as opaque BINARY columns with typed metadata,
+  * processed batch-wise with bounded memory.
+  *
+  * The actual codec work (JPEG decode, audio resample, video frame
+  * extraction) requires native libraries absent from this
+  * environment, so the decode kernel is STUBBED with a deterministic
+  * byte-derived fake — clearly marked below. Everything around it is
+  * real and tested: the schema, the partition-wise batching shape
+  * (mapPartitions with an iterator, never materializing a partition),
+  * metadata-driven routing, and the handoff of extracted feature
+  * vectors into graft.operators.Similarity.
+  *
+  * Scale notes: media rows are large (MBs) — the operators here never
+  * shuffle raw bytes except for the initial fan; feature extraction
+  * projects bytes → small vectors as early as possible so downstream
+  * joins/ANN move KB not MB. With real codecs the kernel swaps in
+  * unchanged (same Iterator→Iterator signature a Python pipeline
+  * would give mapInPandas).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", IntegerType),
+      StructField("format", StringType))))))
+
+  final case class MediaMeta(width: Int, height: Int, sample_rate: Int,
+                             duration_ms: Int, format: String)
+  final case class MediaRow(media_id: Long, kind: String,
+                            bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String,
+                                 features: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, offset_ms: Int)
+
+  /** Deterministic synthetic media table (seeded by id — no RNG), for
+    * exercising the plumbing at any scale via spark.range.
+    */
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
+    val kinds = typedLit(Seq("image", "audio", "video"))
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(kinds, (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+      // bytes derived from the id via sha2 — deterministic, binary
+      sha2(col("id").cast("string"), 256).cast("binary").as("bytes"),
+      struct(
+        (pmod(col("id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("id"), lit(4)) * 90 + 180).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("id"), lit(30)) * 1000 + 1000).cast("int").as("duration_ms"),
+        lit("synthetic").as("format")).as("meta"))
+  }
+
+  /** ======== STUB ========
+    * Deterministic fake "decode + feature extract": folds the bytes
+    * into a `dim`-float vector. A real implementation replaces ONLY
+    * the body of `kernel` (e.g. JNI codec or Arrow batch to a Python
+    * worker); signature, batching, and partitioning stay as-is.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
+      : Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      // per-partition setup happens here (codec init, model load) —
+      // once per task, not per row
+      def kernel(row: MediaRow): MediaFeatures = {
+        val acc = new Array[Float](dim)
+        var i = 0
+        row.bytes.foreach { b =>
+          acc(i % dim) += (b & 0xff) / 255.0f
+          i += 1
+        }
+        MediaFeatures(row.media_id, row.kind, acc)
+      }
+      it.map(kernel)
+    }
+  }
+
+  /** Video frame sampling as metadata expansion (real, not stubbed):
+    * one row per sampled frame index at `everyMs` spacing — the
+    * explode happens on metadata only; bytes are never replicated.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Int = 1000): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0),
+          greatest((col("meta.duration_ms") / everyMs).cast("int") - 1,
+            lit(0)))).as("frame_idx"))
+      .withColumn("offset_ms", col("frame_idx") * everyMs)
+
+  /** Resize plan (STUB decode): metadata-level target geometry with
+    * aspect-preserving math — the byte transform would live in the
+    * extractFeatures kernel.
+    */
+  def resizePlan(media: DataFrame, maxSide: Int = 224): DataFrame =
+    media.filter(col("kind") === "image")
+      .withColumn("scale",
+        least(lit(maxSide) / col("meta.width"),
+              lit(maxSide) / col("meta.height"), lit(1.0)))
+      .withColumn("target_width",
+        floor(col("meta.width") * col("scale")).cast("int"))
+      .withColumn("target_height",
+        floor(col("meta.height") * col("scale")).cast("int"))
+      .select("media_id", "meta.width", "meta.height",
+              "target_width", "target_height")
+
+  /** Bridge into the ANN surface: extracted features as an
+    * `embedding`-shaped DataFrame for graft.operators.Similarity.
+    */
+  def asEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().select(col("media_id").as("vec_id"),
+      col("features").as("embedding"))
+}

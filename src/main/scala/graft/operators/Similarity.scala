@@ -40,27 +40,28 @@ object Similarity {
     * oracle stays bit-exact while the pair kernel drops from 3 dot
     * products to 1.
     */
-  private def prepared(embeddings: DataFrame): DataFrame =
+  private def prepared(embeddings: DataFrame, dim: Int): DataFrame =
     graft.sources.Par.fan(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"), dim))
 
-  private def pairCos(qv: Column, qn: Column, v: Column, n: Column): Column =
-    dot(qv, v) / (qn * n)
+  private def pairCos(qv: Column, qn: Column, v: Column, n: Column,
+                      dim: Int): Column =
+    dot(qv, v, dim) / (qn * n)
 
   /** Brute-force cosine top-k for a query subset (the correctness
     * baseline): rank by raw cosine (bit-exact), tie-break on id.
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column,
-                     k: Int): DataFrame = {
-    val all = prepared(embeddings)
+                     k: Int, dim: Int = Dim): DataFrame = {
+    val all = prepared(embeddings, dim)
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qnrm"))
     val scored = q.crossJoin(all)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              pairCos(col("qv"), col("qnrm"), col("v"), col("nrm")).as("cos"))
+              pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"), dim).as("cos"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -77,15 +78,15 @@ object Similarity {
     * design (documented scale path).
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              bits: Int = 8): DataFrame = {
-    val all = prepared(embeddings).withColumn("bkt", signBucket(col("v"), bits))
+              bits: Int = 8, dim: Int = Dim): DataFrame = {
+    val all = prepared(embeddings, dim).withColumn("bkt", signBucket(col("v"), bits))
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qnrm"), col("bkt").as("qbkt"))
     val scored = q.join(all, col("bkt") === col("qbkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              pairCos(col("qv"), col("qnrm"), col("v"), col("nrm")).as("cos"))
+              pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"), dim).as("cos"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -93,15 +94,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val all = prepared(embeddings)
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+                   dim: Int = Dim): DataFrame = {
+    val all = prepared(embeddings, dim)
     val a = all.select(col("vec_id").as("vec_a"), col("v").as("va"),
                        col("nrm").as("na"))
     val b = all.select(col("vec_id").as("vec_b"), col("v").as("vb"),
                        col("nrm").as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-              pairCos(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+              pairCos(col("va"), col("na"), col("vb"), col("nb"), dim).as("cos"))
       .filter(col("cos") > threshold)
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRow
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 90)
+
+  test("synthetic media matches the declared schema and is deterministic") {
+    // name/type equality (generated-plan nullability flags differ)
+    def shape(s: org.apache.spark.sql.types.StructType): String =
+      s.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    assert(shape(media.schema) == shape(Multimodal.mediaSchema))
+    val a = media.select(md5(col("bytes"))).collect().map(_.getString(0))
+    val b = Multimodal.syntheticMedia(spark, 90)
+      .select(md5(col("bytes"))).collect().map(_.getString(0))
+    assert(a.toSeq == b.toSeq)
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction is partition-wise, stable, and fixed-dim") {
+    val ds = media.as[MediaRow]
+    val f1 = Multimodal.extractFeatures(ds, dim = 16).collect()
+    assert(f1.forall(_.features.length == 16))
+    // repartitioning must not change per-row results (kernel is per-row
+    // even though execution is per-partition)
+    val f2 = Multimodal.extractFeatures(
+      ds.repartition(7), dim = 16).collect()
+    assert(f1.map(f => f.media_id -> f.features.toSeq).toMap ==
+           f2.map(f => f.media_id -> f.features.toSeq).toMap)
+  }
+
+  test("frame sampling expands metadata only, bytes untouched") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    assert(!frames.columns.contains("bytes"))
+    val r = frames.filter($"media_id" === 2).collect() // video, 3s
+    assert(r.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2))
+    assert(r.map(_.getAs[Int]("offset_ms")).sorted.toSeq == Seq(0, 1000, 2000))
+  }
+
+  test("resize plan preserves aspect ratio and never upscales") {
+    val plan = Multimodal.resizePlan(media, maxSide = 224).collect()
+    plan.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (tw, th) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
+      assert(tw <= 224 + 1 && th <= 224 + 1)
+      assert(tw <= w && th <= h)
+    }
+  }
+
+  test("extracted features flow into the ANN surface") {
+    val emb = Multimodal.asEmbeddings(
+      Multimodal.extractFeatures(media.as[MediaRow], dim = 16))
+    val top = graft.operators.Similarity.bruteForceTopK(
+      emb, col("vec_id") < 2, k = 3, dim = 16)
+    assert(top.count() == 6) // 2 queries x top-3
+  }
+}
