@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Physical-plan assertions: the plan shapes that matter at 100 TB,
+  * pinned as tests so a refactor that silently degrades them fails.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def explainStr(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def t(name: String) = Tables(spark, sf, name)
+
+  test("star join broadcasts every dimension (no shuffle join on facts)") {
+    val plan = explainStr(StarJoin.revenueByNation(
+      t("region"), t("nation"), t("customer"), t("orders"), t("lineitem")))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact-side shuffle join appeared:\n$plan")
+  }
+
+  test("enrichment join is broadcast with no exchange on the fact side") {
+    val plan = explainStr(
+      Enrichment.ordersBySegment(t("orders"), t("customer")))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("parquet filter pushdown reaches the scan") {
+    val df = t("lineitem").filter(col("l_suppkey") === 3)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_suppkey), EqualTo(l_suppkey,3)]"),
+      s"no pushdown in scan:\n$scan")
+    // column pruning: scan reads only the 3 needed columns
+    assert(scan.contains("ReadSchema") &&
+      scan.contains("l_orderkey") && !scan.contains("l_extendedprice"),
+      s"column pruning failed:\n$scan")
+  }
+
+  test("aggregations are partial+final (map-side combine before shuffle)") {
+    val plan = explainStr(WindowedAggs.keyVelocity(t("events")))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("feature extraction stays in one whole-stage-codegen span") {
+    // AQE defers codegen wrapping until execution — disable for the check
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = FraudQueries.eventFeatures(t("events"))
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees") &&
+        !codegen.startsWith("Found 0"), "feature pipeline fell out of codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("interval join plans as an equi-join with range residual, not NLJ") {
+    val plan = explainStr(Joins.intervalJoin(t("events"), "user_id", "ts"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"interval join degenerated to nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup shingle join is a keyed join, never a cross product") {
+    val plan = explainStr(
+      Dedup.jaccardPairs(t("documents"), threshold = 0.5))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
