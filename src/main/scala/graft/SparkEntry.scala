@@ -123,6 +123,12 @@ object SparkEntry {
     "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
     // A4/geo: grid key, high-risk predicate, haversine
     "q_geo_features" -> ((s, d) => FraudQueries.geoFeatures(T(s, d)("events"))),
+    // grouping sets: ROLLUP over the region/nation hierarchy
+    "q_rollup_revenue" -> ((s, d) => {
+      val t = T(s, d) _
+      Rollups.revenueRollup(
+        t("region"), t("nation"), t("customer"), t("orders"), t("lineitem"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,6 +205,16 @@ object SparkEntry {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_rollup_revenue" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_items,
+         |  ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey  = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     "q_topn_recent" ->
       """SELECT user_id, event_id, rn FROM (

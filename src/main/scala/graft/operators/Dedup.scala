@@ -34,12 +34,17 @@ object Dedup {
     * with shingles above the document-frequency cap removed.
     */
   def shingles(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = when(size(toks) >= n,
-      expr(s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-              |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")}))"""
+    // materialize the token array ONCE per row: element_at over a
+    // column reference instead of element_at(split(...)) — the naive
+    // form re-splits the text per shingle term (~3·|shingles| splits
+    // per document)
+    val toked = graft.sources.Par.fan(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = when(size(col("toks")) >= n,
+      expr(s"""transform(sequence(1, size(toks) - ${n - 1}),
+              |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")}))"""
         .stripMargin)).otherwise(array().cast("array<string>"))
-    val ex = graft.sources.Par.fan(docs)
+    val ex = toked
       .select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
     val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)

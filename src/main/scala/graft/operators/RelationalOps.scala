@@ -75,6 +75,29 @@ object StarJoin {
   }
 }
 
+/** Grouping-sets surface (SURVEY §2.4 note: "the oracle surface
+  * should still support them via vanilla Catalyst"): ROLLUP revenue
+  * across the region/nation hierarchy.
+  */
+object Rollups {
+  def revenueRollup(region: DataFrame, nation: DataFrame,
+                    customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame): DataFrame = {
+    import graft.functions.ExactAgg._
+    val dims = broadcast(
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice")).as("revenue"))
+  }
+}
+
 /** Last-N-per-key retention — Spark-native form of the reference's
   * Redis `lpush`+`ltrim` recent-transaction lists
   * (RedisService.java:296-321): row_number over a per-key
