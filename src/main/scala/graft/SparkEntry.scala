@@ -123,6 +123,9 @@ object SparkEntry {
     "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
     // A4/geo: grid key, high-risk predicate, haversine
     "q_geo_features" -> ((s, d) => FraudQueries.geoFeatures(T(s, d)("events"))),
+    // §2.6 string/regex features + text cleaning
+    "q_string_features" -> ((s, d) =>
+      FraudQueries.stringFeatures(T(s, d)("events"))),
     // grouping sets: ROLLUP over the region/nation hierarchy
     "q_rollup_revenue" -> ((s, d) => {
       val t = T(s, d) _

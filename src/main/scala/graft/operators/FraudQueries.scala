@@ -79,6 +79,19 @@ object FraudQueries {
         .as("dist_km_r"))
   }
 
+  /** §2.6 string/regex features over the events props JSON: regex
+    * field extraction, predicates, and the reference's text-cleaning
+    * chain (lower + strip non-alnum + squish).
+    */
+  def stringFeatures(events: DataFrame): DataFrame =
+    graft.sources.Par.fan(events).select(col("event_id"),
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")
+        .as("k_value"),
+      (col("event_type") === "error").as("is_error"),
+      length(col("event_type")).cast("long").as("type_len"),
+      F.cleanText(col("props")).as("props_clean"),
+      col("event_type").rlike("(?i)(error|fail)").as("risky_type"))
+
   /** A8 multi-horizon velocity, per-event read-your-writes counters. */
   def velocityMulti(events: DataFrame): DataFrame =
     Velocity.multiHorizon(events)

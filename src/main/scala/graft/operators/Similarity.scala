@@ -54,7 +54,8 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column,
                      k: Int, dim: Int = Dim): DataFrame = {
-    val all = prepared(embeddings, dim)
+    // cached: consumed twice (query side + candidate side)
+    val all = prepared(embeddings, dim).cache()
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qnrm"))
@@ -79,7 +80,8 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               bits: Int = 8, dim: Int = Dim): DataFrame = {
-    val all = prepared(embeddings, dim).withColumn("bkt", signBucket(col("v"), bits))
+    val all = prepared(embeddings, dim)
+      .withColumn("bkt", signBucket(col("v"), bits)).cache()
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qnrm"), col("bkt").as("qbkt"))

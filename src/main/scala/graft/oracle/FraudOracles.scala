@@ -149,7 +149,18 @@ object FraudOracles {
        |FROM events""".stripMargin
   }
 
+  private val stringFeaturesSql =
+    """SELECT event_id,
+      |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value,
+      |  event_type = 'error' AS is_error,
+      |  CAST(length(event_type) AS BIGINT) AS type_len,
+      |  trim(regexp_replace(regexp_replace(lower(props),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS props_clean,
+      |  regexp_matches(event_type, '(?i)(error|fail)') AS risky_type
+      |FROM events""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_string_features" -> stringFeaturesSql,
     "q_velocity_multi" -> velocitySql,
     "q_interval_join" -> intervalJoinSql,
     "q_banded_join" -> bandedJoinSql,
