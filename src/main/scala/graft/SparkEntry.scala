@@ -38,6 +38,9 @@ object SparkEntry {
     // A9: epoch-hour roll-up
     "q_hourly_rollup" -> ((s, d) =>
       WindowedAggs.hourlyRollup(T(s, d)("events"))),
+    // A9 daily roll-up with conditional counts
+    "q_daily_rollup" -> ((s, d) =>
+      WindowedAggs.dailyRollup(T(s, d)("events"))),
     // A1 sliding window: 5 min / 1 min panes
     "q_sliding_window" -> ((s, d) =>
       WindowedAggs.slidingCounts(T(s, d)("events"))),
@@ -159,6 +162,14 @@ object SparkEntry {
          |  COUNT(*) AS n_events,
          |  ${dsum("value")} AS total_value,
          |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_daily_rollup" ->
+      s"""SELECT date_trunc('day', ts) AS bucket_day,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
          |FROM events GROUP BY 1""".stripMargin,
 
     "q_sliding_window" ->

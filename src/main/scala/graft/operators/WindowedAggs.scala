@@ -54,6 +54,14 @@ object WindowedAggs {
       dsum(col("value")).as("total_value"),
       countDistinct(col("user_id")).as("n_users"))
 
+  /** A9's daily + per-key-hour variants. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("day", col("ts")).as("bucket_day")).agg(
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("total_value"),
+      countDistinct(col("user_id")).as("n_users"),
+      count_if(col("event_type") === "error").as("n_errors"))
+
   /** A1's sliding window (5 min window / 1 min slide,
     * WindowProcessor.java:36-49): each event lands in 5 panes.
     */
