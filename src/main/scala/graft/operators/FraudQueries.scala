@@ -92,6 +92,23 @@ object FraudQueries {
       F.cleanText(col("props")).as("props_clean"),
       col("event_type").rlike("(?i)(error|fail)").as("risky_type"))
 
+  /** §2.5 analytic window functions: per-user event deltas (lag),
+    * next-event lookahead (lead), and an exact running total — the
+    * row-frame analytics the oracle surface must support.
+    */
+  def lagLeadFeatures(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, 0)
+    events.select(col("event_id"), col("user_id"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      (sum(round(col("value") * lit(1e4)).cast("long")).over(running)
+        .cast("double") / lit(1e4)).as("running_total"),
+      row_number().over(w).as("seq"))
+  }
+
   /** A8 multi-horizon velocity, per-event read-your-writes counters. */
   def velocityMulti(events: DataFrame): DataFrame =
     Velocity.multiHorizon(events)

@@ -159,7 +159,20 @@ object FraudOracles {
       |  regexp_matches(event_type, '(?i)(error|fail)') AS risky_type
       |FROM events""".stripMargin
 
+  private val lagLeadSql =
+    """SELECT event_id, user_id,
+      |  value - lag(value, 1) OVER w AS delta_prev,
+      |  lead(event_type, 1) OVER w AS next_type,
+      |  CAST(SUM(CAST(ROUND(value * 1.0e4, 0) AS BIGINT))
+      |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1.0e4
+      |    AS running_total,
+      |  ROW_NUMBER() OVER w AS seq
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_lag_lead" -> lagLeadSql,
     "q_string_features" -> stringFeaturesSql,
     "q_velocity_multi" -> velocitySql,
     "q_interval_join" -> intervalJoinSql,
