@@ -126,6 +126,9 @@ object SparkEntry {
     "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
     // A4/geo: grid key, high-risk predicate, haversine
     "q_geo_features" -> ((s, d) => FraudQueries.geoFeatures(T(s, d)("events"))),
+    // A5: fraud-pattern composite-key aggregation
+    "q_pattern_agg" -> ((s, d) =>
+      FraudQueries.patternAgg(T(s, d)("events"))),
     // §2.5 analytics: lag/lead/running-total window functions
     "q_lag_lead" -> ((s, d) =>
       FraudQueries.lagLeadFeatures(T(s, d)("events"))),

@@ -105,43 +105,47 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash. Token hash bits come from md5 hex digits: bit j
+  val SimhashBits = 32
+
+  /** 32-bit SimHash. Token hash bits come from md5 hex digits: bit j
     * of a token = 1 iff hex digit j of md5(token) is in [8,f] (its
-    * high bit) — reproducible in any engine with md5 + substr.
-    * Weighted by token multiplicity (explode without distinct).
+    * high bit) — reproducible in any engine with md5 + substr (md5
+    * has exactly 32 hex digits). Weighted by token multiplicity
+    * (explode without distinct).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = graft.sources.Par.fan(docs).select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(substring(col("h"), j + 1, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"s$j")
     }
-    val sig = (0 until 16).map(j =>
+    val sig = (0 until SimhashBits).map(j =>
       when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs at scale: LSH on the two bytes of the
-    * 16-bit signature (near-dups within hamming ≤ maxHamming share at
-    * least one exact byte when maxHamming < 8 per half — pigeonhole
-    * would need 2 blocks for ≤1 bit... we use byte-block candidates
-    * as the standard recall/scale trade-off), verified by
+  /** SimHash near-dup pairs at scale: LSH on the four bytes of the
+    * 32-bit signature. With 4 blocks and hamming ≤ 3, the pigeonhole
+    * principle guarantees at least one block matches exactly — FULL
+    * recall at block-join cost, then candidates verified by
     * bit_count(xor) ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
-      .withColumn("b0", pmod(col("simhash"), lit(256L)))
-      .withColumn("b1", expr("simhash DIV 256"))
-    def pairsOn(k: String) =
-      sig.as("a").join(sig.as("b"),
-          col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-    pairsOn("b0").unionAll(pairsOn("b1")).distinct()
+    val sig = simhash(docs).cache()
+    val blocks = (0 until 4).map(i =>
+      sig.withColumn("block", lit(i))
+        .withColumn("bkey", expr(s"(simhash DIV ${1L << (i * 8)}) % 256")))
+      .reduce(_ unionAll _)
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

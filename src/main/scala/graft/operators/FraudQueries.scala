@@ -109,6 +109,20 @@ object FraudQueries {
       row_number().over(w).as("seq"))
   }
 
+  /** A5 fraud-pattern aggregation: the derived composite pattern key
+    * (payment × category × amount bucket — WindowProcessor.java:
+    * 198-222) mapped onto events, rolled up with exact stats.
+    */
+  def patternAgg(events: DataFrame): DataFrame = {
+    import graft.functions.ExactAgg._
+    events
+      .groupBy(F.patternKey(col("event_type"),
+        substring(col("props"), 8, 1), col("value")).as("pattern_key"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value")).as("total_value"),
+           countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** A8 multi-horizon velocity, per-event read-your-writes counters. */
   def velocityMulti(events: DataFrame): DataFrame =
     Velocity.multiHorizon(events)

@@ -43,24 +43,27 @@ object DocOracles {
   }
 
   private def simhashPairsSql: String = {
+    val bits = 32
     val hexHigh = "('8','9','a','b','c','d','e','f')"
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until bits).map(j =>
       s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
-    val sig = (0 until 16).map(j =>
+    val sig = (0 until bits).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val blockSel = (0 until 4).map(i =>
+      s"SELECT doc_id, simhash, $i AS block, (simhash // ${1L << (i * 8)}) % 256 AS bkey FROM sg")
+      .mkString("\n  UNION ALL\n  ")
     s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
        |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
        |bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
        |sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs),
-       |sb AS (SELECT doc_id, simhash, simhash % 256 AS b0, simhash // 256 AS b1 FROM sg),
+       |sb AS (
+       |  $blockSel),
        |pr AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sa, b.simhash AS sb
-       |  FROM sb a JOIN sb b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-       |  FROM sb a JOIN sb b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+       |  FROM sb a JOIN sb b
+       |    ON a.block = b.block AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b,
        |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
        |FROM pr WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin

@@ -171,7 +171,23 @@ object FraudOracles {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  private def patternAggSql: String = {
+    val bucket =
+      """CASE WHEN value < 10.0 THEN 'micro'
+        |     WHEN value < 100.0 THEN 'small'
+        |     WHEN value < 1000.0 THEN 'medium'
+        |     WHEN value < 10000.0 THEN 'large'
+        |     ELSE 'very_large' END""".stripMargin
+    s"""SELECT concat_ws('_', 'pattern', event_type, substr(props, 8, 1),
+       |    $bucket) AS pattern_key,
+       |  COUNT(*) AS n,
+       |  ${dsum("value")} AS total_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_pattern_agg" -> patternAggSql,
     "q_lag_lead" -> lagLeadSql,
     "q_string_features" -> stringFeaturesSql,
     "q_velocity_multi" -> velocitySql,

@@ -87,6 +87,48 @@ object StatefulOps {
         })
   }
 
+  // ---- J6: multi-stream correlation ----
+
+  final case class TaggedEvent(key: String, stream: String, ts: Timestamp,
+                               payload: Double)
+  final case class Correlation(key: String, stream_a: String, stream_b: String,
+                               ts_a: Timestamp, ts_b: Timestamp,
+                               payload_a: Double, payload_b: Double)
+  final case class CorrState(recent: List[(String, Long, Double)])
+
+  /** The reference's `keyBy(user).connect(...).process(CoProcess)`
+    * multi-stream correlation (StreamJoiner.java:107-127 — its
+    * function class is missing from the repo; intent per SURVEY
+    * §2.3/J6): union the tagged streams, key by user, and emit a
+    * correlation whenever events from two DIFFERENT streams land
+    * within `windowMs` of each other. State keeps only events newer
+    * than (max-seen − windowMs) per key — bounded.
+    */
+  def correlate(events: Dataset[TaggedEvent],
+                windowMs: Long = 5 * 60 * 1000): Dataset[Correlation] = {
+    implicit val se = Encoders.product[CorrState]
+    implicit val oe = Encoders.product[Correlation]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[TaggedEvent], st: GroupState[CorrState]) => {
+          var recent = st.getOption.map(_.recent).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Correlation]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            recent.foreach { case (s, ts2, p2) =>
+              if (s != e.stream && t - ts2 <= windowMs)
+                out += Correlation(key, s, e.stream,
+                  new Timestamp(ts2), e.ts, p2, e.payload)
+            }
+            recent = ((e.stream, t, e.payload) :: recent)
+              .filter(_._2 > t - windowMs)
+          }
+          st.update(CorrState(recent))
+          out.iterator
+        })
+  }
+
   // ---- S8: recent-N ring buffer ----
 
   final case class RecentN(key: String, ts: Timestamp, recent: Seq[Double])
