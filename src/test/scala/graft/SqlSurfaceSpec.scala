@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** The oracle SQL is written for DuckDB, but the ANSI core of it must
+  * also run on Spark SQL against registered views and agree with the
+  * DataFrame-API results — the "SQL surface" a reference user would
+  * expect (`spark.sql(...)` parity).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ansiCompatible =
+    Seq("q_star_revenue", "q_enrich_orders", "q_supplier_stats",
+        "q_decision_ladder", "q_rollup_revenue")
+
+  test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
+    Tables.registerAll(spark, sf)
+    ansiCompatible.foreach { name =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+      val viaDf = SparkEntry.queries(name)(spark, sf)
+      val sqlRows = viaSql.collect().map(_.toSeq.map(String.valueOf))
+        .map(_.mkString("|")).sorted.toSeq
+      val dfRows = viaDf.collect().map(_.toSeq.map(String.valueOf))
+        .map(_.mkString("|")).sorted.toSeq
+      // column order may differ; compare per-column-sorted row content
+      assert(sqlRows.length == dfRows.length, s"$name row count")
+      val sqlCols = viaSql.columns.sorted.toSeq
+      val dfCols = viaDf.columns.sorted.toSeq
+      assert(sqlCols == dfCols, s"$name columns: $sqlCols vs $dfCols")
+      val s2 = viaSql.select(sqlCols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val d2 = viaDf.select(dfCols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(s2 == d2, s"$name values differ between SQL and DataFrame paths")
+    }
+  }
+}
