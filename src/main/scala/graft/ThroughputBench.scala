@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TransactionPipeline
+
+/** End-to-end throughput of the fraud pipeline (enrich → features →
+  * score → decide), for comparison against the reference's published
+  * single-node numbers (BASELINE.md: claimed 15,000 TPS sustained,
+  * <100 ms latency, on a 3-TaskManager Flink cluster + Redis + a
+  * Python ML service).
+  *
+  * Two modes:
+  *  - batch: N generated transactions through the full scoring plan,
+  *    forced end-to-end by an aggregate over the outputs;
+  *  - stream: rate source → the same plan → noop sink, sustained
+  *    micro-batch processing rate from StreamingQueryProgress.
+  *
+  * Prints one JSON line:
+  * {"batch_rows_per_sec":…,"stream_rows_per_sec":…,"rows":N}
+  */
+object ThroughputBench {
+
+  private def merchants(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n).select(
+      concat(lit("m"), col("id")).as("merchant_id"),
+      (pmod(xxhash64(col("id"), lit(7L)), lit(100L)).cast("double") / 1000.0)
+        .as("fraud_rate"),
+      when(pmod(col("id"), lit(10L)) === 0, "high").otherwise("low")
+        .as("risk_level"),
+      (pmod(col("id"), lit(97L)) === 0).as("is_blacklisted"))
+
+  private def asPipelineInput(txns: DataFrame): DataFrame =
+    txns
+      .withColumn("user_agent",
+        lit("Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/115"))
+      .withColumn("merchant_location",
+        struct(lit(40.75).as("lat"), lit(-73.99).as("lon")))
+      .withColumn("parse_error", lit(false))
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val users = graft.gen.DataGen.userProfiles(spark, 10000)
+      .select("user_id", "risk_score", "avg_transaction_amount", "kyc_status")
+    val merch = merchants(spark, 5000)
+
+    def scored(txns: DataFrame) =
+      TransactionPipeline.scoreAndDecide(
+        TransactionPipeline.enrich(asPipelineInput(txns), users, merch))
+
+    // ---- batch ----
+    val txns = graft.gen.DataGen.transactions(spark, n, nUsers = 10000)
+      .repartition(cpus.toInt)
+    // warm (codegen + broadcast build)
+    scored(txns.limit(10000)).agg(sum(col("fraud_score"))).collect()
+    val t0 = System.nanoTime()
+    val agg = scored(txns)
+      .agg(sum(col("fraud_score")).as("s"),
+        count(when(col("decision") === "DECLINE", 1)).as("d"))
+      .collect()
+    val batchRate = n / ((System.nanoTime() - t0) / 1e9)
+
+    // ---- streaming (rate source → same plan → noop sink) ----
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2000000").option("numPartitions", cpus)
+      .load()
+      .select(
+        concat(lit("t"), col("value")).as("transaction_id"),
+        concat(lit("u"), pmod(col("value"), lit(10000L))).as("user_id"),
+        concat(lit("m"), pmod(col("value"), lit(5000L))).as("merchant_id"),
+        (pmod(xxhash64(col("value")), lit(100000L)).cast("double") / 100.0)
+          .as("amount"),
+        col("timestamp"),
+        struct((lit(40.0) + pmod(col("value"), lit(100L)) / 100.0).as("lat"),
+               lit(-74.0).as("lon")).as("geolocation"),
+        lit(null).cast("string").as("fraud_type"))
+    val listener = new graft.functions.Observability.RateListener()
+    spark.streams.addListener(listener)
+    val q = scored(rate).writeStream.format("noop").outputMode("append").start()
+    Thread.sleep(20000)
+    q.stop()
+    spark.streams.removeListener(listener)
+    val streamRate = {
+      val s = listener.stats.drop(2) // skip ramp-up batches
+      if (s.isEmpty) 0.0 else s.map(_.processedRowsPerSecond).max
+    }
+
+    println(f"""{"batch_rows_per_sec":${batchRate}%.0f,"stream_rows_per_sec":${streamRate}%.0f,"rows":$n,"check":${agg.head.getLong(1)}}""")
+    spark.stop()
+  }
+}
