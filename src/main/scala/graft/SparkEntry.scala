@@ -38,6 +38,15 @@ object SparkEntry {
     // A9: epoch-hour roll-up
     "q_hourly_rollup" -> ((s, d) =>
       WindowedAggs.hourlyRollup(T(s, d)("events"))),
+    // TPC-H Q1 shape: canonical multi-aggregate pricing summary
+    "q_pricing_summary" -> ((s, d) =>
+      WindowedAggs.pricingSummary(T(s, d)("lineitem"))),
+    // TPC-H Q6 shape: pushed-down range filters + revenue agg
+    "q_forecast_revenue" -> ((s, d) =>
+      WindowedAggs.forecastRevenue(T(s, d)("lineitem"))),
+    // set operations: INTERSECT / EXCEPT cohorting
+    "q_churn_sets" -> ((s, d) =>
+      WindowedAggs.churnSets(T(s, d)("events"))),
     // A9 daily roll-up with conditional counts
     "q_daily_rollup" -> ((s, d) =>
       WindowedAggs.dailyRollup(T(s, d)("events"))),
@@ -169,6 +178,43 @@ object SparkEntry {
          |  ${dsum("value")} AS total_value,
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1""".stripMargin,
+
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_discount", 6)} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_forecast_revenue" ->
+      s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
+
+    "q_churn_sets" ->
+      """WITH early AS (SELECT user_id FROM events
+        |               WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |late AS (SELECT user_id FROM events
+        |         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        |tagged AS (
+        |  SELECT user_id, 'retained' AS cohort
+        |  FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+        |  UNION ALL
+        |  SELECT user_id, 'churned'
+        |  FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+        |  UNION ALL
+        |  SELECT user_id, 'new'
+        |  FROM (SELECT * FROM late EXCEPT SELECT * FROM early))
+        |SELECT cohort, COUNT(*) AS n_users FROM tagged GROUP BY cohort""".stripMargin,
 
     "q_daily_rollup" ->
       s"""SELECT date_trunc('day', ts) AS bucket_day,

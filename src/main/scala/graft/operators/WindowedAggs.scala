@@ -54,6 +54,49 @@ object WindowedAggs {
       dsum(col("value")).as("total_value"),
       countDistinct(col("user_id")).as("n_users"))
 
+  /** TPC-H Q1-shaped pricing summary: the canonical multi-aggregate
+    * scan (batch OLAP parity for the generic oracle surface).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount"), scale = 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6-shaped revenue filter: tight scan with pushed-down
+    * range predicates.
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
+              col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+
+  /** Set-operation surface: customers active early vs late in the
+    * window (INTERSECT / EXCEPT parity).
+    */
+  def churnSets(events: DataFrame): DataFrame = {
+    val mid = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val early = events.filter(col("ts") < mid).select(col("user_id"))
+    val late = events.filter(col("ts") >= mid).select(col("user_id"))
+    val retained = early.intersect(late)
+      .withColumn("cohort", lit("retained"))
+    val churned = early.except(late).withColumn("cohort", lit("churned"))
+    val appeared = late.except(early).withColumn("cohort", lit("new"))
+    retained.unionAll(churned).unionAll(appeared)
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** A9's daily + per-key-hour variants. */
   def dailyRollup(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("day", col("ts")).as("bucket_day")).agg(
