@@ -135,6 +135,13 @@ object SparkEntry {
     "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
     // A4/geo: grid key, high-risk predicate, haversine
     "q_geo_features" -> ((s, d) => FraudQueries.geoFeatures(T(s, d)("events"))),
+    // exact interpolated percentiles per key
+    "q_percentiles" -> ((s, d) =>
+      FraudQueries.percentiles(T(s, d)("events"))),
+    // blocked fuzzy matching (levenshtein within brand blocks)
+    "q_fuzzy_match" -> ((s, d) =>
+      Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",
+        block = "p_brand", id = "p_partkey", maxDist = 6)),
     // A5: fraud-pattern composite-key aggregation
     "q_pattern_agg" -> ((s, d) =>
       FraudQueries.patternAgg(T(s, d)("events"))),

@@ -105,6 +105,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Blocked fuzzy matching: Levenshtein edit distance within a
+    * blocking-key partition (the classic scalable fuzzy-dedup shape:
+    * the O(n²) distance only runs inside blocks, never globally).
+    */
+  def fuzzyPairs(df: DataFrame, text: String, block: String, id: String,
+                 maxDist: Int): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(block).as("blk"),
+      col(text).as("t_a"))
+    val b = df.select(col(id).as("id_b"), col(block).as("blk2"),
+      col(text).as("t_b"))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash. Token hash bits come from md5 hex digits: bit j

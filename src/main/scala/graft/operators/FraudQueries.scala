@@ -123,6 +123,16 @@ object FraudQueries {
            countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Exact percentiles per key: Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so
+    * results are bit-identical on the same sorted multiset.
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, 0.95)").as("p95"),
+      count(lit(1)).as("n"))
+
   /** A8 multi-horizon velocity, per-event read-your-writes counters. */
   def velocityMulti(events: DataFrame): DataFrame =
     Velocity.multiHorizon(events)

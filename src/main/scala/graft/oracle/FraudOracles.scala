@@ -187,6 +187,18 @@ object FraudOracles {
   }
 
   val sql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 6""".stripMargin,
     "q_pattern_agg" -> patternAggSql,
     "q_lag_lead" -> lagLeadSql,
     "q_string_features" -> stringFeaturesSql,
