@@ -38,6 +38,11 @@ object SparkEntry {
     // A9: epoch-hour roll-up
     "q_hourly_rollup" -> ((s, d) =>
       WindowedAggs.hourlyRollup(T(s, d)("events"))),
+    // TPC-H Q3 shape: filtered star join, top-10 with tiebreak
+    "q_shipping_priority" -> ((s, d) => {
+      val t = T(s, d) _
+      ShippingPriority.topOrders(t("customer"), t("orders"), t("lineitem"))
+    }),
     // TPC-H Q1 shape: canonical multi-aggregate pricing summary
     "q_pricing_summary" -> ((s, d) =>
       WindowedAggs.pricingSummary(T(s, d)("lineitem"))),
@@ -185,6 +190,19 @@ object SparkEntry {
          |  ${dsum("value")} AS total_value,
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1""".stripMargin,
+
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
 
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

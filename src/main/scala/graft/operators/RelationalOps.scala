@@ -75,6 +75,29 @@ object StarJoin {
   }
 }
 
+/** TPC-H Q3 shape: filtered 3-way join → per-order revenue → top-10
+  * with deterministic tie-break. ORDER BY + LIMIT on an exact-sum
+  * revenue column, ordered set stable across engines.
+  */
+object ShippingPriority {
+  def topOrders(customer: DataFrame, orders: DataFrame,
+                lineitem: DataFrame, segment: String = "BUILDING",
+                n: Int = 10): DataFrame = {
+    import graft.functions.ExactAgg._
+    val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(n)
+  }
+}
+
 /** Grouping-sets surface (SURVEY §2.4 note: "the oracle surface
   * should still support them via vanilla Catalyst"): ROLLUP revenue
   * across the region/nation hierarchy.
