@@ -134,6 +134,40 @@ object StatefulOps {
   final case class RecentN(key: String, ts: Timestamp, recent: Seq[Double])
   final case class RingState(items: List[(Long, Double)])
 
+  /** S8 + the reference's Redis TTL semantics (RedisService.java:45-49
+    * — per-key-class EXPIREs): recent-N ring whose per-key state is
+    * evicted when the event-time watermark passes last-activity+ttl.
+    * EventTimeTimeout makes eviction deterministic (driven by data,
+    * not wall clock) — the Spark-native replacement for external TTLs.
+    */
+  def recentNTtl(events: Dataset[KeyedEvent], n: Int = 100,
+                 ttlMs: Long = 60 * 60 * 1000): Dataset[RecentN] = {
+    implicit val se = Encoders.product[RingState]
+    implicit val oe = Encoders.product[RecentN]
+    import org.apache.spark.sql.functions.col
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[KeyedEvent], st: GroupState[RingState]) => {
+          if (!it.hasNext && st.hasTimedOut) {
+            st.remove() // watermark passed last activity + ttl
+            Iterator.empty
+          } else {
+            var ring = st.getOption.map(_.items).getOrElse(Nil)
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val out = evs.map { e =>
+              ring = ((e.ts.getTime, e.value) :: ring).take(n)
+              RecentN(key, e.ts, ring.map(_._2))
+            }
+            st.update(RingState(ring))
+            if (evs.nonEmpty)
+              st.setTimeoutTimestamp(evs.map(_.ts.getTime).max + ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Emits, per event, the key's latest ≤N values (newest first) —
     * the lpush+ltrim list as bounded operator state.
     */

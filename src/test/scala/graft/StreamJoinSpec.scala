@@ -57,6 +57,26 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(closed.contains((2L, 3.0))) // the {0,10} session emitted once
   }
 
+  test("TTL state eviction: ring resets after watermark passes last+ttl") {
+    import graft.streaming.StatefulOps
+    val in = MemoryStream[KeyedEvent](spark)
+    val out = StatefulOps.recentNTtl(in.toDS(), n = 10, ttlMs = 30 * 60000L)
+    val q = out.toDF().writeStream.format("memory").queryName("ttlq")
+      .outputMode("append").start()
+    in.addData(KeyedEvent("a", t(0), 1.0), KeyedEvent("a", t(1), 2.0))
+    q.processAllAvailable()
+    // another key's events push the watermark past a's last+30min
+    in.addData(KeyedEvent("b", t(90), 9.0))
+    q.processAllAvailable()
+    // a returns: its old ring must be gone (fresh list of length 1)
+    in.addData(KeyedEvent("a", t(91), 3.0))
+    q.processAllAvailable(); q.stop()
+    val aRows = spark.table("ttlq").filter($"key" === "a")
+      .orderBy($"ts").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("recent").toSeq)
+    assert(aRows.toSeq == Seq(Seq(1.0), Seq(2.0, 1.0), Seq(3.0)))
+  }
+
   test("typed Dataset encoders round-trip the canonical fraud schema") {
     val tx = Transaction("t1", "u1", "m1", 42.50, "USD", "purchase",
       "credit_card", "visa", "1234", t(0), "10.0.0.1", "d1", "fp1",
