@@ -146,7 +146,7 @@ object SparkEntry {
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",
-        block = "p_brand", id = "p_partkey", maxDist = 6)),
+        blocks = Seq("p_brand", "p_size"), id = "p_partkey", maxDist = 6)),
     // A5: fraud-pattern composite-key aggregation
     "q_pattern_agg" -> ((s, d) =>
       FraudQueries.patternAgg(T(s, d)("events"))),

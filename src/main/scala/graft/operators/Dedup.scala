@@ -109,15 +109,21 @@ object Dedup {
     * blocking-key partition (the classic scalable fuzzy-dedup shape:
     * the O(n²) distance only runs inside blocks, never globally).
     */
-  def fuzzyPairs(df: DataFrame, text: String, block: String, id: String,
-                 maxDist: Int): DataFrame = {
-    val a = df.select(col(id).as("id_a"), col(block).as("blk"),
-      col(text).as("t_a"))
-    val b = df.select(col(id).as("id_b"), col(block).as("blk2"),
-      col(text).as("t_b"))
-    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("dist") <= maxDist)
+  def fuzzyPairs(df: DataFrame, text: String, blocks: Seq[String],
+                 id: String, maxDist: Int): DataFrame = {
+    // composite blocking key: pair volume scales with the SQUARE of
+    // block size, so multi-attribute blocking (brand alone: 8M pairs
+    // at sf0.1, 15s; brand+size: ~160k pairs, sub-second) is the lever
+    // that keeps edit-distance matching tractable — coupled with the
+    // thresholded levenshtein (banded DP, −1 past the threshold) and
+    // the |len(a)−len(b)| ≤ d necessary condition.
+    val blk = concat_ws("", blocks.map(col): _*)
+    val a = df.select(col(id).as("id_a"), blk.as("blk"), col(text).as("t_a"))
+    val b = df.select(col(id).as("id_b"), blk.as("blk2"), col(text).as("t_b"))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b") &&
+        abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 

@@ -197,7 +197,9 @@ object FraudOracles {
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 6
         |WHERE levenshtein(a.p_name, b.p_name) <= 6""".stripMargin,
     "q_pattern_agg" -> patternAggSql,
     "q_lag_lead" -> lagLeadSql,
