@@ -156,6 +156,9 @@ object SparkEntry {
     // §2.6 string/regex features + text cleaning
     "q_string_features" -> ((s, d) =>
       FraudQueries.stringFeatures(T(s, d)("events"))),
+    // grouping sets: CUBE over event dimensions
+    "q_cube_stats" -> ((s, d) =>
+      WindowedAggs.cubeStats(T(s, d)("events"))),
     // grouping sets: ROLLUP over the region/nation hierarchy
     "q_rollup_revenue" -> ((s, d) => {
       val t = T(s, d) _
@@ -296,6 +299,12 @@ object SparkEntry {
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_cube_stats" ->
+      s"""SELECT event_type, dayofweek(ts) IN (0, 6) AS on_weekend,
+         |  COUNT(*) AS n, ${dsum("value")} AS total_value
+         |FROM events
+         |GROUP BY CUBE (event_type, on_weekend)""".stripMargin,
 
     "q_rollup_revenue" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_items,

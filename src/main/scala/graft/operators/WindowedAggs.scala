@@ -97,6 +97,15 @@ object WindowedAggs {
       .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** CUBE over (event_type, weekday-flag): all 4 grouping sets in one
+    * pass — completes the grouping-sets surface next to ROLLUP.
+    */
+  def cubeStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("on_weekend", dayofweek(col("ts")).isin(1, 7))
+      .cube(col("event_type"), col("on_weekend"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
   /** A9's daily + per-key-hour variants. */
   def dailyRollup(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("day", col("ts")).as("bucket_day")).agg(
