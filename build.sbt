@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unchanged: the driver parses the
+// final stdout line of `sbt runMain graft.Bench` as JSON, and sbt's
+// default LoggedOutput strategy prefixes every line with [info]/[error],
+// which broke the round-1 bench parse (BENCH_r01.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: times every SparkEntry query on the sf dir named
+  * by SPARK_GRAFT_SF_DIR and emits ONE JSON line.
+  *
+  * The JSON is (a) written to the file named by SPARK_GRAFT_BENCH_OUT
+  * (default `BENCH.json` in the working directory) and (b) printed as
+  * the final stdout line — the driver may consume either. Query
+  * failures are NOT folded into the timings: a failing query is
+  * reported under `"errors"` with its exception, excluded from
+  * `"queries"`/`"value"`, and flips the process exit code.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,19 +29,45 @@ object Bench {
     // amortized away at scale); run 2 is the steady-state per-query
     // time a cluster run would see. Measured: q_ann_lsh 5.5s cold vs
     // 0.93s steady on identical data.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+    val timings = Seq.newBuilder[(String, Double)]
+    val errors = Seq.newBuilder[(String, String)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
       }
-      val a = once(); val b = once()
-      name -> math.min(a, b)
+      (once(), once()) match {
+        case (Right(a), Right(b)) => timings += name -> math.min(a, b)
+        case (Right(a), Left(_))  => timings += name -> a
+        case (Left(_), Right(b))  => timings += name -> b
+        case (Left(err), Left(_)) => errors += name -> err
+      }
     }
+    val results = timings.result()
+    val failed = errors.result()
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = failed.map { case (k, m) => s""""$k":"${esc(m)}"""" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"min of 2 runs per query (steady-state; run 1 pays one-time codegen, broadcast builds, and operator-internal caches)"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (steady-state; run 1 pays one-time codegen, broadcast builds, and operator-internal caches)"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // last stdout line, bare (build.sbt sets run/outputStrategy :=
+    // StdoutOutput so sbt does not prefix it with [info])
+    println(json)
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -100,7 +100,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
-    // embedding-cosine near-dup pairs
+    // embedding-cosine near-dup pairs (sign-band LSH candidates +
+    // exact-cosine verify; oracle mirrors the banding)
     "q_emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(T(s, d)("embeddings"), threshold = 0.4)),
     // token counting (whitespace + BPE-ish regex)

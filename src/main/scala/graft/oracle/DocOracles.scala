@@ -108,13 +108,33 @@ object DocOracles {
        |WHERE rn <= 3""".stripMargin
   }
 
-  private def embNearDupSql: String =
-    s"""$embCte
+  /** Mirror of Similarity.nearDupPairs (4-bit × 16 sign-bit bands +
+    * exact-cosine verify). The band keys are pure sign tests on the
+    * double-cast coordinates, so the candidate SET — and therefore the
+    * verified output — is identical across engines.
+    */
+  private def embNearDupSql: String = {
+    val bits = 4
+    val bands = 16
+    val bandSel = (0 until bands).map { b =>
+      val key = (0 until bits).map(r =>
+        s"CASE WHEN v[${b * bits + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM d"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$embCte,
+       |bd AS (
+       |  $bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bd a JOIN bd b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         ${cos("a.v", "b.v")} AS cos
-       |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+       |  SELECT vec_a, vec_b, ${cos("da.v", "db.v")} AS cos
+       |  FROM cand JOIN d da ON vec_a = da.vec_id
+       |            JOIN d db ON vec_b = db.vec_id)
        |WHERE cos > 0.4""".stripMargin
+  }
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")

@@ -71,6 +71,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("embedding near-dup is band-keyed, never a cross product") {
+    val plan = explainStr(
+      Similarity.nearDupPairs(t("embeddings"), threshold = 0.4))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup degenerated to all-pairs:\n$plan")
+  }
+
   test("dedup shingle join is a keyed join, never a cross product") {
     val plan = explainStr(
       Dedup.jaccardPairs(t("documents"), threshold = 0.5))
