@@ -139,6 +139,9 @@ object SparkEntry {
       FraudQueries.fraudScoring(T(s, d)("events"))),
     // A11: ensemble combiners
     "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
+    // MLlib PipelineModel inference (published LR via .transform) +
+    // model/rule ensemble
+    "q_model_score" -> ((s, d) => FraudQueries.modelScore(T(s, d)("events"))),
     // A4/geo: grid key, high-risk predicate, haversine
     "q_geo_features" -> ((s, d) => FraudQueries.geoFeatures(T(s, d)("events"))),
     // exact interpolated percentiles per key

@@ -138,4 +138,34 @@ object FraudQueries {
     Velocity.multiHorizon(events)
       .select("event_id", "n_5min", "amt_5min", "n_1h", "amt_1h",
               "n_24h", "amt_24h")
+
+  /** MLlib inference stage (model_manager.py:279-307 serving path):
+    * the published LogisticRegressionModel applied via
+    * `PipelineModel`-style transform, its probability fed into the A11
+    * weighted-average ensemble next to the rule score.
+    *
+    * `margin` is exact linear algebra (BLAS ddot accumulates
+    * left-associated in index order — MlSpec pins bit-equality with
+    * the closed-form chain); the sigmoid crosses libm, so the
+    * probability is rounded at 6dp in both engines before use.
+    */
+  def modelScore(events: DataFrame): DataFrame = {
+    val scored = graft.ml.FraudModel.score(
+      graft.sources.Par.fan(events), col("value"), col("ts"))
+    val rule = Scoring.ruleScore(Seq(
+      (col("value") > 150.0) -> 0.25,
+      (col("event_type") === "error") -> 0.2,
+      F.isNight(col("ts")) -> 0.15,
+      F.isWeekend(col("ts")) -> 0.15,
+      F.isRoundAmount(col("value"), 10.0) -> 0.1))
+    scored
+      .withColumn("p_model_r", round(col("p_fraud"), 6))
+      .withColumn("rule_score", rule)
+      .select(col("event_id"), col("margin"), col("p_model_r"),
+        Scoring.weightedAverage(
+          Seq(col("p_model_r") -> 0.6, col("rule_score") -> 0.4))
+          .as("final_score"),
+        when(col("p_model_r") >= 0.5, "REVIEW").otherwise("APPROVE")
+          .as("model_decision"))
+  }
 }

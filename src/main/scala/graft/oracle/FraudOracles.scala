@@ -186,7 +186,54 @@ object FraudOracles {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Mirror of FraudQueries.modelScore: the published LR coefficients
+    * applied as a left-associated linear chain (bit-identical to
+    * MLlib's BLAS ddot — pinned by MlSpec), sigmoid rounded at 6dp
+    * (libm exp), ensemble over the rounded probability.
+    */
+  private def modelScoreSql: String = {
+    // Every literal is cast to DOUBLE: a bare multi-digit literal is a
+    // DECIMAL in DuckDB, DECIMAL products stay decimal, and DuckDB's
+    // DECIMAL→DOUBLE cast is not correctly rounded (1-ulp drift).
+    def D(x: Double) = s"CAST($x AS DOUBLE)"
+    def flag(pred: String) =
+      s"CAST(CASE WHEN $pred THEN 1 ELSE 0 END AS DOUBLE)"
+    val w = graft.ml.FraudModel.PublishedWeights
+    val b = graft.ml.FraudModel.PublishedIntercept
+    val feats = Seq(
+      s"value / ${D(1000.0)}",
+      s"CAST(hour(ts) AS DOUBLE) / ${D(24.0)}",
+      flag("dayofweek(ts) IN (0, 6)"),
+      flag(s"value < ${D(3.0)}"),
+      flag(s"value > ${D(1500.0)}"))
+    val margin = feats.zip(w)
+      .map { case (f, wi) => s"($f) * ${D(wi)}" }.mkString(" + ") +
+      s" + ${D(b)}"
+    val rule = Seq(
+      s"value > ${D(150.0)}" -> 0.25,
+      "event_type = 'error'" -> 0.2,
+      "hour(ts) <= 6 OR hour(ts) >= 22" -> 0.15,
+      "dayofweek(ts) IN (0, 6)" -> 0.15,
+      s"fmod(value, ${D(10.0)}) = ${D(0.0)}" -> 0.1)
+      .map { case (p, wt) => s"${flag(p)} * ${D(wt)}" }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT event_id, value, ts, event_type, $margin AS margin
+       |  FROM events),
+       |p AS (
+       |  SELECT event_id, margin,
+       |    ROUND(${D(1.0)} / (${D(1.0)} + EXP(-margin)), 6) AS p_model_r,
+       |    GREATEST(${D(0.0)}, LEAST(${D(1.0)}, $rule)) AS rule_score
+       |  FROM m)
+       |SELECT event_id, margin, p_model_r,
+       |  (p_model_r * ${D(0.6)} + rule_score * ${D(0.4)})
+       |    / (${D(0.6)} + ${D(0.4)}) AS final_score,
+       |  CASE WHEN p_model_r >= ${D(0.5)} THEN 'REVIEW' ELSE 'APPROVE' END
+       |    AS model_decision
+       |FROM p""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_model_score" -> modelScoreSql,
     "q_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

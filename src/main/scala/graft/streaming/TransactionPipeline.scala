@@ -117,10 +117,17 @@ object TransactionPipeline {
       (geoDist > 1000.0) -> 0.15,
       F.isHighRiskLocation(col("geolocation.lat"), col("geolocation.lon")) -> 0.10,
       F.isSuspiciousUserAgent(col("user_agent")) -> 0.10))
+    // When the MLlib stage ran upstream (pipeline() always runs it),
+    // blend its probability into the rule score via the A11 ensemble —
+    // the reference's ensemble_predictor combining rule + model members.
+    val combined =
+      if (enriched.columns.contains("p_fraud"))
+        Scoring.weightedAverage(Seq(score -> 0.6, col("p_fraud") -> 0.4))
+      else score
     val finalScore =
       when(col("parse_error"), 0.5)
         .when(col("is_blacklisted"), 1.0)
-        .otherwise(score)
+        .otherwise(combined)
     enriched
       .withColumn("fraud_score", finalScore)
       .withColumn("risk_level",
@@ -147,12 +154,21 @@ object TransactionPipeline {
         .as("alert_level"),
       col("timestamp"))
 
-  /** Full pipeline: parse → enrich → score. Works on batch or
-    * streaming input identically.
+  /** Full pipeline: parse → enrich → model-score → blend+decide. Works
+    * on batch or streaming input identically — the MLlib transform is
+    * pure column algebra, so it runs inside the same micro-batch plan.
+    * Placeholder/parse-error rows carry null amount/timestamp; they are
+    * zero-filled for the assembler and their score is overridden by the
+    * parse_error branch anyway.
     */
   def pipeline(raw: DataFrame, users: DataFrame,
-               merchants: DataFrame): DataFrame =
-    scoreAndDecide(enrich(parseJson(raw), users, merchants))
+               merchants: DataFrame): DataFrame = {
+    val enriched = enrich(parseJson(raw), users, merchants)
+    val modeled = graft.ml.FraudModel.score(enriched,
+      coalesce(col("amount"), lit(0.0)),
+      coalesce(col("timestamp"), timestamp_seconds(lit(0L))))
+    scoreAndDecide(modeled)
+  }
 
   /** S5-style Kafka sink for any stage (exactly-once via checkpoint +
     * idempotent producer, FraudDetectionJob.java:162-213).

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.FraudModel
+
+/** The MLlib inference leg: train→serve determinism, the published
+  * serving model, named dispatch (model_manager.py:279-307), and the
+  * bit-exactness contract the q_model_score oracle relies on.
+  */
+class MlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("training on the seeded simulator reproduces the published weights") {
+    // Bitwise up to gradient-accumulation order: treeAggregate sums
+    // partials in partition order, so core count shifts the last few
+    // ulps (published run: local[8]; suite runs local[4]). The model
+    // itself is identical to ~1e-12 relative.
+    val txns = graft.gen.DataGen.transactions(spark, 50000L, 500, 42L)
+    val lr = FraudModel.train(txns).stages(1)
+      .asInstanceOf[LogisticRegressionModel]
+    lr.coefficients.toArray.zip(FraudModel.PublishedWeights).foreach {
+      case (t, p) => assert(math.abs(t - p) <= 1e-9 * math.max(1.0, math.abs(p)),
+        s"trained $t vs published $p")
+    }
+    assert(math.abs(lr.intercept - FraudModel.PublishedIntercept) <= 1e-9)
+  }
+
+  test("published model separates labeled fraud from normal traffic") {
+    val txns = graft.gen.DataGen.transactions(spark, 20000L, 500, 42L)
+    val scored = FraudModel.score(txns, col("amount"), col("timestamp"))
+    val byLabel = scored.groupBy(col("is_fraud"))
+      .agg(avg(col("p_fraud")).as("avg_p"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLabel(true) > 5 * byLabel(false),
+      s"fraud ${byLabel(true)} vs normal ${byLabel(false)}")
+  }
+
+  test("transform margin equals the closed-form left-assoc chain bit-for-bit") {
+    // q_model_score's oracle assumes BLAS ddot == left-associated sum
+    // in index order; pin that here on real table data.
+    val ev = sources.Tables(spark, sf, "events")
+    val scored = FraudModel.score(ev, col("value"), col("ts"))
+      .select(col("event_id"), col("margin"))
+    val manual = FraudModel.withFeatures(ev, col("value"), col("ts"))
+      .select(col("event_id"),
+        (FraudModel.FeatureNames.zip(FraudModel.PublishedWeights)
+          .map { case (n, w) => col(n) * lit(w) }
+          .reduce(_ + _) + lit(FraudModel.PublishedIntercept)).as("m2"))
+    val mismatches = scored.join(manual, "event_id")
+      .filter(col("margin") =!= col("m2")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("registry dispatches by name and falls back to the default model") {
+    import spark.implicits._
+    val df = Seq((1L, 100.0, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("id", "amount", "ts")
+    val viaDefault =
+      FraudModel.scoreWith(FraudModel.DefaultModel, df, col("amount"), col("ts"))
+    val viaUnknown =
+      FraudModel.scoreWith("no_such_model", df, col("amount"), col("ts"))
+    assert(viaDefault.columns.contains("p_fraud"))
+    assert(viaUnknown.select("p_fraud").collect().map(_.getDouble(0)).toSeq ==
+      viaDefault.select("p_fraud").collect().map(_.getDouble(0)).toSeq)
+    val viaRules = FraudModel.scoreWith("rule_based", df, col("amount"), col("ts"))
+    assert(viaRules.select("p_fraud").collect().head.getDouble(0) == 0.0)
+  }
+}
