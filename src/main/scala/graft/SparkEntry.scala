@@ -55,6 +55,18 @@ object SparkEntry {
     // A9 daily roll-up with conditional counts
     "q_daily_rollup" -> ((s, d) =>
       WindowedAggs.dailyRollup(T(s, d)("events"))),
+    // A9 merchant-hour roll-up (Redis merchant:<id>:<hour> analog)
+    "q_merchant_hourly" -> ((s, d) =>
+      WindowedAggs.merchantHourRollup(T(s, d)("events"))),
+    // J7 companion: per-entity distinct-counterparty degree/centrality
+    "q_graph_degree" -> ((s, d) =>
+      Joins.degreeFeatures(T(s, d)("events"))),
+    // A10 feature-store registry: numeric stats incl. null rate
+    "q_feature_stats" -> ((s, d) =>
+      graft.functions.FeatureRegistry.numericStats(T(s, d)("events"))),
+    // A10 feature-store registry: categorical value counts + share
+    "q_feature_valuecounts" -> ((s, d) =>
+      graft.functions.FeatureRegistry.valueCounts(T(s, d)("events"))),
     // A1 sliding window: 5 min / 1 min panes
     "q_sliding_window" -> ((s, d) =>
       WindowedAggs.slidingCounts(T(s, d)("events"))),

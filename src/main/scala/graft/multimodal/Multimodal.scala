@@ -8,14 +8,18 @@ import org.apache.spark.sql.types._
   * pipeline: media as opaque BINARY columns with typed metadata,
   * processed batch-wise with bounded memory.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) requires native libraries absent from this
-  * environment, so the decode kernel is STUBBED with a deterministic
-  * byte-derived fake — clearly marked below. Everything around it is
-  * real and tested: the schema, the partition-wise batching shape
-  * (mapPartitions with an iterator, never materializing a partition),
-  * metadata-driven routing, and the handoff of extracted feature
-  * vectors into graft.operators.Similarity.
+  * The IMAGE decode path is real: [[decodeImages]] uses javax.imageio
+  * (pure JVM — PNG/JPEG/BMP/GIF) to decode bytes and emit geometry +
+  * a luminance-histogram feature vector, tested end-to-end on real
+  * encoded PNGs ([[syntheticPngMedia]]). Audio resample / video frame
+  * decode still require native libraries absent from this
+  * environment, so the generic [[extractFeatures]] kernel keeps a
+  * deterministic byte-derived STUB for those modalities — clearly
+  * marked below. Everything around both kernels is real and tested:
+  * the schema, the partition-wise batching shape (mapPartitions with
+  * an iterator, never materializing a partition), metadata-driven
+  * routing, and the handoff of extracted feature vectors into
+  * graft.operators.Similarity.
   *
   * Scale notes: media rows are large (MBs) — the operators here never
   * shuffle raw bytes except for the initial fan; feature extraction
@@ -85,6 +89,101 @@ object Multimodal {
         MediaFeatures(row.media_id, row.kind, acc)
       }
       it.map(kernel)
+    }
+  }
+
+  final case class ImageFeatures(media_id: Long, decoded: Boolean,
+                                 width: Int, height: Int,
+                                 features: Array[Float])
+
+  /** REAL image decode kernel — javax.imageio, pure JVM, no native
+    * libs: PNG/JPEG/BMP/GIF bytes → decoded geometry + a normalized
+    * `dim`-bucket luminance histogram (the classic cheap visual
+    * fingerprint). Exactly the same Iterator→Iterator batching shape
+    * as the stub kernel: per-partition init (headless mode, ImageIO
+    * disk cache off) happens once per task, bytes never leave the
+    * partition, output is a small fixed-width vector. Non-image or
+    * undecodable rows degrade to the deterministic byte-fold fallback
+    * (`decoded = false`) so a mixed or partly-corrupt corpus never
+    * fails the task — the audit column tells downstream which rows
+    * carry real visual features.
+    */
+  def decodeImages(media: Dataset[MediaRow], dim: Int = 16)
+      : Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      def fallback(row: MediaRow): ImageFeatures = {
+        val acc = new Array[Float](dim)
+        var i = 0
+        row.bytes.foreach { b => acc(i % dim) += (b & 0xff) / 255.0f; i += 1 }
+        ImageFeatures(row.media_id, decoded = false, 0, 0, acc)
+      }
+      it.map { row =>
+        val img =
+          if (row.kind != "image") None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.bytes)))
+          } catch { case _: java.io.IOException => None }
+        img match {
+          case Some(im) =>
+            val hist = new Array[Float](dim)
+            val w = im.getWidth
+            val h = im.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                hist((lum * dim) / 256) += 1.0f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toFloat
+            var i = 0
+            while (i < dim) { hist(i) /= n; i += 1 }
+            ImageFeatures(row.media_id, decoded = true, w, h, hist)
+          case None => fallback(row)
+        }
+      }
+    }
+  }
+
+  /** Deterministic corpus of REAL encoded PNGs (id-derived two-tone
+    * pixels, encoded with ImageIO inside the partition — scales with
+    * partitions like any spark.range, no driver-side byte building).
+    */
+  def syntheticPngMedia(spark: SparkSession, n: Long, side: Int = 8)
+      : Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val c1 = ((id * 2654435761L) & 0xffffffL).toInt
+        val c2 = ((id * 40503L + 17) & 0xffffffL).toInt
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            img.setRGB(x, y, if (y < side / 2) c1 else c2)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray,
+          MediaMeta(side, side, 0, 0, "png"))
+      }
     }
   }
 

@@ -8,20 +8,32 @@ object Joins {
 
   /** J3-style interval join: pairs of same-key events where the right
     * event falls in (left.ts, left.ts + window]. In batch this is a
-    * sort-merge equi-join on the key with a range residual; under
-    * Structured Streaming the identical predicate shape (watermark +
-    * time-range condition) is the canonical stream-stream join. The
-    * equi-key keeps the shuffle keyed — never a cross product.
+    * sort-merge equi-join with a range residual; under Structured
+    * Streaming the identical predicate shape (watermark + time-range
+    * condition) is the canonical stream-stream join.
+    *
+    * The equi-key is (key, window-sized time bucket), not key alone:
+    * a right event in (ts_a, ts_a+W] lands in bucket(ts_a) or
+    * bucket(ts_a)+1, so the left side probes exactly those two buckets
+    * and candidate pairs are bounded by per-(key, W-bucket) activity
+    * instead of squaring with whole-history per-key volume. A pair
+    * matches at most once (the right row's bucket is unique), so no
+    * dedup step is needed and the output is identical to the plain
+    * keyed join. Cost: a 2× left-side explode — constant — against a
+    * candidate set that no longer grows with retention.
     */
   def intervalJoin(events: DataFrame, key: String, ts: String,
-                   windowExpr: String = "INTERVAL 5 MINUTES"): DataFrame = {
+                   windowSec: Long = 300L): DataFrame = {
+    val bucketA = floor(col("ts_a").cast("long") / windowSec)
     val a = events.select(col(key).as("k"), col(ts).as("ts_a"),
-      col("event_id").as("eid_a"), col("event_type").as("type_a"))
+        col("event_id").as("eid_a"))
+      .withColumn("bkt", explode(array(bucketA, bucketA + 1)))
     val b = events.select(col(key).as("k2"), col(ts).as("ts_b"),
-      col("event_id").as("eid_b"), col("event_type").as("type_b"))
-    a.join(b, col("k") === col("k2") &&
+        col("event_id").as("eid_b"), col("event_type").as("type_b"))
+      .withColumn("bkt2", floor(col("ts_b").cast("long") / windowSec))
+    a.join(b, col("k") === col("k2") && col("bkt") === col("bkt2") &&
         col("ts_b") > col("ts_a") &&
-        col("ts_b") <= col("ts_a") + expr(windowExpr))
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSec SECONDS"))
       // J3's correlation risk factors (StreamJoiner.java:183-206):
       // cross-stream event kinds bump a risk column
       .withColumn("pair_risk",
@@ -56,18 +68,61 @@ object Joins {
           / greatest(col("avg_li"), col("avg_p")))
   }
 
+  /** J7 companion: per-entity distinct-counterparty degree + normalized
+    * centrality (graph_neural_network.py:338-392: user_centrality =
+    * min(distinct merchants / 10, 1), merchant_centrality =
+    * min(distinct users / 100, 1)) over the user↔merchant bipartite
+    * graph. One distinct-aggregate per side, union of the two entity
+    * classes — no join at all, so it scales as two keyed aggregations.
+    */
+  def degreeFeatures(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct, least, lit, pmod}
+    val e = events.select(col("user_id"),
+      pmod(col("event_id") * 7, lit(97L)).as("merchant_key"))
+    def side(keyCol: String, otherCol: String, tag: String,
+             norm: Double) =
+      e.groupBy(col(keyCol).as("entity_id"))
+        .agg(countDistinct(col(otherCol)).as("degree"))
+        .select(lit(tag).as("entity_type"), col("entity_id"), col("degree"),
+          least(col("degree").cast("double") / lit(norm), lit(1.0))
+            .as("centrality"))
+    side("user_id", "merchant_key", "user", 10.0)
+      .unionByName(side("merchant_key", "user_id", "merchant", 100.0))
+  }
+
   /** J7 graph neighborhood: bipartite co-occurrence — pairs of
     * suppliers sharing parts, with shared-neighbor counts (the
     * degree/centrality-style scalars the reference's GNN feature prep
     * computes — graph_neural_network.py:244-315 — via self-join on
     * the shared entity; distinct-edge projection first keeps the
     * self-join on the small edge set).
+    *
+    * Hot shared entities (a `via` supplied by thousands of sources)
+    * square inside one reduce partition, so the join is salted
+    * ADAPTIVELY: each via's degree (from a keyed pre-aggregation that
+    * reuses the same exchange) sets its bucket count
+    * g = ceil(degree / saltCap). Cold vias keep g = 1 — zero
+    * duplication, zero overhead — while a hot via's pair work spreads
+    * over g reducers (the build row's salt is hash(src) mod g, the
+    * probe row explodes over all g buckets). Each (a,b) pair still
+    * matches exactly once, so the output is identical to the unsalted
+    * join; the quadratic pair count per hot via is inherent to the
+    * operator, and the salt converts it from one straggler partition
+    * into g parallel ones.
     */
-  def coOccurrence(edges: DataFrame, src: String, via: String): DataFrame = {
+  def coOccurrence(edges: DataFrame, src: String, via: String,
+                   saltCap: Int = 1000): DataFrame = {
     val e = edges.select(col(src).as("s"), col(via).as("v")).distinct()
-    e.as("a").join(e.as("b"),
-        col("a.v") === col("b.v") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("src_a"), col("b.s").as("src_b"))
+    val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withG = e.join(deg, "v").withColumn("g",
+      greatest(ceil(col("deg").cast("double") / saltCap).cast("int"), lit(1)))
+    val a = withG.withColumn("salt",
+      explode(sequence(lit(0), col("g") - 1)))
+    val b = withG.select(col("s").as("s_b"), col("v").as("v_b"),
+      pmod(xxhash64(col("s")), col("g").cast("long")).cast("int").as("salt_b"))
+    a.join(b, col("v") === col("v_b") && col("salt") === col("salt_b") &&
+        col("s") < col("s_b"))
+      .groupBy(col("s").as("src_a"), col("s_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
   }
 }

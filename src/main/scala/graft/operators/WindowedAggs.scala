@@ -128,6 +128,30 @@ object WindowedAggs {
   /** A3 session windows (30-minute inactivity gap,
     * WindowProcessor.java:74-87) per user.
     */
+  /** A9 third variant: per-merchant-per-hour roll-up
+    * (RedisTransactionSink.java:222-262 `merchant:<id>:<hourKey>`
+    * aggregation: count, amount sums/avg, flagged-event rate, unique
+    * users). The merchant key is the simulator's deterministic
+    * assignment (`m<id*7 mod 97>`, DataGen.transactions) derived from
+    * the event id; `error` events play the fraud-flag role.
+    */
+  def merchantHourRollup(events: DataFrame): DataFrame = {
+    val flagged = count(when(col("event_type") === "error", 1))
+    events
+      .groupBy(
+        concat(lit("m"), pmod(col("event_id") * 7, lit(97L)).cast("string"))
+          .as("merchant_id"),
+        date_trunc("hour", col("ts")).as("bucket_hour"))
+      .agg(
+        count(lit(1)).as("total_count"),
+        dsum(col("value")).as("total_amount"),
+        davg(col("value")).as("avg_amount"),
+        flagged.as("flag_count"),
+        (flagged.cast("double") / count(lit(1)).cast("double"))
+          .as("flag_rate"),
+        countDistinct(col("user_id")).as("unique_user_count"))
+  }
+
   def userSessions(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

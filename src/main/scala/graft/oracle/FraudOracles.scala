@@ -232,8 +232,86 @@ object FraudOracles {
        |FROM p""".stripMargin
   }
 
+  private val periodCase =
+    """CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'morning'
+      |       WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'afternoon'
+      |       WHEN hour(ts) >= 18 AND hour(ts) < 22 THEN 'evening'
+      |       ELSE 'night' END""".stripMargin
+
+  private def merchantHourlySql: String = {
+    val flagged = "COUNT(*) FILTER (WHERE event_type = 'error')"
+    s"""SELECT 'm' || CAST((event_id * 7) % 97 AS VARCHAR) AS merchant_id,
+       |  date_trunc('hour', ts) AS bucket_hour,
+       |  COUNT(*) AS total_count,
+       |  ${dsum("value")} AS total_amount,
+       |  ${davg("value")} AS avg_amount,
+       |  $flagged AS flag_count,
+       |  CAST($flagged AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flag_rate,
+       |  COUNT(DISTINCT user_id) AS unique_user_count
+       |FROM events GROUP BY 1, 2""".stripMargin
+  }
+
+  private val graphDegreeSql =
+    """WITH e AS (SELECT user_id, (event_id * 7) % 97 AS merchant_key
+      |           FROM events)
+      |SELECT 'user' AS entity_type, user_id AS entity_id,
+      |  COUNT(DISTINCT merchant_key) AS degree,
+      |  LEAST(CAST(COUNT(DISTINCT merchant_key) AS DOUBLE)
+      |        / CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS centrality
+      |FROM e GROUP BY user_id
+      |UNION ALL
+      |SELECT 'merchant', merchant_key,
+      |  COUNT(DISTINCT user_id),
+      |  LEAST(CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+      |        / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+      |FROM e GROUP BY merchant_key""".stripMargin
+
+  /** f CTE mirroring FeatureRegistry.eventFeatureFrame. */
+  private val featureFrameCte =
+    s"""WITH f AS (SELECT event_id, value,
+       |  value - lag(value, 1) OVER (PARTITION BY user_id
+       |                              ORDER BY ts, event_id) AS delta_prev,
+       |  CAST(hour(ts) AS DOUBLE) AS hour_of_day,
+       |  event_type,
+       |  $periodCase AS period_of_day
+       |FROM events)""".stripMargin
+
+  private def featureStatsSql: String = {
+    val stacked = graft.functions.FeatureRegistry.numericNames
+      .map(n => s"SELECT '$n' AS feature_name, $n AS x FROM f")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$featureFrameCte,
+       |s AS (
+       |  $stacked)
+       |SELECT feature_name, COUNT(*) AS n_rows, COUNT(x) AS n_present,
+       |  CAST(1.0 AS DOUBLE)
+       |    - CAST(COUNT(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS null_rate,
+       |  MIN(x) AS min_x, MAX(x) AS max_x,
+       |  ${davg("x")} AS mean_x,
+       |  COUNT(DISTINCT x) AS n_distinct
+       |FROM s GROUP BY feature_name""".stripMargin
+  }
+
+  private def featureValueCountsSql: String = {
+    val stacked = graft.functions.FeatureRegistry.categoricalNames
+      .map(n => s"SELECT '$n' AS feature_name, $n AS value FROM f")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$featureFrameCte,
+       |s AS (
+       |  $stacked),
+       |g AS (SELECT feature_name, value, COUNT(*) AS n FROM s GROUP BY 1, 2)
+       |SELECT feature_name, value, n,
+       |  CAST(n AS DOUBLE)
+       |    / CAST(SUM(n) OVER (PARTITION BY feature_name) AS DOUBLE) AS share
+       |FROM g""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_model_score" -> modelScoreSql,
+    "q_merchant_hourly" -> merchantHourlySql,
+    "q_graph_degree" -> graphDegreeSql,
+    "q_feature_stats" -> featureStatsSql,
+    "q_feature_valuecounts" -> featureValueCountsSql,
     "q_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

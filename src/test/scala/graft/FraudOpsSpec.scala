@@ -27,6 +27,22 @@ class FraudOpsSpec extends AnyFunSuite {
     assert(v(4L) == 1)  // other user unaffected
   }
 
+  test("adaptive salt leaves co-occurrence output identical on a hot via") {
+    // one via shared by 60 sources (hot at saltCap=16 → g=4 buckets),
+    // plus cold vias; pair set must match the direct computation
+    val edges = ((1 to 60).map(s => (s.toLong, 999L)) ++
+      Seq((1L, 5L), (2L, 5L), (70L, 6L), (71L, 6L)))
+      .toDF("src", "via")
+    val out = Joins.coOccurrence(edges, "src", "via", saltCap = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // direct: C(60,2) pairs through 999, plus (1,2) via both 999 and 5
+    assert(out.size == 60 * 59 / 2 + 1)  // +1: (70,71)
+    assert(out((1L, 2L)) == 2)           // shares vias 999 AND 5
+    assert(out((70L, 71L)) == 1)
+    assert(out((1L, 3L)) == 1)
+  }
+
   test("velocity 1h horizon accumulates past the 5min one") {
     val ev = Seq((1L, 1L, t(0), 1.0), (2L, 1L, t(30), 1.0), (3L, 1L, t(59), 1.0))
       .toDF("event_id", "user_id", "ts", "value")

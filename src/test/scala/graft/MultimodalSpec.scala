@@ -36,6 +36,34 @@ class MultimodalSpec extends AnyFunSuite {
            f2.map(f => f.media_id -> f.features.toSeq).toMap)
   }
 
+  test("real PNG decode: geometry from the codec, histogram is a distribution") {
+    val pngs = Multimodal.syntheticPngMedia(spark, 24, side = 8)
+    val feats = Multimodal.decodeImages(pngs, dim = 16).collect()
+    assert(feats.length == 24)
+    assert(feats.forall(_.decoded), "every synthetic PNG must decode")
+    assert(feats.forall(f => f.width == 8 && f.height == 8))
+    // two-tone image: luminance histogram mass sums to 1 over ≤2 buckets
+    feats.foreach { f =>
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-6)
+      assert(f.features.count(_ > 0f) <= 2)
+    }
+    // decode is value-stable under repartitioning
+    val again = Multimodal.decodeImages(pngs.repartition(5), dim = 16)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again == feats.map(f => f.media_id -> f.features.toSeq).toMap)
+  }
+
+  test("undecodable and non-image rows fall back, flagged decoded=false") {
+    val junk = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta(0, 0, 0, 0, "corrupt")),
+      MediaRow(2L, "audio", Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta(0, 0, 16000, 1000, "pcm"))).toDS()
+    val out = Multimodal.decodeImages(junk).collect()
+    assert(out.forall(!_.decoded))
+    assert(out.forall(_.features.length == 16))
+  }
+
   test("frame sampling expands metadata only, bytes untouched") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     assert(!frames.columns.contains("bytes"))
