@@ -39,4 +39,48 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(csv.agg(sum(crc32(concat_ws("|", col("event_id"), col("user_id"),
       col("event_type"), col("value"))))).head().getLong(0) == checksum)
   }
+
+  test("Avro wire format round-trips events incl. timestamps and nulls") {
+    import graft.sources.AvroWire
+    val events = Tables(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("maybe_null",
+        when(col("event_id") % 3 === 0, col("event_type")))
+    val wire = AvroWire.encode(events)
+    assert(wire.schema.fields.map(f =>
+      (f.name, f.dataType.typeName)).toSeq == Seq(("value", "binary")))
+    val back = AvroWire.decode(wire, events.schema)
+    assert(back.count() == events.count())
+    def sig(df: org.apache.spark.sql.DataFrame): Long = df.agg(
+      sum(crc32(concat_ws("|", col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("long"), col("value"),
+        coalesce(col("maybe_null"), lit("<null>")))))).head().getLong(0)
+    assert(sig(back) == sig(events))
+    // the wire schema itself is sane (registry-compatible record)
+    val names = AvroWire.wireFieldNames(
+      AvroWire.avroSchemaJson(events.schema))
+    assert(names == events.schema.fieldNames.toSeq)
+  }
+
+  test("Kafka connector absence is verified, not assumed") {
+    // The reference consumes/produces Kafka (FraudDetectionJob.java:
+    // 141-157,162-213). This sandbox ships neither spark-sql-kafka nor
+    // kafka-clients nor a broker — pin that fact so the partial status
+    // of S1/S5 is evidence-backed, and the suite flags it if the
+    // environment ever gains the jars (at which point the plumbing in
+    // TransactionPipeline.fromKafka/toKafkaSink becomes testable).
+    assertThrows[ClassNotFoundException] {
+      Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+    }
+    assertThrows[ClassNotFoundException] {
+      Class.forName(
+        "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+    }
+    val err = intercept[Exception] {
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:1")
+        .option("subscribe", "t").load()
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"))
+  }
 }
