@@ -91,6 +91,37 @@ object SparkEntry {
     // decision CASE ladders (TransactionProcessor.java:444-473)
     "q_decision_ladder" -> ((s, d) =>
       Decisions.orderDecisions(T(s, d)("orders"))),
+    // EXISTS / left-semi join (TPC-H Q4 shape)
+    "q_order_priority" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.orderPriority(t("orders"), t("lineitem"))
+    }),
+    // 6-table join with cross-dimension equality (TPC-H Q5 shape)
+    "q_local_supplier" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.localSupplierVolume(t("region"), t("nation"),
+        t("customer"), t("supplier"), t("orders"), t("lineitem"))
+    }),
+    // conditional-sum ratio (TPC-H Q14 shape)
+    "q_promo_revenue" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.promoRevenue(t("lineitem"), t("part"))
+    }),
+    // CASE-split double counts (TPC-H Q12 shape)
+    "q_priority_counts" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.priorityCounts(t("orders"), t("lineitem"))
+    }),
+    // NOT EXISTS / left-anti join
+    "q_unordered_parts" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.unorderedParts(t("part"), t("lineitem"))
+    }),
+    // disjunctive predicate over a join (TPC-H Q19 shape)
+    "q_disjunctive_rev" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.disjunctiveRevenue(t("lineitem"), t("part"))
+    }),
 
     // ---- training-data pipeline operators ----
     // exact dedup via hash-groupBy
@@ -339,6 +370,67 @@ object SparkEntry {
         |                       ORDER BY ts DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |              AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |              AND r_name = 'AMERICA'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_promo_revenue" ->
+      s"""SELECT
+         |  100.0 * ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${dsum("l_extendedprice * (1.0 - l_discount)")}
+         |    AS promo_share_pct,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    "q_priority_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS n_high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |    AS n_low
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_unordered_parts" ->
+      s"""SELECT p_brand, COUNT(*) AS n_parts,
+         |  ${davg("p_retailprice")} AS avg_price
+         |FROM part
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_partkey = p_partkey
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00')
+         |GROUP BY p_brand""".stripMargin,
+
+    "q_disjunctive_rev" ->
+      s"""SELECT
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 20.0)
+         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10.0 AND 30.0)""".stripMargin,
 
     "q_decision_ladder" ->
       s"""WITH s AS (

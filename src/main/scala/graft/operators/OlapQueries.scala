@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg._
+
+/** Wider ANSI-OLAP surface in classic TPC-H shapes — the analytics a
+  * user of the reference's Postgres/Grafana leg would expect the
+  * engine to answer directly (SURVEY §2.5's sorts/limits/joins plus
+  * the join forms §2.3 doesn't cover: semi, anti, disjunctive
+  * predicates, conditional ratios).
+  *
+  * Plan intent at scale: dimension sides broadcast (nation/region/
+  * part/supplier), fact-side filters sit in the scan (PushedFilters),
+  * every aggregate is partial+final, and the semi/anti joins keep the
+  * EXISTS/NOT EXISTS semantics inside one keyed shuffle instead of a
+  * distinct+join pair.
+  */
+object OlapQueries {
+
+  /** TPC-H Q4 shape: per-priority order counts where a returned line
+    * EXISTS — left-semi join keyed on the order.
+    */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val returned = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q5 shape: revenue from orders whose customer and supplier
+    * share the nation, per nation of an entire region — the 6-table
+    * join with an equality between two dimension keys.
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          regionName: String = "AMERICA"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey") &&
+        col("r_name") === regionName)
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+
+  /** TPC-H Q14 shape: promo revenue share — ratio of two exact
+    * conditional sums (both scaled-BIGINT, division exact).
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-10-01").cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          / dsum(rev)).as("promo_share_pct"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q12 shape: per-returnflag counts split by order priority
+    * class (the CASE-conditional double count).
+    */
+  def priorityCounts(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(high, 1)).as("n_high"),
+           count(when(!high, 1)).as("n_low"))
+  }
+
+  /** NOT EXISTS: parts with no shipment in a window (dormant
+    * inventory), per brand — left-anti join keyed on the part, with
+    * the window filter INSIDE the anti side so it prunes at the scan.
+    */
+  def unorderedParts(part: DataFrame, lineitem: DataFrame): DataFrame =
+    part
+      .join(lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") <  lit("1996-07-01").cast("timestamp"))
+          .select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+           davg(col("p_retailprice")).as("avg_price"))
+
+  /** TPC-H Q19 shape: disjunctive brand/quantity predicate over the
+    * part join — OR-of-ANDs that must still prune at the scan.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p1 = col("p_brand") === "Brand#1" &&
+      col("l_quantity").between(1.0, 20.0)
+    val p2 = col("p_brand") === "Brand#2" &&
+      col("l_quantity").between(10.0, 30.0)
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(p1 || p2)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+}

@@ -146,14 +146,21 @@ object Similarity {
     val bandArr = array(
       (0 until bands).map(b => bandKey(col("v"), b, bitsPerBand)): _*)
     val bd = all.select(col("vec_id"),
-      posexplode(bandArr).as(Seq("band", "bkey")))
-    // a pair sharing k bands would appear k times — distinct before the
-    // (3-dot-product) verify so each candidate is scored exactly once
+        bandArr.as("bkeys"))
+      .select(col("vec_id"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    // a pair sharing k bands appears k times in the band join; instead
+    // of a distinct (an extra 1-per-candidate shuffle) each pair is
+    // kept only at its FIRST shared band — both sides carry their full
+    // band-key vector (bands longs, ~128 B), so the first-match index
+    // is a row-local expression
+    val firstShared = array_position(
+      zip_with(col("a.bkeys"), col("b.bkeys"), (x, y) => x === y), true)
     val cand = bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.band") === firstShared - 1)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
     val va = all.select(col("vec_id").as("vec_a"), col("v").as("va"),
                         col("nrm").as("na"))
     val vb = all.select(col("vec_id").as("vec_b"), col("v").as("vb"),

@@ -71,6 +71,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semi and anti joins stay keyed, never nested-loop") {
+    val semi = explainStr(OlapQueries.orderPriority(t("orders"), t("lineitem")))
+    assert(semi.contains("LeftSemi"), s"expected semi join:\n$semi")
+    assert(!semi.contains("CartesianProduct") &&
+           !semi.contains("BroadcastNestedLoopJoin"))
+    val anti = explainStr(OlapQueries.unorderedParts(t("part"), t("lineitem")))
+    assert(anti.contains("LeftAnti"), s"expected anti join:\n$anti")
+    assert(!anti.contains("CartesianProduct") &&
+           !anti.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embedding near-dup is band-keyed, never a cross product") {
     val plan = explainStr(
       Similarity.nearDupPairs(t("embeddings"), threshold = 0.4))
