@@ -54,9 +54,14 @@ object ThroughputBench {
       .select("user_id", "risk_score", "avg_transaction_amount", "kyc_status")
     val merch = merchants(spark, 5000)
 
+    // full pipeline incl. model scoring — the columnar serving twin of
+    // the published LR (bit-identical margins, stays in codegen); the
+    // MLlib-transform route measures ~45% lower (row-based predictRaw)
     def scored(txns: DataFrame) =
       TransactionPipeline.scoreAndDecide(
-        TransactionPipeline.enrich(asPipelineInput(txns), users, merch))
+        graft.ml.FraudModel.scoreColumnar(
+          TransactionPipeline.enrich(asPipelineInput(txns), users, merch),
+          col("amount"), col("timestamp")))
 
     // ---- batch ----
     val txns = graft.gen.DataGen.transactions(spark, n, nUsers = 10000)

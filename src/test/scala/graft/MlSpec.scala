@@ -54,6 +54,25 @@ class MlSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("columnar twin: margin bit-identical, sigmoid to ~1e-13 relative") {
+    // MLlib's link uses java.lang.Math.exp (intrinsic); Catalyst's EXP
+    // uses StrictMath.exp — a few-ulp exp divergence amplifies to
+    // ~1e-14 relative in the probability; the margin is exact.
+    val ev = sources.Tables(spark, sf, "events")
+    val a = FraudModel.score(ev, col("value"), col("ts"))
+      .select(col("event_id"), col("margin"), col("p_fraud"))
+    val b = FraudModel.scoreColumnar(ev, col("value"), col("ts"))
+      .select(col("event_id"), col("margin").as("m2"),
+        col("p_fraud").as("p2"))
+    val j = a.join(b, "event_id").cache()
+    assert(j.filter(col("margin") =!= col("m2")).count() == 0L)
+    val maxRel = j.select(
+      max(abs(col("p_fraud") - col("p2")) / col("p_fraud")).as("r"))
+      .head().getDouble(0)
+    assert(maxRel <= 1e-13, s"sigmoid diverged beyond tolerance: $maxRel")
+    j.unpersist()
+  }
+
   test("registry dispatches by name and falls back to the default model") {
     import spark.implicits._
     val df = Seq((1L, 100.0, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))

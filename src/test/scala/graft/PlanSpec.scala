@@ -71,6 +71,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // the pre-partitioning story for 100 TB fact-fact joins: bucketBy
+    // the join key once at write time, then every equi-join on it runs
+    // shuffle-free (scan partitioning == join requirement)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_events_a")
+      spark.sql("DROP TABLE IF EXISTS b_events_b")
+      val events = t("events").select("event_id", "user_id", "value")
+      events.write.bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("b_events_a")
+      events.write.bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("b_events_b")
+      val joined = spark.table("b_events_a")
+        .join(spark.table("b_events_b"), "user_id")
+      val plan = explainStr(joined)
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_events_a")
+      spark.sql("DROP TABLE IF EXISTS b_events_b")
+    }
+  }
+
   test("semi and anti joins stay keyed, never nested-loop") {
     val semi = explainStr(OlapQueries.orderPriority(t("orders"), t("lineitem")))
     assert(semi.contains("LeftSemi"), s"expected semi join:\n$semi")
