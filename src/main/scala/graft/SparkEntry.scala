@@ -122,6 +122,12 @@ object SparkEntry {
       val t = T(s, d) _
       OlapQueries.disjunctiveRevenue(t("lineitem"), t("part"))
     }),
+    // correlated scalar subquery shape (max per customer, Q2 flavor)
+    "q_max_order" -> ((s, d) =>
+      OlapQueries.maxOrderPerCustomer(T(s, d)("orders"))),
+    // EXISTS + NOT EXISTS with inequality residual (Q21 shape)
+    "q_sole_supplier" -> ((s, d) =>
+      OlapQueries.soleGoodSupplier(T(s, d)("lineitem"))),
 
     // ---- training-data pipeline operators ----
     // exact dedup via hash-groupBy
@@ -142,6 +148,10 @@ object SparkEntry {
     // sign-bit LSH-bucketed ANN (scale path)
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // IVF ANN: coarse codebook + inverted lists + nprobe (scale path 2)
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // embedding-cosine near-dup pairs (sign-band LSH candidates +
     // exact-cosine verify; oracle mirrors the banding)
@@ -431,6 +441,25 @@ object SparkEntry {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 20.0)
          |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10.0 AND 30.0)""".stripMargin,
+
+    "q_max_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q_sole_supplier" ->
+      """SELECT l_suppkey, COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem l1
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY l_suppkey""".stripMargin,
 
     "q_decision_ladder" ->
       s"""WITH s AS (

@@ -95,6 +95,40 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_parts"),
            davg(col("p_retailprice")).as("avg_price"))
 
+  /** TPC-H Q2 flavor: each customer's maximal order(s) — the
+    * correlated-scalar-subquery shape (`WHERE price = (SELECT MAX …
+    * per customer)`), planned as a partial+final max aggregate
+    * re-joined on the key so the "subquery" costs one keyed shuffle.
+    */
+  def maxOrderPerCustomer(orders: DataFrame): DataFrame = {
+    val mx = orders.groupBy(col("o_custkey").as("k"))
+      .agg(max(col("o_totalprice")).as("max_price"))
+    orders.join(mx, col("o_custkey") === col("k") &&
+        col("o_totalprice") === col("max_price"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** TPC-H Q21 shape: per-supplier count of lines on shared orders
+    * (EXISTS a co-supplier line) none of which were returned by a
+    * co-supplier (NOT EXISTS) — semi + anti joins keyed on the order
+    * with a supplier-inequality residual.
+    */
+  def soleGoodSupplier(lineitem: DataFrame): DataFrame = {
+    val l1 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val others = lineitem.select(col("l_orderkey").as("o2"),
+      col("l_suppkey").as("s2"), col("l_returnflag").as("rf2"))
+    l1
+      .join(others.select(col("o2"), col("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(others.filter(col("rf2") === "R").select(col("o2"), col("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
   /** TPC-H Q19 shape: disjunctive brand/quantity predicate over the
     * part join — OR-of-ANDs that must still prune at the scan.
     */

@@ -106,6 +106,52 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF-style ANN: coarse quantizer + inverted lists + bounded probe.
+    *
+    * The codebook here is the degenerate-but-deterministic choice —
+    * the first `nlist` vectors act as pivots (a trained k-means
+    * codebook plugs into the same plan; the oracle needs a
+    * reproducible one). Every vector is assigned to its max-cosine
+    * pivot (one broadcast of `nlist` pivots, N×nlist scoring — linear
+    * scan, no shuffle of the corpus), queries probe their `nprobe`
+    * closest lists, and only those lists are scored exactly. Candidate
+    * count ≈ N·nprobe/nlist per query — the classic recall/throughput
+    * dial. Recall < 1 by design; the assignment and probe order are
+    * exact-cosine with id tiebreaks, so the result is reproducible in
+    * any engine (q_ann_ivf mirrors it in SQL).
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, dim: Int = Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: scored against pivots twice (assignment + query probes)
+    val all = prepared(embeddings, dim).cache()
+    val pivots = all.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("pid"), col("v").as("pv"),
+              col("nrm").as("pn"))
+    def pivotRank(src: DataFrame) =
+      src.crossJoin(broadcast(pivots))
+        .withColumn("pcos",
+          pairCos(col("v"), col("nrm"), col("pv"), col("pn"), dim))
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("pcos").desc, col("pid"))))
+    val assigned = pivotRank(all).filter(col("prn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("pid").as("list_id"))
+    val probes = pivotRank(all.filter(queryPred))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"), col("pid").as("plist"))
+    val scored = probes.join(assigned, col("plist") === col("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"), dim)
+                .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
   /** Sign-bit band key: `bits` consecutive coordinate signs starting at
     * dimension `band*bits` packed into a BIGINT — the random-hyperplane
     * LSH family with the coordinate axes as (data-independent)

@@ -108,6 +108,30 @@ object DocOracles {
        |WHERE rn <= 3""".stripMargin
   }
 
+  /** Mirror of Similarity.ivfTopK (nlist=16 pivot codebook, max-cosine
+    * assignment, nprobe=4, exact verify): assignment, probe order and
+    * final ranking all use the identical dot/sqrt shapes, so the
+    * probed candidate set and ranks are engine-independent.
+    */
+  private def annIvfSql: String =
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS (SELECT vec_id, v, pid AS list_id FROM ar WHERE prn = 1),
+       |qr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
+       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
+       |s AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |        ${cos("qv", "a.v")} AS cos
+       |      FROM qr JOIN a ON plist = list_id
+       |      WHERE a.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+
   /** Mirror of Similarity.nearDupPairs (4-bit × 16 sign-bit bands +
     * exact-cosine verify). The band keys are pure sign tests on the
     * double-cast coordinates, so the candidate SET — and therefore the
@@ -198,6 +222,7 @@ object DocOracles {
     "q_dedup_simhash" -> simhashPairsSql,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_emb_neardup" -> embNearDupSql,
 
     "q_text_tokens" ->

