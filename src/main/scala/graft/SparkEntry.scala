@@ -213,6 +213,13 @@ object SparkEntry {
     // §2.6 string/regex features + text cleaning
     "q_string_features" -> ((s, d) =>
       FraudQueries.stringFeatures(T(s, d)("events"))),
+    // semi-structured: JSON field extraction ×3 routes (struct/path/
+    // variant)
+    "q_json_props" -> ((s, d) =>
+      SemiStructured.jsonProps(T(s, d)("events"))),
+    // group-by on an extracted JSON field
+    "q_json_rollup" -> ((s, d) =>
+      SemiStructured.jsonFieldRollup(T(s, d)("events"))),
     // grouping sets: CUBE over event dimensions
     "q_cube_stats" -> ((s, d) =>
       WindowedAggs.cubeStats(T(s, d)("events"))),

@@ -308,6 +308,20 @@ object FraudOracles {
 
   val sql: Map[String, String] = Map(
     "q_model_score" -> modelScoreSql,
+
+    "q_json_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_variant,
+        |  json_valid(props) AS parsed_ok
+        |FROM events""".stripMargin,
+
+    "q_json_rollup" ->
+      s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) % 10 AS k_mod10,
+         |  COUNT(*) AS n,
+         |  ${dsum("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin,
     "q_merchant_hourly" -> merchantHourlySql,
     "q_graph_degree" -> graphDegreeSql,
     "q_feature_stats" -> featureStatsSql,

@@ -71,6 +71,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("partition pruning: hive-partitioned layout prunes at the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part")
+      .toFile.getAbsolutePath
+    t("events").write.partitionBy("event_type").parquet(s"$root/ev")
+    val df = spark.read.parquet(s"$root/ev")
+      .filter(col("event_type") === "error")
+      .select("event_id", "value")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type"), s"no partition pruning:\n$scan")
+    // pruned read returns exactly the partition's rows
+    assert(df.count() ==
+      t("events").filter(col("event_type") === "error").count())
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // the pre-partitioning story for 100 TB fact-fact joins: bucketBy
     // the join key once at write time, then every equi-join on it runs
