@@ -88,6 +88,12 @@ object SparkEntry {
     "q_topn_recent" -> ((s, d) =>
       TopN.recentPerKey(T(s, d)("events"), "user_id", "ts", "event_id", 3)
         .select("user_id", "event_id", "rn")),
+    // S8 via the native two-phase TopK operator (custom LogicalPlan +
+    // Strategy + partial/final SparkPlans)
+    "q_topn_native" -> ((s, d) =>
+      TopN.recentPerKeyNative(T(s, d)("events"), "user_id", "ts",
+          "event_id", 3)
+        .select("user_id", "event_id")),
     // decision CASE ladders (TransactionProcessor.java:444-473)
     "q_decision_ladder" -> ((s, d) =>
       Decisions.orderDecisions(T(s, d)("orders"))),
@@ -382,6 +388,14 @@ object SparkEntry {
 
     "q_topn_recent" ->
       """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q_topn_native" ->
+      """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |                       ORDER BY ts DESC, event_id) AS rn

@@ -133,6 +133,30 @@ object TopN {
       .orderBy(col(ts).desc, col(tiebreak).asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
+
+  /** Native two-phase top-N (graft.plans.TopKPerKeyNode): same rows as
+    * [[recentPerKey]] minus the rank column, but the partial phase
+    * bounds shuffle volume to n·keys per input partition instead of
+    * shuffling every row into a per-key sort. Orders by (ts DESC,
+    * tiebreak ASC); the unique tiebreak makes the row set
+    * deterministic (and oracle-checkable).
+    */
+  def recentPerKeyNative(df: DataFrame, key: String, ts: String,
+                         tiebreak: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val order = Seq(SortOrder(attr(ts), Descending),
+                    SortOrder(attr(tiebreak), Ascending))
+    org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark,
+      graft.plans.TopKPerKeyNode(Seq(attr(key)), order, n, analyzed))
+  }
 }
 
 /** Rule-score → (risk level, decision) CASE ladders, mirroring

@@ -55,6 +55,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
   }
 }
 
@@ -70,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"haversine_km expects 4 arguments, got ${children.size}")
       }))
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -73,4 +73,27 @@ class CatalystSpec extends AnyFunSuite {
       s2.conf.set(ApproxDistinctRewrite.ConfKey, "false")
     }
   }
+
+  test("native TopK operator: partial+final plan, rows match the window form") {
+    val events = graft.sources.Tables(spark, sf, "events")
+    val native = graft.operators.TopN
+      .recentPerKeyNative(events, "user_id", "ts", "event_id", 3)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"custom operator did not plan:\n$plan")
+    // the exchange sits BETWEEN partial and final (partial runs
+    // map-side, like a partial aggregate)
+    assert(plan.indexOf("FinalTopK") <
+           plan.indexOf("Exchange hashpartitioning"),
+      s"no exchange between phases:\n$plan")
+    assert(plan.indexOf("Exchange hashpartitioning") <
+           plan.indexOf("PartialTopK"))
+    val viaWindow = graft.operators.TopN
+      .recentPerKey(events, "user_id", "ts", "event_id", 3)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaNative = native.select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaNative == viaWindow)
+  }
 }
