@@ -131,6 +131,16 @@ object SparkEntry {
     // correlated scalar subquery shape (max per customer, Q2 flavor)
     "q_max_order" -> ((s, d) =>
       OlapQueries.maxOrderPerCustomer(T(s, d)("orders"))),
+    // data-quality expectation suite (one-pass rules + FK orphans)
+    "q_data_quality" -> ((s, d) => {
+      val t = T(s, d) _
+      Quality.eventsSuite(t("events"), t("orders"), t("customer"))
+    }),
+    // snapshot MERGE/upsert via full-outer join, updates win
+    "q_merge_upsert" -> ((s, d) => {
+      val c = T(s, d)("customer")
+      Merge.upsert(c, Merge.customerUpserts(c), "c_custkey")
+    }),
     // EXISTS + NOT EXISTS with inequality residual (Q21 shape)
     "q_sole_supplier" -> ((s, d) =>
       OlapQueries.soleGoodSupplier(T(s, d)("lineitem"))),
@@ -462,6 +472,54 @@ object SparkEntry {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 20.0)
          |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10.0 AND 30.0)""".stripMargin,
+
+    "q_data_quality" ->
+      """WITH c AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE NOT (value > 0.0)) AS v_value_positive,
+        |  COUNT(*) FILTER (WHERE NOT (
+        |    ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-02-01 00:00:00')) AS v_ts_in_window,
+        |  COUNT(*) FILTER (WHERE NOT (event_type IN
+        |    ('click', 'signup', 'error', 'view', 'purchase')))
+        |    AS v_known_event_type,
+        |  COUNT(*) FILTER (WHERE user_id IS NULL) AS v_user_id_present,
+        |  COUNT(*) FILTER (WHERE NOT (value <= 100000.0))
+        |    AS v_value_below_cap
+        | FROM events),
+        |fk AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS v
+        | FROM orders),
+        |s AS (
+        |  SELECT 'value_positive' AS rule_name, n AS n_rows,
+        |         v_value_positive AS n_violations FROM c
+        |  UNION ALL SELECT 'ts_in_window', n, v_ts_in_window FROM c
+        |  UNION ALL SELECT 'known_event_type', n, v_known_event_type FROM c
+        |  UNION ALL SELECT 'user_id_present', n, v_user_id_present FROM c
+        |  UNION ALL SELECT 'value_below_cap', n, v_value_below_cap FROM c
+        |  UNION ALL SELECT 'fk_orders_customer', n, v FROM fk)
+        |SELECT rule_name, n_rows, n_violations,
+        |  CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS violation_rate,
+        |  n_violations = 0 AS passed
+        |FROM s""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+        |         c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+        |  COALESCE(u.c_name, b.c_name) AS c_name,
+        |  COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+        |  COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |  COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+        |FROM customer b FULL OUTER JOIN upd u
+        |  ON b.c_custkey = u.c_custkey""".stripMargin,
 
     "q_max_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation — the expectation-suite surface a
+  * training-data pipeline runs before a corpus snapshot ships
+  * (constraint checks + referential integrity; the reference's
+  * Postgres schema encodes the same constraints as DDL,
+  * docker/postgres/init.sql).
+  *
+  * [[check]] evaluates every rule in ONE pass over the data (each
+  * rule is a conditional count inside the same partial+final
+  * aggregate — adding a rule adds a column, not a scan) and unpivots
+  * to a row per rule. [[fkOrphans]] is a left-anti join keyed on the
+  * parent key — the scalable NOT EXISTS form of a foreign-key check.
+  */
+object Quality {
+
+  /** One row per rule: rows scanned, violations, rate, pass flag. */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +:
+      rules.map { case (name, pred) =>
+        count(when(!pred, 1)).as(s"_v_$name")
+      }
+    val counted = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) =>
+      s"'$name', _v_$name"
+    }.mkString(", ")
+    counted
+      .select(col("_n"),
+        expr(s"stack(${rules.size}, $stacked) as (rule_name, n_violations)"))
+      .select(col("rule_name"), col("_n").as("n_rows"), col("n_violations"),
+        (col("n_violations").cast("double") / col("_n").cast("double"))
+          .as("violation_rate"),
+        (col("n_violations") === 0).as("passed"))
+  }
+
+  /** Referential-integrity orphan count: child rows whose `childKey`
+    * has no match in `parent(parentKey)`.
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String,
+                name: String): DataFrame = {
+    // both sides reduce to one row before the (trivial) cross join —
+    // no driver-side count, stays one lazy plan
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    child
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(total)
+      .select(lit(name).as("rule_name"), col("n_rows"),
+        col("n_violations"),
+        (col("n_violations").cast("double") / col("n_rows").cast("double"))
+          .as("violation_rate"),
+        (col("n_violations") === 0).as("passed"))
+  }
+
+  /** The events expectation suite (oracle query q_data_quality). */
+  def eventsSuite(events: DataFrame, orders: DataFrame,
+                  customer: DataFrame): DataFrame = {
+    val rules = Seq(
+      "value_positive" -> (col("value") > 0.0),
+      "ts_in_window" ->
+        (col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+         col("ts") < lit("2024-02-01 00:00:00").cast("timestamp")),
+      "known_event_type" -> col("event_type")
+        .isin("click", "signup", "error", "view", "purchase"),
+      "user_id_present" -> col("user_id").isNotNull,
+      "value_below_cap" -> (col("value") <= 100000.0))
+    check(events, rules).unionByName(
+      fkOrphans(orders, "o_custkey", customer, "c_custkey",
+        "fk_orders_customer"))
+  }
+}

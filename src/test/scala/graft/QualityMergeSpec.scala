@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Merge, Quality}
+
+class QualityMergeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("quality rules count violations and flag failures") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 0.0)).toDF("id", "v")
+    val out = Quality.check(df, Seq(
+        "v_positive" -> (col("v") > 0.0),
+        "id_present" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out("v_positive") == ((3L, 2L, false)))
+    assert(out("id_present") == ((3L, 0L, true)))
+  }
+
+  test("fk orphan check finds dangling children only") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 99L)).toDF("id", "fk")
+    val r = Quality.fkOrphans(child, "fk", parent, "pk", "fk_test").head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && !r.getBoolean(4))
+  }
+
+  test("merge upsert: updates win, inserts appear, untouched rows survive") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val updates = Seq((2L, "b2", 25.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val out = Merge.upsert(base, updates, "k").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1L) == (("a", 10.0)))   // untouched
+    assert(out(2L) == (("b2", 25.0))) // updated
+    assert(out(3L) == (("c", 30.0)))  // inserted
+    assert(out.size == 3)
+  }
+}

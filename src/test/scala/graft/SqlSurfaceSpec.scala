@@ -14,7 +14,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   private val ansiCompatible =
     Seq("q_star_revenue", "q_enrich_orders", "q_supplier_stats",
-        "q_decision_ladder", "q_rollup_revenue")
+        "q_decision_ladder", "q_rollup_revenue",
+        // round-2 additions: EXISTS/NOT EXISTS, correlated scalar
+        // subquery, 6-table join, disjunctive predicates, full-outer
+        // merge — all must also run as spark.sql text
+        "q_order_priority", "q_sole_supplier", "q_max_order",
+        "q_local_supplier", "q_disjunctive_rev", "q_merge_upsert")
 
   test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
     Tables.registerAll(spark, sf)
