@@ -62,6 +62,15 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(names == events.schema.fieldNames.toSeq)
   }
 
+  test("JDBC driver absence is verified, not assumed (S9 stays parquet-mirrored)") {
+    // spark.read.jdbc plumbing is config-complete, but the image ships
+    // no Postgres driver — pin that so S9's parquet-mirror status is
+    // evidence-backed (the spec flips if a driver jar ever appears)
+    assertThrows[ClassNotFoundException] {
+      Class.forName("org.postgresql.Driver")
+    }
+  }
+
   test("Kafka connector absence is verified, not assumed") {
     // The reference consumes/produces Kafka (FraudDetectionJob.java:
     // 141-157,162-213). This sandbox ships neither spark-sql-kafka nor
