@@ -13,6 +13,9 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def fan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition count via the internal-row RDD lineage (lazy metadata,
+    // no job): avoids df.rdd's per-call deserializer plan conversion
+    val current = df.queryExecution.toRdd.getNumPartitions
+    if (current < target) df.repartition(target) else df
   }
 }
