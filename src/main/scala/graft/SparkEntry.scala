@@ -154,6 +154,9 @@ object SparkEntry {
     // MinHash + LSH banding candidates
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(T(s, d)("documents"))),
+    // one-permutation MinHash (1 hash/shingle instead of 8)
+    "q_dedup_minhash_oph" -> ((s, d) =>
+      Dedup.minhashCandidatesOph(T(s, d)("documents"))),
     // SimHash near-dup pairs (byte-block LSH + hamming verify)
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d)("documents"), maxHamming = 3)),
@@ -239,6 +242,9 @@ object SparkEntry {
     // grouping sets: CUBE over event dimensions
     "q_cube_stats" -> ((s, d) =>
       WindowedAggs.cubeStats(T(s, d)("events"))),
+    // PIVOT: wide per-user event-type count matrix
+    "q_pivot_usage" -> ((s, d) =>
+      WindowedAggs.eventTypePivot(T(s, d)("events"))),
     // grouping sets: ROLLUP over the region/nation hierarchy
     "q_rollup_revenue" -> ((s, d) => {
       val t = T(s, d) _
@@ -385,6 +391,15 @@ object SparkEntry {
          |  COUNT(*) AS n, ${dsum("value")} AS total_value
          |FROM events
          |GROUP BY CUBE (event_type, on_weekend)""".stripMargin,
+
+    "q_pivot_usage" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_rollup_revenue" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_items,

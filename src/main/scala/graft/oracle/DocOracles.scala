@@ -42,6 +42,29 @@ object DocOracles {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
 
+  /** Mirror of Dedup.minhashCandidatesOph: one md5 per shingle,
+    * first-nibble bucketing, per-bucket minima, same 2-band join.
+    */
+  private def minhashOphSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    val mins = (0 until 8).map(j =>
+      s"MIN(CASE WHEN b = $j THEN h END) AS h$j").mkString(", ")
+    def band(b: Int) = {
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $key)) AS bkey FROM s"
+    }
+    s"""$shinglesCte,
+       |th AS (SELECT doc_id, md5(sh) AS h FROM e),
+       |tb AS (SELECT doc_id, h,
+       |        (CASE substr(h, 1, 1) $nibble END) % 8 AS b FROM th),
+       |s AS (SELECT doc_id, $mins FROM tb GROUP BY doc_id),
+       |bd AS (${band(0)} UNION ALL ${band(1)})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bd a JOIN bd b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
   private def simhashPairsSql: String = {
     val bits = 32
     val hexHigh = "('8','9','a','b','c','d','e','f')"
@@ -219,6 +242,7 @@ object DocOracles {
          |WHERE jaccard >= 0.5""".stripMargin,
 
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_minhash_oph" -> minhashOphSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
