@@ -195,6 +195,17 @@ object SparkEntry {
     // J3: time-bounded interval join with correlation risk factors
     "q_interval_join" -> ((s, d) =>
       Joins.intervalJoin(T(s, d)("events"), "user_id", "ts")),
+    // AS-OF join: each event sees the latest signup-derived profile
+    // value at-or-before its event time (point-in-time correctness)
+    "q_asof_join" -> ((s, d) => {
+      val ev = T(s, d)("events")
+      val updates = ev.filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(org.apache.spark.sql.functions.max("value").as("profile_value"))
+      Joins.asOfJoin(
+        ev.select("event_id", "user_id", "ts", "value"),
+        updates, "user_id", "ts", "profile_value")
+    }),
     // J5: banded (bucketed-similarity) join, pre-aggregated per band
     "q_banded_join" -> ((s, d) => {
       val t = T(s, d) _

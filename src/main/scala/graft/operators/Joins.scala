@@ -44,6 +44,41 @@ object Joins {
       .withColumnRenamed("k", "user_id")
   }
 
+  /** AS-OF join (point-in-time lookup): for every left row, the value
+    * of the single most recent right row with `r.ts <= l.ts` on the
+    * same key — the feature-store temporal-correctness join (a profile
+    * as it WAS when the transaction happened, never a future leak).
+    *
+    * Spark has no asof operator; the range-join spelling explodes on
+    * key×time. This is the scale-safe form: union both sides tagged,
+    * one keyed window pass carrying the last non-null right value
+    * forward in (ts, right-before-left) order, keep left rows. One
+    * shuffle, state bounded by the window frame, no pair blow-up.
+    * Right rows must be unique per (key, ts) — pre-aggregate if not.
+    * Ties (update and event at the same ts) include the update,
+    * matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("_is_l", lit(1))
+    val r = left.columns.filterNot(Set(key, ts))
+      .foldLeft(right.select(col(key), col(ts), col(valueCol))) {
+        (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+      .withColumn("_is_l", lit(0))
+      .select(l.columns.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_is_l"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("_is_l") === 1)
+      .drop("_is_l")
+  }
+
   /** J5-style banded join: both sides keyed by a derived amount band,
     * pre-aggregated per band BEFORE the join so the join cardinality
     * is |bands|, not |rows|² — the scale-safe form of the reference's

@@ -345,6 +345,17 @@ object FraudOracles {
     "q_string_features" -> stringFeaturesSql,
     "q_velocity_multi" -> velocitySql,
     "q_interval_join" -> intervalJoinSql,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // implementation (Joins.asOfJoin); >= makes same-instant updates
+    // visible, matching the (ts, right-before-left) sort order.
+    "q_asof_join" ->
+      """WITH upd AS (SELECT user_id, ts, MAX(value) AS profile_value
+        |             FROM events WHERE event_type = 'signup'
+        |             GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, u.profile_value
+        |FROM events e ASOF LEFT JOIN upd u
+        |  ON e.user_id = u.user_id AND e.ts >= u.ts""".stripMargin,
     "q_banded_join" -> bandedJoinSql,
     "q_graph_cooccur" -> coOccurSql,
     "q_event_features" -> featureSql,

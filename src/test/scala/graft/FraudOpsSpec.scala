@@ -27,6 +27,21 @@ class FraudOpsSpec extends AnyFunSuite {
     assert(v(4L) == 1)  // other user unaffected
   }
 
+  test("as-of join: latest at-or-before value, ties include the update") {
+    val left = Seq((1L, 10L, t(0), 1.0), (2L, 10L, t(5), 1.0),
+                   (3L, 10L, t(10), 1.0), (4L, 20L, t(1), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, t(5), 42.0), (10L, t(9), 43.0))
+      .toDF("user_id", "ts", "profile_value")
+    val out = Joins.asOfJoin(left, right, "user_id", "ts", "profile_value")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).isEmpty)          // before any update
+    assert(out(2L).contains(42.0))   // same-instant update visible
+    assert(out(3L).contains(43.0))   // latest, not first
+    assert(out(4L).isEmpty)          // other key untouched
+  }
+
   test("adaptive salt leaves co-occurrence output identical on a hot via") {
     // one via shared by 60 sources (hot at saltCap=16 → g=4 buckets),
     // plus cold vias; pair set must match the direct computation
