@@ -205,12 +205,22 @@ object Dedup {
       sig.withColumn("block", lit(i))
         .withColumn("bkey", expr(s"(simhash DIV ${1L << (i * 8)}) % 256")))
       .reduce(_ unionAll _)
+    // a pair sharing k byte-blocks would join k times — keep it only at
+    // its FIRST shared block (row-local when-chain over the two carried
+    // signatures) instead of paying a distinct shuffle per candidate
+    def byteOf(x: Column, b: Int): Column =
+      expr(s"(${x.toString} DIV ${1L << (b * 8)}) % 256")
+    val firstShared = (1 until 4).foldLeft(
+      when(byteOf(col("a.simhash"), 0) === byteOf(col("b.simhash"), 0), 0)) {
+      (acc, b) => acc.when(
+        byteOf(col("a.simhash"), b) === byteOf(col("b.simhash"), b), b)
+    }
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.block") === firstShared)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

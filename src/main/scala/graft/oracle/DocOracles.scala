@@ -83,10 +83,15 @@ object DocOracles {
        |sb AS (
        |  $blockSel),
        |pr AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sa, b.simhash AS sb
        |  FROM sb a JOIN sb b
-       |    ON a.block = b.block AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |    ON a.block = b.block AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE a.block = (CASE
+       |    WHEN (a.simhash // 1) % 256 = (b.simhash // 1) % 256 THEN 0
+       |    WHEN (a.simhash // 256) % 256 = (b.simhash // 256) % 256 THEN 1
+       |    WHEN (a.simhash // 65536) % 256 = (b.simhash // 65536) % 256 THEN 2
+       |    ELSE 3 END))
        |SELECT doc_a, doc_b,
        |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
        |FROM pr WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
