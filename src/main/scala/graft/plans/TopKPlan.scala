@@ -47,6 +47,7 @@ private[plans] object TopKKernel {
   def topK(it: Iterator[InternalRow], keys: Seq[Expression],
            order: Seq[SortOrder], k: Int,
            output: Seq[Attribute]): Iterator[InternalRow] = {
+    if (k <= 0) return Iterator.empty
     val keyProj = UnsafeProjection.create(keys, output)
     val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
       .create(order, output)
