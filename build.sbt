@@ -16,6 +16,10 @@ run / fork := true
 // default LoggedOutput strategy prefixes every line with [info]/[error],
 // which broke the round-1 bench parse (BENCH_r01.json "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line so the
+// bench JSON printed by graft.Bench really is the LAST stdout line (the
+// round-2 parse failed because [success] came after the JSON).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
