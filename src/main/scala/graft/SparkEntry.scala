@@ -175,7 +175,8 @@ object SparkEntry {
     // embedding-cosine near-dup pairs (sign-band LSH candidates +
     // exact-cosine verify; oracle mirrors the banding)
     "q_emb_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(T(s, d)("embeddings"), threshold = 0.4)),
+      Similarity.nearDupPairs(T(s, d)("embeddings"), threshold = 0.4,
+        bitsPerBand = 8, bands = 8)),
     // token counting (whitespace + BPE-ish regex)
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),

@@ -174,18 +174,25 @@ object Similarity {
     * corpus; the crossJoin form lives on only as [[nearDupPairsExact]],
     * the small-data oracle baseline.
     *
-    * Recall is governed by the threshold regime (measured on the test
-    * embeddings, 64-dim, near-uniform cosine tail): at t=0.4 —
-    * deliberately below the LSH-selective regime — 4-bit × 16 bands
-    * keeps 96.6% recall while examining 64.6% of all pairs; 6×10 drops
-    * to 54% recall at 14.5% of pairs; 8×8 to 27% at 3.1%. At a
-    * production near-dup threshold (t ≥ 0.9, sign-flip probability
-    * acos(t)/π ≈ 0.10/coordinate) 8-bit bands retain ≥ 1-(1-0.43)^8 ≈
-    * 99% recall while background candidates shrink to ~1% of pairs —
-    * the regime this operator is sized for at 100 TB.
+    * The DEFAULT banding (8-bit × 8 bands) is the scale-selective
+    * regime: background (cos≈0) pairs match a band with probability
+    * 2^-8, so candidates ≈ bands/2^bits ≈ 3.1% of all pairs —
+    * measured exactly 3.109% at sf0.01 and 3.084% at sf0.1. That is
+    * the 100 TB shape: candidate volume grows ~0.03·N², not N².
+    * Recall at the benchmarked t=0.4 is partial by design (27%
+    * measured — t=0.4 sits below the LSH-selective threshold for any
+    * banding; the corpus's cosine tail is continuous with NO pair
+    * above 0.7, measured at sf0.01 and sf0.1, so a higher-threshold
+    * benchmark would return the empty set). At a production near-dup
+    * threshold (t ≥ 0.9, sign-flip probability acos(t)/π ≈
+    * 0.10/coordinate) the same 8-bit bands retain ≥ 1-(1-0.43)^8 ≈
+    * 99% recall. The wide-recall alternative (4-bit × 16 bands: 96.6%
+    * recall at t=0.4 but 64.6% of pairs as candidates — Θ(N²), NOT
+    * scale-safe) survives only as the explicitly-parameterized recall
+    * stress test in SimilaritySpec/DocOpsSpec.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
-                   bitsPerBand: Int = 4, bands: Int = 16,
+                   bitsPerBand: Int = 8, bands: Int = 8,
                    dim: Int = Dim): DataFrame = {
     // cached: consumed three times (band projection + both verify sides)
     val all = prepared(embeddings, dim).cache()

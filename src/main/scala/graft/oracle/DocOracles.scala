@@ -160,14 +160,15 @@ object DocOracles {
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
        |WHERE rn <= 3""".stripMargin
 
-  /** Mirror of Similarity.nearDupPairs (4-bit × 16 sign-bit bands +
-    * exact-cosine verify). The band keys are pure sign tests on the
+  /** Mirror of Similarity.nearDupPairs (8-bit × 8 sign-bit bands +
+    * exact-cosine verify — the scale-selective regime, ~3.1% of pairs
+    * as candidates). The band keys are pure sign tests on the
     * double-cast coordinates, so the candidate SET — and therefore the
     * verified output — is identical across engines.
     */
   private def embNearDupSql: String = {
-    val bits = 4
-    val bands = 16
+    val bits = 8
+    val bands = 8
     val bandSel = (0 until bands).map { b =>
       val key = (0 until bits).map(r =>
         s"CASE WHEN v[${b * bits + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")

