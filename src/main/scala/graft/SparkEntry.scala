@@ -149,8 +149,9 @@ object SparkEntry {
     // exact dedup via hash-groupBy
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(T(s, d)("documents"))),
     // 3-gram Jaccard near-dup pairs
+    // scale path: exact Jaccard counted only on MinHash-LSH candidates
     "q_dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(T(s, d)("documents"), threshold = 0.5)),
+      Dedup.jaccardPairsBanded(T(s, d)("documents"), threshold = 0.5)),
     // MinHash + LSH banding candidates
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(T(s, d)("documents"))),
@@ -213,8 +214,12 @@ object SparkEntry {
       Joins.bandedJoin(t("lineitem"), t("part"), width = 100.0)
     }),
     // J7: graph neighborhood co-occurrence (shared-part supplier pairs)
+    // bounded neighborhood contract (graph_neural_network.py:244-315):
+    // >=2 shared parts, top-10 strongest neighbors per supplier via the
+    // native TopK operator — output is O(10·|suppliers|), not Θ(n²)
     "q_graph_cooccur" -> ((s, d) =>
-      Joins.coOccurrence(T(s, d)("lineitem"), "l_suppkey", "l_partkey")),
+      Joins.coOccurrence(T(s, d)("lineitem"), "l_suppkey", "l_partkey",
+        minShared = 2L, topNPerSrc = 10)),
     // §2.6: amount/time feature library
     "q_event_features" -> ((s, d) =>
       FraudQueries.eventFeatures(T(s, d)("events"))),

@@ -60,6 +60,9 @@ object Joins {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String): DataFrame = {
+    require(!left.columns.contains(valueCol),
+      s"asOfJoin would overwrite existing left column '$valueCol' — " +
+        "rename it on one side first")
     import org.apache.spark.sql.expressions.Window
     val l = left
       .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
@@ -144,9 +147,21 @@ object Joins {
     * join; the quadratic pair count per hot via is inherent to the
     * operator, and the salt converts it from one straggler partition
     * into g parallel ones.
+    *
+    * The OUTPUT contract is bounded too — the raw pair set is
+    * Θ(|sources|²) on dense graphs (at sf0.1 all C(1000,2) ≈ 500k
+    * supplier pairs co-occur), but the reference only ever consumes
+    * bounded neighborhoods and degree scalars
+    * (graph_neural_network.py:244-315), so the operator keeps a pair
+    * only when it clears `minShared` co-occurrences and, when
+    * `topNPerSrc` > 0, keeps each source's top-N strongest neighbors
+    * (shared DESC, src_b ASC — deterministic) via the native two-phase
+    * TopK operator, whose partial phase bounds the extra exchange to
+    * N rows per source per partition.
     */
   def coOccurrence(edges: DataFrame, src: String, via: String,
-                   saltCap: Int = 1000): DataFrame = {
+                   saltCap: Int = 1000, minShared: Long = 1L,
+                   topNPerSrc: Int = 0): DataFrame = {
     val e = edges.select(col(src).as("s"), col(via).as("v")).distinct()
     val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val withG = e.join(deg, "v").withColumn("g",
@@ -155,9 +170,16 @@ object Joins {
       explode(sequence(lit(0), col("g") - 1)))
     val b = withG.select(col("s").as("s_b"), col("v").as("v_b"),
       pmod(xxhash64(col("s")), col("g").cast("long")).cast("int").as("salt_b"))
-    a.join(b, col("v") === col("v_b") && col("salt") === col("salt_b") &&
+    val pairs = a.join(b,
+        col("v") === col("v_b") && col("salt") === col("salt_b") &&
         col("s") < col("s_b"))
       .groupBy(col("s").as("src_a"), col("s_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
+    val thresholded =
+      if (minShared > 1L) pairs.filter(col("shared") >= minShared) else pairs
+    if (topNPerSrc > 0)
+      TopN.topPerKeyNative(thresholded, "src_a", "shared", "src_b",
+        topNPerSrc)
+    else thresholded
   }
 }

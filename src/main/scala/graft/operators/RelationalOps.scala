@@ -142,7 +142,18 @@ object TopN {
     * deterministic (and oracle-checkable).
     */
   def recentPerKeyNative(df: DataFrame, key: String, ts: String,
-                         tiebreak: String, n: Int): DataFrame = {
+                         tiebreak: String, n: Int): DataFrame =
+    topPerKeyNative(df, key, ts, tiebreak, n)
+
+  /** Native top-N per key, ordered by (orderCol DESC, tiebreak ASC) —
+    * the general spelling of [[recentPerKeyNative]]; also the output
+    * bound for co-occurrence neighborhoods (Joins.coOccurrence).
+    */
+  def topPerKeyNative(df: DataFrame, key: String, orderCol: String,
+                      tiebreak: String, n: Int,
+                      maxPartialKeys: Int =
+                        graft.plans.PartialTopKExec.DefaultMaxKeys)
+      : DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
@@ -152,10 +163,11 @@ object TopN {
       .find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    val order = Seq(SortOrder(attr(ts), Descending),
+    val order = Seq(SortOrder(attr(orderCol), Descending),
                     SortOrder(attr(tiebreak), Ascending))
     org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark,
-      graft.plans.TopKPerKeyNode(Seq(attr(key)), order, n, analyzed))
+      graft.plans.TopKPerKeyNode(Seq(attr(key)), order, n, analyzed,
+        maxPartialKeys))
   }
 }
 

@@ -53,10 +53,16 @@ object FraudOracles {
        |FROM li JOIN p USING (band)""".stripMargin
 
   private val coOccurSql =
-    """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS v FROM lineitem)
-      |SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS shared
-      |FROM e a JOIN e b ON a.v = b.v AND a.s < b.s
-      |GROUP BY 1, 2""".stripMargin
+    """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS v FROM lineitem),
+      |p AS (SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS shared
+      |      FROM e a JOIN e b ON a.v = b.v AND a.s < b.s
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT src_a, src_b, shared FROM (
+      |  SELECT src_a, src_b, shared,
+      |    ROW_NUMBER() OVER (PARTITION BY src_a
+      |                       ORDER BY shared DESC, src_b) AS rn
+      |  FROM p)
+      |WHERE rn <= 10""".stripMargin
 
   /** Exponent = digits(floor(x))−1 (exact; see Features.amountClusterKey). */
   private val clusterExp =

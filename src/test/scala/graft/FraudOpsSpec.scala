@@ -58,6 +58,21 @@ class FraudOpsSpec extends AnyFunSuite {
     assert(out((1L, 3L)) == 1)
   }
 
+  test("bounded co-occurrence: minShared prunes, topN keeps strongest neighbors") {
+    // (1,2) share 3 vias, (1,3) share 2, (1,4) share 1
+    val edges = (Seq(101L, 102L, 103L).flatMap(v => Seq((1L, v), (2L, v))) ++
+      Seq(104L, 105L).flatMap(v => Seq((1L, v), (3L, v))) ++
+      Seq((1L, 106L), (4L, 106L))).toDF("src", "via")
+    val all = Joins.coOccurrence(edges, "src", "via")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (1L, 4L) -> 1L))
+    // minShared=2 drops (1,4); topNPerSrc=1 keeps only the strongest
+    val bounded = Joins.coOccurrence(edges, "src", "via",
+        minShared = 2L, topNPerSrc = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bounded == Map((1L, 2L) -> 3L))
+  }
+
   test("velocity 1h horizon accumulates past the 5min one") {
     val ev = Seq((1L, 1L, t(0), 1.0), (2L, 1L, t(30), 1.0), (3L, 1L, t(59), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
