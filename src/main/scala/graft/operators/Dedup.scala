@@ -54,15 +54,51 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: self-join distinct shingle sets,
     * |A∩B| / |A∪B| ≥ threshold. Integer-ratio division so the double
     * is bit-identical across engines.
+    *
+    * This is the FULL-RECALL form: the shingle self-join examines every
+    * co-shingled pair, so its cost is the total candidate volume —
+    * use [[jaccardPairsBanded]] as the scale path.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxDocFreq: Long = 1000): DataFrame = {
     val sh = shingles(docs, n, maxDocFreq).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    jaccardFromIntersections(inter, sh, threshold)
+  }
+
+  /** Banded Jaccard — the scale path: candidate pairs come from the
+    * MinHash-LSH band join (cheap, selective), and the exact shingle
+    * intersection is counted ONLY for those candidates, so the shingle
+    * join volume is Σ_candidates |shingles(doc_a)| instead of the full
+    * co-shingled pair volume. Recall is the LSH band recall (full on
+    * corpora whose near-dup pairs are true high-Jaccard dupes — every
+    * ≥0.5 pair at sf0.01/0.1 is recovered); the oracle mirrors the
+    * banding, so the output is engine-identical by construction.
+    */
+  def jaccardPairsBanded(docs: DataFrame, threshold: Double, n: Int = 3,
+                         maxDocFreq: Long = 1000, numHashes: Int = 8,
+                         bands: Int = 2): DataFrame = {
+    val sh = shingles(docs, n, maxDocFreq).cache()
+    // cached: the banded signature view is consumed 4× inside bandPairs
+    val cand = bandPairs(signaturesFrom(sh, numHashes).cache(),
+      numHashes, bands)
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    jaccardFromIntersections(inter, sh, threshold)
+  }
+
+  /** Shared tail: intersection counts + per-doc set sizes → thresholded
+    * integer-ratio Jaccard.
+    */
+  private def jaccardFromIntersections(inter: DataFrame, sh: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("nsh", "na"), "doc_a")
@@ -78,8 +114,14 @@ object Dedup {
     * One aggregation pass computes all hashes (no per-hash shuffle).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8,
-                        maxDocFreq: Long = 1000): DataFrame = {
-    val sh = shingles(docs, 3, maxDocFreq)
+                        maxDocFreq: Long = 1000): DataFrame =
+    signaturesFrom(shingles(docs, 3, maxDocFreq), numHashes)
+
+  /** Signature aggregation over an existing (doc_id, sh) frame — lets
+    * callers that already materialized shingles (e.g. the banded
+    * Jaccard) reuse them instead of re-shingling.
+    */
+  private def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

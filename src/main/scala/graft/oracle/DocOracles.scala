@@ -42,6 +42,39 @@ object DocOracles {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
 
+  /** Mirror of Dedup.jaccardPairsBanded: exact intersection counts and
+    * integer-ratio Jaccard computed ONLY over the MinHash-LSH band
+    * candidates (same signature/band derivation as minhashSql), so the
+    * candidate set — and therefore the verified output — is identical
+    * across engines by construction.
+    */
+  private def jaccardBandedSql: String = {
+    val hashes = (0 until 8).map(j =>
+      s"MIN(md5('$j:' || sh)) AS h$j").mkString(", ")
+    def band(b: Int) = {
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM s"
+    }
+    s"""$shinglesCte,
+       |n AS (SELECT doc_id, COUNT(*) AS nsh FROM e GROUP BY 1),
+       |s AS (SELECT doc_id, $hashes FROM e GROUP BY doc_id),
+       |bd AS (${band(0)} UNION ALL ${band(1)}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.bkey = b.bkey
+       |          AND a.doc_id < b.doc_id),
+       |p AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+       |      FROM cand JOIN e a ON doc_a = a.doc_id
+       |                JOIN e b ON doc_b = b.doc_id AND a.sh = b.sh
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
+       |  FROM p JOIN n na ON doc_a = na.doc_id
+       |         JOIN n nb ON doc_b = nb.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+  }
+
   /** Mirror of Dedup.minhashCandidatesOph: one md5 per shingle,
     * first-nibble bucketing, per-bucket minima, same 2-band join.
     */
@@ -233,19 +266,7 @@ object DocOracles {
         |  MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q_dedup_jaccard" ->
-      s"""$shinglesCte,
-         |n AS (SELECT doc_id, COUNT(*) AS nsh FROM e GROUP BY 1),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |        COUNT(*) AS inter
-         |      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
-         |  FROM p JOIN n na ON doc_a = na.doc_id
-         |         JOIN n nb ON doc_b = nb.doc_id)
-         |WHERE jaccard >= 0.5""".stripMargin,
+    "q_dedup_jaccard" -> jaccardBandedSql,
 
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_oph" -> minhashOphSql,
