@@ -96,4 +96,31 @@ class CatalystSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaNative == viaWindow)
   }
+
+  test("TopK partial key overflow: rows pass through, metric records them") {
+    // AQE off so the executed plan is a plain tree we can collect on
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val events = graft.sources.Tables(spark, sf, "events")
+      val capped = graft.operators.TopN
+        .topPerKeyNative(events, "user_id", "ts", "event_id", 3,
+          maxPartialKeys = 1)
+      val viaWindow = graft.operators.TopN
+        .recentPerKey(events, "user_id", "ts", "event_id", 3)
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // collect capped ITSELF (not a derived projection) so the metric
+      // lands on this exact query execution
+      val viaCapped = capped.collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+        .toSet
+      assert(viaCapped == viaWindow)
+      val partial = capped.queryExecution.executedPlan.collect {
+        case p: graft.plans.PartialTopKExec => p
+      }.head
+      assert(partial.metrics("passThroughRows").value > 0,
+        "expected overflow pass-through rows with maxPartialKeys=1")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

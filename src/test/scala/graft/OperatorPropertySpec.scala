@@ -78,4 +78,25 @@ class OperatorPropertySpec extends AnyFunSuite {
       native == expected
     })
   }
+
+  test("TopK partial-phase key-overflow fallback preserves results") {
+    // maxPartialKeys=1: all but one key per partition pass through the
+    // partial phase untrimmed; the final phase must still produce the
+    // exact per-key top-k
+    check(Prop.forAll(genEvents, Gen.choose(1, 5)) { (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, t, v), i) =>
+          (i.toLong, key, new Timestamp(t * 1000), v) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val capped = TopN.topPerKeyNative(df, "user_id", "ts", "event_id", k,
+          maxPartialKeys = 1)
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = TopN.recentPerKeyNative(df, "user_id", "ts",
+          "event_id", k)
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      capped == uncapped
+    })
+  }
 }
