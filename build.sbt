@@ -20,6 +20,9 @@ run / outputStrategy := Some(StdoutOutput)
 // bench JSON printed by graft.Bench really is the LAST stdout line (the
 // round-2 parse failed because [success] came after the JSON).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint so builds stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

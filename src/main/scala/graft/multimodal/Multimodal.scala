@@ -126,7 +126,10 @@ object Multimodal {
           else try {
             Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(row.bytes)))
-          } catch { case _: java.io.IOException => None }
+            // codecs throw RuntimeExceptions too (IndexOutOfBounds /
+            // IllegalArgument on truncated headers) — NonFatal keeps
+            // the partly-corrupt-corpus guarantee honest
+          } catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case Some(im) =>
             val hist = new Array[Float](dim)

@@ -46,12 +46,13 @@ object StatefulOps {
     * transactional broker).
     */
   def writeBatchIdempotent(batch: org.apache.spark.sql.DataFrame, id: Long,
-                           path: String): Unit = {
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                           path: String): Unit =
     batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-  }
+      .write.mode("overwrite")
+      // per-write option, NOT a session-conf mutation — overwrite
+      // semantics of unrelated writers in the same app stay untouched
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
 
   def toIdempotentParquet(df: org.apache.spark.sql.DataFrame, path: String,
                           checkpoint: String) =
