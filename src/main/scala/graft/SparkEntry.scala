@@ -129,6 +129,22 @@ object SparkEntry {
       OlapQueries.disjunctiveRevenue(t("lineitem"), t("part"))
     }),
     // correlated scalar subquery shape (max per customer, Q2 flavor)
+    // TPC-H Q15 shape: revenue view + scalar-max top supplier
+    "q_top_supplier" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.topSupplierRevenue(t("supplier"), t("lineitem"))
+    }),
+    // TPC-H Q20 shape: nested semi-join with correlated aggregate
+    "q_share_supplier" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.significantShareSuppliers(t("supplier"), t("part"),
+        t("lineitem"))
+    }),
+    // TPC-H Q22 shape: scalar-avg subquery + anti join
+    "q_dormant_customers" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.dormantRichCustomers(t("customer"), t("orders"))
+    }),
     "q_max_order" -> ((s, d) =>
       OlapQueries.maxOrderPerCustomer(T(s, d)("orders"))),
     // data-quality expectation suite (one-pass rules + FK orphans)
@@ -228,6 +244,15 @@ object SparkEntry {
       FraudQueries.fraudScoring(T(s, d)("events"))),
     // A11: ensemble combiners
     "q_ensemble" -> ((s, d) => FraudQueries.ensemble(T(s, d)("events"))),
+    // A11 full breadth: 4 heterogeneous model families through all
+    // three combiners (model_manager.py dispatch analog)
+    "q_ensemble_multi" -> ((s, d) =>
+      FraudQueries.ensembleMulti(T(s, d)("events"))),
+    // per-prediction feature attributions, top-3 via native TopK
+    "q_model_explain" -> ((s, d) =>
+      FraudQueries.modelExplain(T(s, d)("events"))),
+    // A/B analog: hash variant assignment + two-proportion z-test
+    "q_ab_test" -> ((s, d) => FraudQueries.abTest(T(s, d)("events"))),
     // MLlib PipelineModel inference (published LR via .transform) +
     // model/rule ensemble
     "q_model_score" -> ((s, d) => FraudQueries.modelScore(T(s, d)("events"))),
@@ -552,6 +577,45 @@ object SparkEntry {
         |  COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
         |FROM customer b FULL OUTER JOIN upd u
         |  ON b.c_custkey = u.c_custkey""".stripMargin,
+
+    "q_top_supplier" ->
+      s"""WITH revenue0 AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)"""
+        .stripMargin,
+
+    "q_share_supplier" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey
+        |  FROM (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_ps
+        |        FROM lineitem GROUP BY 1, 2) ps
+        |  WHERE ps.qty_ps > CAST(0.2 AS DOUBLE) * (
+        |      SELECT SUM(l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = ps.l_partkey)
+        |    AND ps.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE '%a%'))""".stripMargin,
+
+    "q_dormant_customers" ->
+      s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS n_cust,
+         |  ${dsum("c_acctbal")} AS total_bal
+         |FROM customer c
+         |WHERE c_acctbal > (
+         |    SELECT ${davg("c_acctbal")} FROM customer
+         |    WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate <
+         |                        TIMESTAMP '1996-01-01 00:00:00')
+         |GROUP BY 1""".stripMargin,
 
     "q_max_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

@@ -124,7 +124,14 @@ object FraudModel {
       graft.functions.Scoring.ruleScore(Seq(
         (a > 1500.0) -> 0.5,
         graft.functions.Features.isNight(t) -> 0.25,
-        graft.functions.Features.isWeekend(t) -> 0.25)))))
+        graft.functions.Features.isWeekend(t) -> 0.25)))),
+    // deterministic analogs of the reference's learned families
+    // (model_manager.py:279-307): frozen tree ensemble (xgboost) and
+    // isolation-depth anomaly score (isolation_forest)
+    "tree_ensemble" -> ((df, a, t) => df.withColumn("p_fraud",
+      DeterministicModels.treeEnsembleScore(a, t))),
+    "isolation_forest" -> ((df, a, t) => df.withColumn("p_fraud",
+      DeterministicModels.isolationScore(a, t))))
 
   /** Dispatch by model name; unknown names fall back to the default
     * model, matching the reference's ModelManager fallback.

@@ -62,6 +62,91 @@ object FraudQueries {
       Scoring.confidenceWeighted(Seq(s1, s2, s3)).as("ens_conf"))
   }
 
+  /** A11 at full breadth: FOUR heterogeneous model families — the
+    * columnar LR (learned, frozen weights), the frozen tree ensemble
+    * (xgboost analog), the config-weighted rule model, and the
+    * isolation-depth anomaly score — combined with all three ensemble
+    * combiners, mirroring model_manager.py:279-307 dispatch feeding
+    * ensemble_predictor.py:252-323. Only the LR member crosses libm
+    * (sigmoid) and is rounded at 6dp; every other member and all
+    * combiner math is exact rational column algebra.
+    */
+  def ensembleMulti(events: DataFrame): DataFrame = {
+    import graft.ml.DeterministicModels
+    val scored = graft.ml.FraudModel.scoreColumnar(
+      graft.sources.Par.fan(events), col("value"), col("ts"))
+    val lr = round(col("p_fraud"), 6)
+    val tree = DeterministicModels.treeEnsembleScore(col("value"), col("ts"))
+    val rule = Scoring.ruleScore(Seq(
+      (col("value") > 1500.0) -> 0.5,
+      F.isNight(col("ts")) -> 0.25,
+      F.isWeekend(col("ts")) -> 0.25))
+    val iso = DeterministicModels.isolationScore(col("value"), col("ts"))
+    val members = Seq(lr, tree, rule, iso)
+    scored.select(col("event_id"),
+      lr.as("m_lr"), tree.as("m_tree"), rule.as("m_rule"), iso.as("m_iso"),
+      Scoring.weightedAverage(
+          Seq(lr -> 0.4, tree -> 0.3, rule -> 0.15, iso -> 0.15))
+        .as("ens_wavg"),
+      Scoring.majorityVote(members).as("ens_vote"),
+      Scoring.confidenceWeighted(members).as("ens_conf"))
+  }
+
+  /** Per-prediction explanation surface
+    * (ensemble_predictor.py:371-435: top feature importances per
+    * prediction): each LR feature's signed contribution w_i·x_i,
+    * ranked per event by |contribution| through the native TopK
+    * operator (shuffle volume k rows per event per partition, not the
+    * full long-form frame). Deterministic: ties broken by feature
+    * name; all contribution math is exact products of exact features
+    * with the frozen published weights.
+    */
+  def modelExplain(events: DataFrame, k: Int = 3): DataFrame = {
+    import graft.ml.FraudModel
+    val contribs = FraudModel.featureColumns(col("value"), col("ts"))
+      .zip(FraudModel.PublishedWeights)
+      .map { case ((name, c), w) =>
+        struct(lit(name).as("feature"), (c * lit(w)).as("contribution"))
+      }
+    val longForm = graft.sources.Par.fan(events)
+      .select(col("event_id"), explode(array(contribs: _*)).as("fc"))
+      .select(col("event_id"), col("fc.feature").as("feature"),
+              col("fc.contribution").as("contribution"))
+      .withColumn("abs_c", abs(col("contribution")))
+    TopN.topPerKeyNative(longForm, "event_id", "abs_c", "feature", k)
+      .select("event_id", "feature", "contribution")
+  }
+
+  /** A/B-testing analog (testing/ab_testing.py:1-100): deterministic
+    * hash-based variant assignment (md5 first hex digit splits 50/50 —
+    * engine-independent) and a two-proportion z-test over conversion
+    * aggregates as pure column math. The z statistic is exact-shape
+    * IEEE arithmetic (integer ratios, one sqrt — correctly rounded in
+    * both engines) but rounded at 6dp out of caution; significance at
+    * |z| > 1.96.
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val isControl =
+      substring(md5(col("user_id").cast("string")), 1, 1) < "8"
+    val converted = col("value") > 100.0
+    val agg = events.agg(
+      count(when(isControl, 1)).as("n_control"),
+      count(when(!isControl, 1)).as("n_treatment"),
+      count(when(isControl && converted, 1)).as("conv_control"),
+      count(when(!isControl && converted, 1)).as("conv_treatment"))
+    val pC = col("conv_control").cast("double") / col("n_control")
+    val pT = col("conv_treatment").cast("double") / col("n_treatment")
+    val pPool = (col("conv_control") + col("conv_treatment")).cast("double") /
+      (col("n_control") + col("n_treatment"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_control") + lit(1.0) / col("n_treatment")))
+    agg.select(col("n_control"), col("n_treatment"),
+      col("conv_control"), col("conv_treatment"),
+      pC.as("p_control"), pT.as("p_treatment"),
+      round((pC - pT) / se, 6).as("z_r"))
+      .withColumn("significant", abs(col("z_r")) > 1.96)
+  }
+
   /** Geo features over synthetic-but-deterministic coordinates derived
     * from event values: grid key (A4), high-risk predicate, haversine
     * distance to a fixed point (rounded: libm trig is not

@@ -197,24 +197,31 @@ object FraudOracles {
     * MLlib's BLAS ddot — pinned by MlSpec), sigmoid rounded at 6dp
     * (libm exp), ensemble over the rounded probability.
     */
-  private def modelScoreSql: String = {
-    // Every literal is cast to DOUBLE: a bare multi-digit literal is a
-    // DECIMAL in DuckDB, DECIMAL products stay decimal, and DuckDB's
-    // DECIMAL→DOUBLE cast is not correctly rounded (1-ulp drift).
-    def D(x: Double) = s"CAST($x AS DOUBLE)"
-    def flag(pred: String) =
-      s"CAST(CASE WHEN $pred THEN 1 ELSE 0 END AS DOUBLE)"
-    val w = graft.ml.FraudModel.PublishedWeights
-    val b = graft.ml.FraudModel.PublishedIntercept
-    val feats = Seq(
-      s"value / ${D(1000.0)}",
-      s"CAST(hour(ts) AS DOUBLE) / ${D(24.0)}",
-      flag("dayofweek(ts) IN (0, 6)"),
-      flag(s"value < ${D(3.0)}"),
-      flag(s"value > ${D(1500.0)}"))
-    val margin = feats.zip(w)
+  // Every literal is cast to DOUBLE: a bare multi-digit literal is a
+  // DECIMAL in DuckDB, DECIMAL products stay decimal, and DuckDB's
+  // DECIMAL→DOUBLE cast is not correctly rounded (1-ulp drift).
+  private def D(x: Double) = s"CAST($x AS DOUBLE)"
+  private def flag(pred: String) =
+    s"CAST(CASE WHEN $pred THEN 1 ELSE 0 END AS DOUBLE)"
+
+  /** LR feature expressions over the events table — mirror of
+    * FraudModel.featureColumns on (value, ts), in weight order.
+    */
+  private def lrFeatSql: Seq[String] = Seq(
+    s"value / ${D(1000.0)}",
+    s"CAST(hour(ts) AS DOUBLE) / ${D(24.0)}",
+    flag("dayofweek(ts) IN (0, 6)"),
+    flag(s"value < ${D(3.0)}"),
+    flag(s"value > ${D(1500.0)}"))
+
+  /** Left-associated margin chain — bit-identical to MLlib BLAS ddot. */
+  private def lrMarginSql: String =
+    lrFeatSql.zip(graft.ml.FraudModel.PublishedWeights)
       .map { case (f, wi) => s"($f) * ${D(wi)}" }.mkString(" + ") +
-      s" + ${D(b)}"
+      s" + ${D(graft.ml.FraudModel.PublishedIntercept)}"
+
+  private def modelScoreSql: String = {
+    val margin = lrMarginSql
     val rule = Seq(
       s"value > ${D(150.0)}" -> 0.25,
       "event_type = 'error'" -> 0.2,
@@ -236,6 +243,91 @@ object FraudOracles {
        |  CASE WHEN p_model_r >= ${D(0.5)} THEN 'REVIEW' ELSE 'APPROVE' END
        |    AS model_decision
        |FROM p""".stripMargin
+  }
+
+  /** Mirror of FraudQueries.ensembleMulti: four heterogeneous members
+    * (LR sigmoid rounded at 6dp — the only libm crossing; tree
+    * ensemble, rule score, isolation score all exact rational via the
+    * dual-rendered DeterministicModels DSL) + the three combiners.
+    */
+  private def ensembleMultiSql: String = {
+    import graft.ml.DeterministicModels
+    val tree = DeterministicModels.treeEnsembleSql("value", "ts")
+    val iso = DeterministicModels.isolationScoreSql("value", "ts")
+    val rule = Seq(
+      s"value > ${D(1500.0)}" -> 0.5,
+      "(hour(ts) <= 6 OR hour(ts) >= 22)" -> 0.25,
+      "dayofweek(ts) IN (0, 6)" -> 0.25)
+      .map { case (p, wt) => s"${flag(p)} * ${D(wt)}" }.mkString(" + ")
+    val members = Seq("m_lr", "m_tree", "m_rule", "m_iso")
+    val wavgNum = members.zip(Seq(0.4, 0.3, 0.15, 0.15))
+      .map { case (m, wt) => s"$m * ${D(wt)}" }.mkString(" + ")
+    val wavgDen = Seq(0.4, 0.3, 0.15, 0.15).map(D).mkString(" + ")
+    val votes = members
+      .map(m => s"CASE WHEN $m > ${D(0.5)} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def conf(m: String) = s"(ABS($m - ${D(0.5)}) * ${D(2.0)})"
+    val confNum = members.map(m => s"$m * ${conf(m)}").mkString(" + ")
+    val confDen = members.map(conf).mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT event_id,
+       |    ROUND(${D(1.0)} / (${D(1.0)} + EXP(-($lrMarginSql))), 6) AS m_lr,
+       |    $tree AS m_tree,
+       |    GREATEST(${D(0.0)}, LEAST(${D(1.0)}, $rule)) AS m_rule,
+       |    $iso AS m_iso
+       |  FROM events)
+       |SELECT event_id, m_lr, m_tree, m_rule, m_iso,
+       |  ($wavgNum) / ($wavgDen) AS ens_wavg,
+       |  CAST(($votes) >= 3 AS INTEGER) AS ens_vote,
+       |  CASE WHEN ($confDen) > ${D(0.0)}
+       |       THEN ($confNum) / ($confDen) ELSE ${D(0.5)} END AS ens_conf
+       |FROM m""".stripMargin
+  }
+
+  /** Mirror of FraudQueries.modelExplain: per-feature signed LR
+    * contributions (w_i·x_i, exact products), long form via UNION ALL,
+    * top-3 per event by |contribution| with feature-name tiebreak.
+    */
+  private def modelExplainSql: String = {
+    val arms = graft.ml.FraudModel.FeatureNames.zip(lrFeatSql)
+      .zip(graft.ml.FraudModel.PublishedWeights)
+      .map { case ((name, f), wi) =>
+        s"SELECT event_id, '$name' AS feature, ($f) * ${D(wi)} AS contribution FROM events"
+      }.mkString("\n  UNION ALL\n  ")
+    s"""WITH lf AS (
+       |  $arms)
+       |SELECT event_id, feature, contribution FROM (
+       |  SELECT event_id, feature, contribution,
+       |    ROW_NUMBER() OVER (PARTITION BY event_id
+       |      ORDER BY ABS(contribution) DESC, feature) AS rn
+       |  FROM lf)
+       |WHERE rn <= 3""".stripMargin
+  }
+
+  /** Mirror of FraudQueries.abTest: md5-first-hex-digit variant split,
+    * two-proportion z-test as exact-shape column math, z rounded 6dp.
+    */
+  private def abTestSql: String = {
+    val isControl = "substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'"
+    val conv = s"value > ${D(100.0)}"
+    val pC = "CAST(conv_control AS DOUBLE) / n_control"
+    val pT = "CAST(conv_treatment AS DOUBLE) / n_treatment"
+    val pPool =
+      "CAST(conv_control + conv_treatment AS DOUBLE) / (n_control + n_treatment)"
+    val se = s"SQRT(($pPool) * (${D(1.0)} - ($pPool)) * " +
+      s"(${D(1.0)} / n_control + ${D(1.0)} / n_treatment))"
+    s"""WITH a AS (
+       |  SELECT
+       |    COUNT(*) FILTER (WHERE $isControl) AS n_control,
+       |    COUNT(*) FILTER (WHERE NOT ($isControl)) AS n_treatment,
+       |    COUNT(*) FILTER (WHERE ($isControl) AND ($conv)) AS conv_control,
+       |    COUNT(*) FILTER (WHERE NOT ($isControl) AND ($conv)) AS conv_treatment
+       |  FROM events)
+       |SELECT n_control, n_treatment, conv_control, conv_treatment,
+       |  $pC AS p_control, $pT AS p_treatment,
+       |  ROUND((($pC) - ($pT)) / ($se), 6) AS z_r,
+       |  ABS(ROUND((($pC) - ($pT)) / ($se), 6)) > ${D(1.96)} AS significant
+       |FROM a""".stripMargin
   }
 
   private val periodCase =
@@ -367,6 +459,9 @@ object FraudOracles {
     "q_event_features" -> featureSql,
     "q_fraud_scoring" -> scoringSql,
     "q_ensemble" -> ensembleSql,
+    "q_ensemble_multi" -> ensembleMultiSql,
+    "q_model_explain" -> modelExplainSql,
+    "q_ab_test" -> abTestSql,
     "q_geo_features" -> geoSql,
   )
 }

@@ -87,4 +87,31 @@ class MlSpec extends AnyFunSuite {
     val viaRules = FraudModel.scoreWith("rule_based", df, col("amount"), col("ts"))
     assert(viaRules.select("p_fraud").collect().head.getDouble(0) == 0.0)
   }
+
+  test("deterministic model families: tree ensemble and isolation score") {
+    import spark.implicits._
+    def p(name: String, amount: Double, hour: Int): Double = {
+      val df = Seq((1L, amount,
+        java.sql.Timestamp.valueOf(f"2024-01-03 $hour%02d:00:00"))) // a Wednesday
+        .toDF("id", "amount", "ts")
+      FraudModel.scoreWith(name, df, col("amount"), col("ts"))
+        .select("p_fraud").head().getDouble(0)
+    }
+    // tree ensemble: big night amount hits the high leaves of all trees
+    // (0.9 + 0.55 + 0.75)/3; quiet weekday lunch hits the low leaves
+    // (0.1 + 0.05 + 0.15)/3
+    assert(p("tree_ensemble", 1600.0, 23) == (0.9 + 0.55 + 0.75) / 3.0)
+    assert(p("tree_ensemble", 57.3, 12) == (0.1 + 0.05 + 0.15) / 3.0)
+    // isolation: extreme amount at night isolates at depth 1 in both
+    // trees -> max anomaly 1.0; mundane row reaches full depth -> 0.0
+    assert(p("isolation_forest", 1900.0, 23) == 1.0)
+    assert(p("isolation_forest", 57.3, 12) == 0.0)
+    // scores stay in [0,1] on real data
+    val ev = sources.Tables(spark, sf, "events")
+    val bad = FraudModel.scoreWith("isolation_forest", ev, col("value"), col("ts"))
+      .filter(col("p_fraud") < 0.0 || col("p_fraud") > 1.0).count() +
+      FraudModel.scoreWith("tree_ensemble", ev, col("value"), col("ts"))
+        .filter(col("p_fraud") < 0.0 || col("p_fraud") > 1.0).count()
+    assert(bad == 0L)
+  }
 }
