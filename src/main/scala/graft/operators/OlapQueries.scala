@@ -129,6 +129,71 @@ object OlapQueries {
            countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** TPC-H Q15 shape: the revenue view + top-supplier selection via a
+    * scalar-max subquery. The "subquery" is a 1-row aggregate
+    * broadcast against the view — one keyed shuffle for the view, no
+    * second pass over lineitem, ties kept (deterministic: exact-sum
+    * revenue doubles, so the max comparison is bit-stable).
+    */
+  def topSupplierRevenue(supplier: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(supplier, col("s_suppkey") === col("supplier_no"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q20 shape (adapted — the schema has no partsupp):
+    * suppliers carrying a significant share (> 20%) of a targeted
+    * part's shipped volume — the nested semi-join whose inner
+    * predicate compares against a CORRELATED aggregate (per-part
+    * total). Both aggregates are one pass each over lineitem;
+    * l_quantity is integral so bare sums are exact in any engine.
+    */
+  def significantShareSuppliers(supplier: DataFrame, part: DataFrame,
+                                lineitem: DataFrame): DataFrame = {
+    val target = part.filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"))
+    val ps = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty_ps"))
+    val pt = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("qty_p"))
+    val cand = ps.join(pt, col("l_partkey") === col("pk"))
+      .filter(col("qty_ps") > lit(0.2) * col("qty_p"))
+      .join(target, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey"))
+    supplier
+      .join(cand, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** TPC-H Q22 shape: customers with above-average balance (scalar avg
+    * subquery, exact via davg) and NO orders in the first year (anti
+    * join — every customer in this corpus eventually orders, so the
+    * dormancy window makes the anti side non-trivial), rolled up by
+    * nation (standing in for Q22's phone-prefix country code). The
+    * window filter sits INSIDE the anti side so it prunes at the scan.
+    */
+  def dormantRichCustomers(customer: DataFrame,
+                           orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    customer
+      .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(orders
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
   /** TPC-H Q19 shape: disjunctive brand/quantity predicate over the
     * part join — OR-of-ANDs that must still prune at the scan.
     */
