@@ -198,6 +198,15 @@ object SparkEntry {
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),
     // quality scoring
+    // deterministic 80/10/10 train/val/test assignment + split stats
+    "q_data_split" -> ((s, d) =>
+      TextAnalysis.datasetSplit(T(s, d)("documents"))),
+    // composed curation pipeline: dedup-canonical + lang-agree + quality
+    "q_corpus_curate" -> ((s, d) =>
+      TextAnalysis.curateCorpus(T(s, d)("documents"))),
+    // TF-IDF keyword extraction, top-3 per doc via native TopK
+    "q_tfidf_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(T(s, d)("documents"))),
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(T(s, d)("documents"))),
     // stopword language heuristic

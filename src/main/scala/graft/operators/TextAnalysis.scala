@@ -78,6 +78,73 @@ object TextAnalysis {
       col("lang").as("labeled_lang"))
   }
 
+  /** Deterministic train/val/test assignment (the split every
+    * training-data pipeline needs): md5 over a salted doc key, first
+    * two hex digits partition the 256-bucket space 204/26/26
+    * (≈ 80/10/10) — hex-string comparison, engine-independent, stable
+    * under reprocessing and insensitive to row order or partitioning.
+    * Output: per-split document count, token volume, mean quality.
+    */
+  def datasetSplit(docs: DataFrame): DataFrame = {
+    import graft.functions.ExactAgg.davg
+    val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+    val split = when(substring(h, 1, 2) < "cc", "train")
+      .when(substring(h, 1, 2) < "e6", "val")
+      .otherwise("test")
+    qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .withColumn("split", split)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        davg(col("quality")).as("avg_quality"))
+  }
+
+  /** End-to-end corpus curation — the composed cleaning pipeline a
+    * pretraining corpus goes through: keep a document iff it is the
+    * canonical copy of its exact-dup group (min doc_id), its
+    * stopword-heuristic language agrees with its label, and its
+    * quality score clears the bar; report per-language volume. One
+    * scan each for quality/langid (fused column algebra), one
+    * hash-groupBy for dedup, one semi join, one final rollup.
+    */
+  def curateCorpus(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    import graft.functions.ExactAgg.davg
+    val q = qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val l = langId(docs)
+    val keepers = Dedup.exactGroups(docs).select(col("keep_id"))
+    q.join(l, "doc_id")
+      .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
+      .filter(col("quality") >= minQuality &&
+        col("predicted_lang") === col("labeled_lang"))
+      .groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        davg(col("quality")).as("avg_quality"))
+  }
+
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * tf·round(ln((N+1)/(df+1)), 6) — the idf is the only libm
+    * crossing and is rounded BEFORE the product, so every tfidf
+    * double (and therefore the ranking) is exact across engines. The
+    * per-doc top-k runs through the native TopK operator: shuffle
+    * volume is k terms per doc per partition, not the full
+    * (doc, term) frame.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = fan(docs).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs_total"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast(DoubleType) *
+        round(log((col("n_docs_total") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    TopN.topPerKeyNative(scored, "doc_id", "tfidf", "term", k)
+      .select("doc_id", "term", "tfidf")
+  }
+
   /** Document fingerprint: min md5 over all 8-char rolling windows
     * (winnowing-style content fingerprint, rolling-hash analog).
     */

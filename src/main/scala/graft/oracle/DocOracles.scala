@@ -260,7 +260,74 @@ object DocOracles {
        |FROM b""".stripMargin
   }
 
+  /** Exact mean via scaled-BIGINT sum / count — mirror of
+    * ExactAgg.davg (dsum(x, 4) / count).
+    */
+  private def davgSql(x: String): String =
+    s"((CAST(SUM(CAST(ROUND(($x) * 1.0e4, 0) AS BIGINT)) AS DOUBLE) / 1.0e4) / COUNT($x))"
+
+  /** Mirror of TextAnalysis.datasetSplit: salted-md5 two-hex-digit
+    * bucket split (train < 'cc' ≤ val < 'e6' ≤ test) over the quality
+    * frame.
+    */
+  private def datasetSplitSql: String =
+    s"""WITH q AS ($qualitySql),
+       |s AS (SELECT doc_id, n_tokens, quality,
+       |        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+       |               THEN 'train'
+       |             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |               THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM q)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  ${davgSql("quality")} AS avg_quality
+       |FROM s GROUP BY 1""".stripMargin
+
+  /** Mirror of TextAnalysis.curateCorpus: canonical-copy semi join
+    * (min doc_id per exact text hash) + lang agreement + quality bar,
+    * rolled up per labeled language.
+    */
+  private def curateSql: String =
+    s"""WITH q AS ($qualitySql),
+       |lng AS ($langIdSql),
+       |keep AS (SELECT MIN(doc_id) AS keep_id FROM documents
+       |         GROUP BY md5(text))
+       |SELECT labeled_lang AS lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  ${davgSql("quality")} AS avg_quality
+       |FROM q JOIN lng USING (doc_id)
+       |WHERE doc_id IN (SELECT keep_id FROM keep)
+       |  AND quality >= CAST(0.5 AS DOUBLE)
+       |  AND predicted_lang = labeled_lang
+       |GROUP BY 1""".stripMargin
+
+  /** Mirror of TextAnalysis.tfidfTopTerms: idf rounded at 6dp BEFORE
+    * the tf product (the only libm crossing), rank on the exact
+    * product with term tiebreak.
+    */
+  private def tfidfSql: String =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs_total FROM documents),
+      |s AS (SELECT doc_id, term,
+      |        CAST(tf AS DOUBLE) *
+      |          ROUND(LN((n_docs_total + CAST(1.0 AS DOUBLE))
+      |                   / (df + CAST(1.0 AS DOUBLE))), 6) AS tfidf
+      |      FROM tf JOIN dfr USING (term), n)
+      |SELECT doc_id, term, tfidf FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY tfidf DESC, term) AS rn
+      |  FROM s)
+      |WHERE rn <= 3""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_data_split" -> datasetSplitSql,
+    "q_corpus_curate" -> curateSql,
+    "q_tfidf_terms" -> tfidfSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_id

@@ -96,6 +96,31 @@ class DocOpsSpec extends AnyFunSuite {
     assert(Similarity.nearDupPairs(emb, 0.4).count() > 0)
   }
 
+  test("dataset split partitions the whole corpus, train majority") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val out = TextAnalysis.datasetSplit(docs).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(out.values.sum == docs.count())
+    assert(out.keySet.subsetOf(Set("train", "val", "test")))
+    assert(out("train") > out.getOrElse("val", 0L) &&
+           out("train") > out.getOrElse("test", 0L))
+    // deterministic: a second run assigns identically
+    val again = TextAnalysis.datasetSplit(docs).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(again == out)
+  }
+
+  test("corpus curation keeps one canonical copy and lang-agreeing docs") {
+    val d = Seq(
+      (1L, "the and of to in is a for good text", "en"),
+      (2L, "the and of to in is a for good text", "en"), // exact dup of 1
+      (3L, "der und das ist ein zu mit der und das", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.curateCorpus(d, minQuality = 0.0).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map("en" -> 1L, "de" -> 1L)) // dup collapsed, langs agree
+  }
+
   test("langid is deterministic and prefers matching stopwords") {
     val d = Seq((1L, "der und das ist ein test", "de"),
                 (2L, "the of and is a to", "en"))
