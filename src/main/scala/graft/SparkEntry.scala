@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.functions.OracleSql._
 import graft.operators._
@@ -262,6 +263,18 @@ object SparkEntry {
       FraudQueries.modelExplain(T(s, d)("events"))),
     // A/B analog: hash variant assignment + two-proportion z-test
     "q_ab_test" -> ((s, d) => FraudQueries.abTest(T(s, d)("events"))),
+    // sequence-model member (lstm analog): keyed look-back window
+    "q_seq_score" -> ((s, d) =>
+      graft.ml.FraudModel.scoreWith("sequence_model",
+          T(s, d)("events"), col("value"), col("ts"))
+        .select(col("event_id"), col("n_recent"), col("avg_recent"),
+          col("p_fraud").as("p_seq"))),
+    // graph-model member (gnn analog): degree centrality score
+    "q_graph_score" -> ((s, d) =>
+      graft.ml.FraudModel.scoreWith("graph_model",
+          T(s, d)("events"), col("value"), col("ts"))
+        .select(col("event_id"), col("merchant_degree"),
+          col("p_fraud").as("p_graph"))),
     // MLlib PipelineModel inference (published LR via .transform) +
     // model/rule ensemble
     "q_model_score" -> ((s, d) => FraudQueries.modelScore(T(s, d)("events"))),

@@ -133,4 +133,44 @@ object DeterministicModels {
     s"(CAST($maxSum AS DOUBLE) - $sumDepth) " +
       s"/ CAST(${maxSum - IsoTrees.size} AS DOUBLE)"
   }
+
+  // ---- sequence model (lstm analog): the recurrent state collapses
+  //      to a bounded look-back over the keyed, time-ordered event
+  //      sequence — a 5-event recent-amount average, exact via the
+  //      scaled-BIGINT windowed sum, normalized into a score ----
+
+  /** Requires `user_id` and `event_id` columns (the sequence key and
+    * the deterministic tiebreak). One keyed window pass — the same
+    * shuffle shape a real sequence-feature extractor has at scale.
+    */
+  def sequenceScore(df: org.apache.spark.sql.DataFrame, amount: Column,
+                    ts: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(ts, col("event_id")).rowsBetween(-4, 0)
+    val exactSum = sum(round(amount * lit(1.0e4)).cast("long")).over(w)
+      .cast("double") / lit(1.0e4)
+    df.withColumn("n_recent", count(lit(1)).over(w))
+      .withColumn("avg_recent", exactSum / col("n_recent"))
+      .withColumn("p_fraud", graft.operators.Decisions.clamp01(
+        col("avg_recent") / lit(1000.0)))
+  }
+
+  // ---- graph model (gnn analog): the learned aggregation collapses
+  //      to the bipartite degree centrality the reference's GNN
+  //      feature prep computes (graph_neural_network.py:338-392) ----
+
+  /** Requires `user_id` and `event_id` (merchant key derived as in
+    * Joins.degreeFeatures). One distinct-aggregate + a keyed join
+    * back — no pair explosion.
+    */
+  def graphScore(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mk = pmod(col("event_id") * lit(7), lit(97L))
+    val deg = df.select(col("user_id"), mk.as("mk"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("mk")).as("merchant_degree"))
+    df.join(deg, "user_id").withColumn("p_fraud",
+      least(col("merchant_degree").cast("double") / lit(10.0), lit(1.0)))
+  }
 }

@@ -131,7 +131,12 @@ object FraudModel {
     "tree_ensemble" -> ((df, a, t) => df.withColumn("p_fraud",
       DeterministicModels.treeEnsembleScore(a, t))),
     "isolation_forest" -> ((df, a, t) => df.withColumn("p_fraud",
-      DeterministicModels.isolationScore(a, t))))
+      DeterministicModels.isolationScore(a, t))),
+    // sequence (lstm analog) and graph (gnn analog) members need
+    // user_id/event_id columns — the keyed sequence / graph context
+    "sequence_model" -> ((df, a, t) =>
+      DeterministicModels.sequenceScore(df, a, t)),
+    "graph_model" -> ((df, a, t) => DeterministicModels.graphScore(df)))
 
   /** Dispatch by model name; unknown names fall back to the default
     * model, matching the reference's ModelManager fallback.

@@ -284,6 +284,36 @@ object FraudOracles {
        |FROM m""".stripMargin
   }
 
+  /** Mirror of DeterministicModels.sequenceScore: 5-row look-back
+    * window per user (ts, event_id order), exact scaled-BIGINT sum,
+    * clamped normalized average.
+    */
+  private def seqScoreSql: String = {
+    val avg =
+      s"""(CAST(SUM(CAST(ROUND(value * 1.0e4, 0) AS BIGINT)) OVER w
+         |    AS DOUBLE) / 1.0e4) / COUNT(*) OVER w""".stripMargin
+    s"""SELECT event_id, COUNT(*) OVER w AS n_recent,
+       |  $avg AS avg_recent,
+       |  GREATEST(${D(0.0)}, LEAST(${D(1.0)},
+       |    ($avg) / ${D(1000.0)})) AS p_seq
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
+  /** Mirror of DeterministicModels.graphScore: distinct derived
+    * merchant keys per user, centrality = min(degree/10, 1).
+    */
+  private def graphScoreSql: String =
+    s"""WITH deg AS (
+       |  SELECT user_id,
+       |    COUNT(DISTINCT (event_id * 7) % 97) AS merchant_degree
+       |  FROM events GROUP BY 1)
+       |SELECT event_id, merchant_degree,
+       |  LEAST(CAST(merchant_degree AS DOUBLE) / ${D(10.0)}, ${D(1.0)})
+       |    AS p_graph
+       |FROM events JOIN deg USING (user_id)""".stripMargin
+
   /** Mirror of FraudQueries.modelExplain: per-feature signed LR
     * contributions (w_i·x_i, exact products), long form via UNION ALL,
     * top-3 per event by |contribution| with feature-name tiebreak.
@@ -460,6 +490,8 @@ object FraudOracles {
     "q_fraud_scoring" -> scoringSql,
     "q_ensemble" -> ensembleSql,
     "q_ensemble_multi" -> ensembleMultiSql,
+    "q_seq_score" -> seqScoreSql,
+    "q_graph_score" -> graphScoreSql,
     "q_model_explain" -> modelExplainSql,
     "q_ab_test" -> abTestSql,
     "q_geo_features" -> geoSql,

@@ -114,4 +114,19 @@ class MlSpec extends AnyFunSuite {
         .filter(col("p_fraud") < 0.0 || col("p_fraud") > 1.0).count()
     assert(bad == 0L)
   }
+
+  test("registry covers all five reference model families plus rules") {
+    // model_manager.py:279-307 dispatches xgboost / lstm / bert(lr
+    // stands in: text features -> linear head) / gnn / isolation_forest
+    assert(FraudModel.registry.keySet == Set("logistic_regression",
+      "rule_based", "tree_ensemble", "isolation_forest",
+      "sequence_model", "graph_model"))
+    val ev = sources.Tables(spark, sf, "events")
+    Seq("sequence_model", "graph_model").foreach { m =>
+      val out = FraudModel.scoreWith(m, ev, col("value"), col("ts"))
+      assert(out.filter(col("p_fraud") < 0.0 || col("p_fraud") > 1.0)
+        .count() == 0L, s"$m out of range")
+      assert(out.count() == ev.count(), s"$m changed cardinality")
+    }
+  }
 }
