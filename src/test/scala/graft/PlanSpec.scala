@@ -139,4 +139,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("4-family ensemble scoring is per-row: ZERO exchanges in the plan") {
+    // every member (lr-columnar, tree, rules, isolation) is pure column
+    // algebra — the whole heterogeneous ensemble scores in the scan's
+    // codegen stage with no KEYED shuffle at any data size (the only
+    // exchange is Par.fan's round-robin fan-out of the single-row-group
+    // test parquet, a no-op at scale)
+    val plan = explainStr(FraudQueries.ensembleMulti(t("events")))
+    assert(!plan.contains("Exchange hashpartitioning") &&
+           !plan.contains("Exchange rangepartitioning"),
+      s"per-row ensemble scoring should not shuffle:\n$plan")
+  }
+
+  test("sequence model costs exactly one exchange (the keyed window)") {
+    val plan = explainStr(graft.ml.DeterministicModels.sequenceScore(
+      t("events"), col("value"), col("ts")))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected a single keyed shuffle, found $n:\n$plan")
+  }
+
+  test("tfidf top-terms plans the native TopK operator") {
+    val plan = explainStr(TextAnalysis.tfidfTopTerms(t("documents")))
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"tfidf should rank through the custom TopK operator:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
