@@ -125,6 +125,40 @@ object StatefulOps {
         })
   }
 
+  // ---- sequence model (lstm analog) on the stream ----
+
+  final case class SeqScoreOut(key: String, ts: Timestamp, nRecent: Long,
+                               avgRecent: Double, pFraud: Double)
+  final case class SeqScoreState(recentScaled: List[Long])
+
+  /** Streaming twin of `ml.DeterministicModels.sequenceScore`: per
+    * event, the average of the last ≤5 amounts for the key, clamped
+    * into a score. State is the bounded 5-long list of SCALED
+    * (×10⁴, half-up-rounded) amounts, so the average — and therefore
+    * the score — is bit-identical to the batch window's scaled-BIGINT
+    * sum: (Σscaled / 1e4) / n, the same IEEE op order.
+    */
+  def sequenceScore(events: Dataset[KeyedEvent]): Dataset[SeqScoreOut] = {
+    implicit val se = Encoders.product[SeqScoreState]
+    implicit val oe = Encoders.product[SeqScoreOut]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[KeyedEvent],
+         st: GroupState[SeqScoreState]) => {
+          var recent = st.getOption.map(_.recentScaled).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            recent = (math.round(e.value * 1.0e4) :: recent).take(5)
+            val n = recent.size.toLong
+            val avg = (recent.sum.toDouble / 1.0e4) / n
+            SeqScoreOut(key, e.ts, n, avg,
+              math.min(math.max(avg / 1000.0, 0.0), 1.0))
+          }
+          st.update(SeqScoreState(recent))
+          out.iterator
+        })
+  }
+
   // ---- J6: multi-stream correlation ----
 
   final case class TaggedEvent(key: String, stream: String, ts: Timestamp,

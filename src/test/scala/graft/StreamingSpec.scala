@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sequence score matches the batch window bit-for-bit") {
+    val events = Seq(
+      KeyedEvent("u1", t(0), 100.17), KeyedEvent("u1", t(2), 50.55),
+      KeyedEvent("u1", t(4), 25.0), KeyedEvent("u1", t(6), 999.99),
+      KeyedEvent("u1", t(8), 1200.5), KeyedEvent("u1", t(10), 3.33),
+      KeyedEvent("u2", t(1), 10.01))
+    val in = MemoryStream[KeyedEvent](spark)
+    in.addData(events: _*)
+    val streamed = runToMemory(StatefulOps.sequenceScore(in.toDS()).toDF())
+      .select($"key", $"ts", $"nRecent", $"avgRecent", $"pFraud")
+      .as[(String, Timestamp, Long, Double, Double)].collect().toSet
+    val batchIn = events.zipWithIndex
+      .map { case (e, i) => (e.key, i.toLong, e.ts, e.value) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val batch = graft.ml.DeterministicModels
+      .sequenceScore(batchIn, $"value", $"ts")
+      .select($"user_id", $"ts", $"n_recent".cast("long"), $"avg_recent",
+        $"p_fraud")
+      .as[(String, Timestamp, Long, Double, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("S8 recent-N ring keeps newest-first bounded list") {
     val in = MemoryStream[KeyedEvent](spark)
     in.addData((1 to 5).map(i => KeyedEvent("u1", t(i), i.toDouble)): _*)
