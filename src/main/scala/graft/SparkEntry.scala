@@ -146,6 +146,17 @@ object SparkEntry {
       val t = T(s, d) _
       OlapQueries.dormantRichCustomers(t("customer"), t("orders"))
     }),
+    // TPC-H Q17 shape: correlated per-part average threshold
+    "q_small_qty_rev" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.smallQuantityRevenue(t("lineitem"), t("part"))
+    }),
+    // TPC-H Q18 shape: HAVING on summed quantity + dimension joins
+    "q_big_orders" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.bigVolumeOrders(t("customer"), t("orders"),
+        t("lineitem"))
+    }),
     "q_max_order" -> ((s, d) =>
       OlapQueries.maxOrderPerCustomer(T(s, d)("orders"))),
     // data-quality expectation suite (one-pass rules + FK orphans)
@@ -638,6 +649,25 @@ object SparkEntry {
          |                    AND o.o_orderdate <
          |                        TIMESTAMP '1996-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
+
+    "q_small_qty_rev" ->
+      s"""SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  COUNT(*) AS n
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE p.p_brand = 'Brand#1'
+         |  AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+         |    SELECT SUM(l2.l_quantity) / COUNT(l2.l_quantity)
+         |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+        .stripMargin,
+
+    "q_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING SUM(l_quantity) > 300.0) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q_max_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

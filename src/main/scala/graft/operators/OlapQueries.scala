@@ -194,6 +194,42 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** TPC-H Q17 shape: small-quantity revenue against a correlated
+    * per-part average — `l_quantity < 0.2 · avg(quantity per part)`.
+    * The correlated scalar is one keyed aggregate re-joined on the
+    * part key; quantity sums are integral (exact), the 0.2 product and
+    * the /7.0 are single correctly-rounded ops.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brand: String = "Brand#1"): DataFrame = {
+    val avgQty = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(col("l_quantity")))
+        .as("avg_qty"))
+    lineitem
+      .join(part.filter(col("p_brand") === brand),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — GROUP BY + HAVING on the
+    * summed quantity feeding an IN/semi-join back into the order and
+    * customer dimensions.
+    */
+  def bigVolumeOrders(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, minQty: Double = 300.0)
+      : DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
   /** TPC-H Q19 shape: disjunctive brand/quantity predicate over the
     * part join — OR-of-ANDs that must still prune at the scan.
     */
