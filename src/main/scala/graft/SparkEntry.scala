@@ -178,6 +178,9 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(T(s, d)("documents"))),
     // 3-gram Jaccard near-dup pairs
     // scale path: exact Jaccard counted only on MinHash-LSH candidates
+    // bounded dedup contract: canonical parent per duplicate, O(N) rows
+    "q_dedup_simhash_canon" -> ((s, d) =>
+      Dedup.simhashCanonical(T(s, d)("documents"))),
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsBanded(T(s, d)("documents"), threshold = 0.5)),
     // MinHash + LSH banding candidates

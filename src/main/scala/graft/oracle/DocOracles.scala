@@ -100,9 +100,9 @@ object DocOracles {
 
   private def simhashPairsSql: String = {
     val bits = 32
-    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    // high hex digit ⟺ sorts >= '8' (mirrors Dedup.simhash)
     val bitSums = (0 until bits).map(j =>
-      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$j")
+      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
     val sig = (0 until bits).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
@@ -338,6 +338,10 @@ object DocOracles {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_oph" -> minhashOphSql,
     "q_dedup_simhash" -> simhashPairsSql,
+    "q_dedup_simhash_canon" ->
+      s"""SELECT doc_b AS doc_id, MIN(doc_a) AS canonical_id
+         |FROM ($simhashPairsSql)
+         |GROUP BY 1""".stripMargin,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
