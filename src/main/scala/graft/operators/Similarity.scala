@@ -125,22 +125,32 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // cached: scored against pivots twice (assignment + query probes)
     val all = prepared(embeddings, dim).cache()
+    // the codebook rides along as ONE broadcast array row, so pivot
+    // ranking is ROW-LOCAL array math: the old row_number() spelling
+    // shuffled all N×nlist score rows on vec_id TWICE (assignment +
+    // probes) — a full-corpus exchange that existed only to rank
+    // nlist values per vector. Struct ordering is (pcos, -pid), so
+    // max / sort-desc break ties toward the smallest pid, exactly the
+    // window's ORDER BY pcos DESC, pid.
     val pivots = all.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("pid"), col("v").as("pv"),
-              col("nrm").as("pn"))
-    def pivotRank(src: DataFrame) =
+      .agg(collect_list(struct(col("vec_id").as("pid"), col("v").as("pv"),
+        col("nrm").as("pn"))).as("parr"))
+    def pivotScores(src: DataFrame): DataFrame =
       src.crossJoin(broadcast(pivots))
-        .withColumn("pcos",
-          pairCos(col("v"), col("nrm"), col("pv"), col("pn"), dim))
-        .withColumn("prn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("pcos").desc, col("pid"))))
-    val assigned = pivotRank(all).filter(col("prn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("pid").as("list_id"))
-    val probes = pivotRank(all.filter(queryPred))
-      .filter(col("prn") <= nprobe)
+        .withColumn("pcs", transform(col("parr"), p =>
+          struct((dot(col("v"), p("pv"), dim) / (col("nrm") * p("pn")))
+                   .as("pcos"),
+                 (lit(0L) - p("pid")).as("npid"))))
+        .drop("parr")
+    val assigned = pivotScores(all)
+      .withColumn("list_id", lit(0L) - array_max(col("pcs"))("npid"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+    val probes = pivotScores(all.filter(queryPred))
+      .withColumn("pp",
+        explode(slice(sort_array(col("pcs"), asc = false), 1, nprobe)))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-              col("nrm").as("qnrm"), col("pid").as("plist"))
+              col("nrm").as("qnrm"),
+              (lit(0L) - col("pp")("npid")).as("plist"))
     val scored = probes.join(assigned, col("plist") === col("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
