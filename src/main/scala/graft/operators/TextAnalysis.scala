@@ -135,8 +135,12 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = fan(docs).select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
+    // document frequency = row count per term of the tf frame itself —
+    // one explode+agg pass feeds both, instead of a second
+    // explode+distinct over the token stream
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .cache()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs_total"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf").cast(DoubleType) *
