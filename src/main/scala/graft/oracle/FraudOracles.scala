@@ -338,7 +338,9 @@ object FraudOracles {
     * two-proportion z-test as exact-shape column math, z rounded 6dp.
     */
   private def abTestSql: String = {
-    val isControl = "substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'"
+    // STRING: the type alias BOTH DuckDB and Spark SQL parse (Spark
+    // rejects bare VARCHAR without a length)
+    val isControl = "substr(md5(CAST(user_id AS STRING)), 1, 1) < '8'"
     val conv = s"value > ${D(100.0)}"
     val pC = "CAST(conv_control AS DOUBLE) / n_control"
     val pT = "CAST(conv_treatment AS DOUBLE) / n_treatment"

@@ -19,7 +19,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
         // subquery, 6-table join, disjunctive predicates, full-outer
         // merge — all must also run as spark.sql text
         "q_order_priority", "q_sole_supplier", "q_max_order",
-        "q_local_supplier", "q_disjunctive_rev", "q_merge_upsert")
+        "q_local_supplier", "q_disjunctive_rev", "q_merge_upsert",
+        // round-3 additions: Q15 scalar-max view, Q20 correlated-agg
+        // semi-join, Q22 scalar-avg + anti-join, Q17 correlated
+        // average, Q18 HAVING volume, A/B z-test (FILTER clause),
+        // sequence window (WINDOW clause), graph degree score
+        "q_top_supplier", "q_share_supplier", "q_dormant_customers",
+        "q_small_qty_rev", "q_big_orders", "q_ab_test",
+        "q_seq_score", "q_graph_score")
 
   test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
     Tables.registerAll(spark, sf)
