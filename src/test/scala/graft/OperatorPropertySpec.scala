@@ -99,4 +99,52 @@ class OperatorPropertySpec extends AnyFunSuite {
       capped == uncapped
     })
   }
+
+  test("tree-model DSL: Catalyst rendering equals direct interpretation") {
+    import graft.ml.DeterministicModels._
+    val genPred: Gen[Pred] = Gen.oneOf(
+      Gen.choose(1.0, 2000.0).map(x => AmountGt(math.floor(x))),
+      Gen.choose(1.0, 2000.0).map(x => AmountLt(math.floor(x))),
+      Gen.const(IsNight), Gen.const(IsWeekend),
+      Gen.const(RoundAmount(10.0)))
+    def genNode(depth: Int): Gen[Node] =
+      if (depth <= 0) Gen.choose(0, 100).map(v => Leaf(v / 100.0))
+      else Gen.frequency(
+        1 -> Gen.choose(0, 100).map(v => Leaf(v / 100.0)),
+        3 -> (for {
+          p <- genPred; y <- genNode(depth - 1); n <- genNode(depth - 1)
+        } yield Split(p, y, n)))
+    // 2024-01-01 is a Monday; day 0-6 sweeps the week, hour 0-23
+    def evalPred(p: Pred, amount: Double, day: Int, hour: Int): Boolean =
+      p match {
+        case AmountGt(x) => amount > x
+        case AmountLt(x) => amount < x
+        case IsNight => hour <= 6 || hour >= 22
+        case IsWeekend => day == 5 || day == 6 // Sat/Sun from Monday
+        case RoundAmount(m) => amount % m == 0.0
+      }
+    def evalNode(n: Node, amount: Double, day: Int, hour: Int): Double =
+      n match {
+        case Leaf(v) => v
+        case Split(p, y, nn) =>
+          if (evalPred(p, amount, day, hour)) evalNode(y, amount, day, hour)
+          else evalNode(nn, amount, day, hour)
+      }
+    val genRow = for {
+      cents <- Gen.choose(0L, 200000L)
+      day <- Gen.choose(0, 6)
+      hour <- Gen.choose(0, 23)
+    } yield (cents / 100.0, day, hour)
+    check(Prop.forAll(genNode(3), Gen.listOfN(8, genRow)) { (tree, rows) =>
+      val df = rows.zipWithIndex.map { case ((amt, day, hour), i) =>
+        (i.toLong, amt,
+          java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00"))
+      }.toDF("id", "amount", "ts")
+      val out = df.select($"id", render(tree, $"amount", $"ts").as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.zipWithIndex.forall { case ((amt, day, hour), i) =>
+        out(i.toLong) == evalNode(tree, amt, day, hour)
+      }
+    })
+  }
 }
