@@ -159,6 +159,44 @@ object StatefulOps {
         })
   }
 
+  /** The SAME sequence scorer on Spark 4's arbitrary-state API v2
+    * (`transformWithState` + `StatefulProcessor` + typed
+    * `ValueState`): the forward-looking form — explicit named state,
+    * per-state TTL support, RocksDB-backed (the provider the API
+    * requires). Output is identical to [[sequenceScore]]
+    * (StreamingSpec pins the three-way parity with the batch window).
+    */
+  class SeqScoreProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KeyedEvent, SeqScoreOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var recent: ValueState[SeqScoreState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getValueState[SeqScoreState]("recent",
+        Encoders.product[SeqScoreState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SeqScoreOut] = {
+      var kept = if (recent.exists()) recent.get().recentScaled else Nil
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+        kept = (math.round(e.value * 1.0e4) :: kept).take(5)
+        val n = kept.size.toLong
+        val avg = (kept.sum.toDouble / 1.0e4) / n
+        SeqScoreOut(key, e.ts, n, avg,
+          math.min(math.max(avg / 1000.0, 0.0), 1.0))
+      }
+      recent.update(SeqScoreState(kept))
+      out.iterator
+    }
+  }
+
+  def sequenceScoreV2(events: Dataset[KeyedEvent]): Dataset[SeqScoreOut] = {
+    implicit val oe = Encoders.product[SeqScoreOut]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new SeqScoreProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   // ---- J6: multi-stream correlation ----
 
   final case class TaggedEvent(key: String, stream: String, ts: Timestamp,

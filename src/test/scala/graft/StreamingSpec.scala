@@ -76,6 +76,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("state-API-v2 sequence score (transformWithState) matches v1") {
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Seq(
+        KeyedEvent("u1", t(0), 100.17), KeyedEvent("u1", t(2), 50.55),
+        KeyedEvent("u1", t(4), 999.99), KeyedEvent("u2", t(1), 10.01))
+      val in = MemoryStream[KeyedEvent](spark)
+      in.addData(events: _*)
+      val v2 = runToMemory(StatefulOps.sequenceScoreV2(in.toDS()).toDF())
+        .select($"key", $"ts", $"nRecent", $"avgRecent", $"pFraud")
+        .as[(String, Timestamp, Long, Double, Double)].collect().toSet
+      val in1 = MemoryStream[KeyedEvent](spark)
+      in1.addData(events: _*)
+      val v1 = runToMemory(StatefulOps.sequenceScore(in1.toDS()).toDF())
+        .select($"key", $"ts", $"nRecent", $"avgRecent", $"pFraud")
+        .as[(String, Timestamp, Long, Double, Double)].collect().toSet
+      assert(v2 == v1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("S8 recent-N ring keeps newest-first bounded list") {
     val in = MemoryStream[KeyedEvent](spark)
     in.addData((1 to 5).map(i => KeyedEvent("u1", t(i), i.toDouble)): _*)
