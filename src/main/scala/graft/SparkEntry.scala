@@ -213,6 +213,9 @@ object SparkEntry {
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),
     // quality scoring
+    // phrase mining: PMI-ranked adjacent bigrams (word2vec-style)
+    "q_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(T(s, d)("documents"))),
     // deterministic 80/10/10 train/val/test assignment + split stats
     "q_data_split" -> ((s, d) =>
       TextAnalysis.datasetSplit(T(s, d)("documents"))),

@@ -149,6 +149,38 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf")
   }
 
+  /** Collocation extraction — the phrase-mining step of an LM corpus
+    * pipeline (word2vec-style): adjacent-token bigrams scored by PMI
+    * against corpus unigram counts, thresholded on support, global
+    * top-k. PMI's ln is the only libm call and is applied to an exact
+    * integer ratio then rounded at 6dp, so the ranking is
+    * engine-exact. One explode pass each for unigrams and bigrams,
+    * partial+final aggs, a global TakeOrdered for the top-k.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+                   k: Int = 20): DataFrame = {
+    val toked = fan(docs).select(split(col("text"), " ").as("ts"))
+    val uni = toked.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = toked.select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nb = bg.agg(count(lit(1)).as("nbig"))
+    val ua = uni.select(col("w").as("wa"), col("c").as("ca"))
+    val ub = uni.select(col("w").as("wb"), col("c").as("cb"))
+    bc.crossJoin(broadcast(nb))
+      .join(ua, col("w1") === col("wa"))
+      .join(ub, col("w2") === col("wb"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") * col("nbig")).cast(DoubleType) /
+                  (col("ca") * col("cb")).cast(DoubleType)), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Document fingerprint: min md5 over all 8-char rolling windows
     * (winnowing-style content fingerprint, rolling-hash analog).
     */

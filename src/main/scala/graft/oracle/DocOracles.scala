@@ -324,7 +324,30 @@ object DocOracles {
       |  FROM s)
       |WHERE rn <= 3""".stripMargin
 
+  /** Mirror of TextAnalysis.collocations: PMI over exact integer
+    * count ratios, ln rounded 6dp, support >= 5, top-20.
+    */
+  private def collocationsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |uni AS (SELECT UNNEST(ts) AS w FROM toks),
+      |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT ts, UNNEST(generate_series(1, len(ts) - 1)) AS i
+      |             FROM toks)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2
+      |       HAVING COUNT(*) >= 5),
+      |nb AS (SELECT COUNT(*) AS nbig FROM bg)
+      |SELECT w1, w2, c_ab,
+      |  ROUND(LN(CAST(c_ab * nbig AS DOUBLE)
+      |           / CAST(ua.c * ub.c AS DOUBLE)), 6) AS pmi
+      |FROM bc, nb
+      |JOIN uc ua ON w1 = ua.w
+      |JOIN uc ub ON w2 = ub.w
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,
     "q_corpus_curate" -> curateSql,
     "q_tfidf_terms" -> tfidfSql,
