@@ -129,7 +129,6 @@ object SparkEntry {
       val t = T(s, d) _
       OlapQueries.disjunctiveRevenue(t("lineitem"), t("part"))
     }),
-    // correlated scalar subquery shape (max per customer, Q2 flavor)
     // TPC-H Q15 shape: revenue view + scalar-max top supplier
     "q_top_supplier" -> ((s, d) => {
       val t = T(s, d) _
@@ -157,6 +156,7 @@ object SparkEntry {
       OlapQueries.bigVolumeOrders(t("customer"), t("orders"),
         t("lineitem"))
     }),
+    // correlated scalar subquery shape (max per customer, Q2 flavor)
     "q_max_order" -> ((s, d) =>
       OlapQueries.maxOrderPerCustomer(T(s, d)("orders"))),
     // data-quality expectation suite (one-pass rules + FK orphans)
@@ -176,11 +176,11 @@ object SparkEntry {
     // ---- training-data pipeline operators ----
     // exact dedup via hash-groupBy
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(T(s, d)("documents"))),
-    // 3-gram Jaccard near-dup pairs
-    // scale path: exact Jaccard counted only on MinHash-LSH candidates
     // bounded dedup contract: canonical parent per duplicate, O(N) rows
     "q_dedup_simhash_canon" -> ((s, d) =>
       Dedup.simhashCanonical(T(s, d)("documents"))),
+    // 3-gram Jaccard near-dup pairs — scale path: exact Jaccard
+    // counted only on MinHash-LSH candidates
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsBanded(T(s, d)("documents"), threshold = 0.5)),
     // MinHash + LSH banding candidates
@@ -212,7 +212,6 @@ object SparkEntry {
     // token counting (whitespace + BPE-ish regex)
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),
-    // quality scoring
     // phrase mining: PMI-ranked adjacent bigrams (word2vec-style)
     "q_collocations" -> ((s, d) =>
       TextAnalysis.collocations(T(s, d)("documents"))),
@@ -225,6 +224,7 @@ object SparkEntry {
     // TF-IDF keyword extraction, top-3 per doc via native TopK
     "q_tfidf_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(T(s, d)("documents"))),
+    // quality scoring
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(T(s, d)("documents"))),
     // stopword language heuristic

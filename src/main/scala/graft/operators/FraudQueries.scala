@@ -143,7 +143,9 @@ object FraudQueries {
     agg.select(col("n_control"), col("n_treatment"),
       col("conv_control"), col("conv_treatment"),
       pC.as("p_control"), pT.as("p_treatment"),
-      round((pC - pT) / se, 6).as("z_r"))
+      // degenerate slice (pooled conversion 0 or 1) ⇒ se = 0: emit
+      // NULL rather than engine-divergent NaN/Inf
+      when(se > 0.0, round((pC - pT) / se, 6)).as("z_r"))
       .withColumn("significant", abs(col("z_r")) > 1.96)
   }
 

@@ -162,7 +162,11 @@ object TextAnalysis {
     val toked = fan(docs).select(split(col("text"), " ").as("ts"))
     val uni = toked.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val bg = toked.select(explode(expr(
+    // guard size>=2 BEFORE sequencing: Spark's sequence(1, 0) DESCENDS
+    // to [1, 0] and element_at(ts, 0) throws — a single-token doc must
+    // yield no bigrams (the oracle's generate_series(1, 0) is empty)
+    val bg = toked.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -260,11 +260,12 @@ object DocOracles {
        |FROM b""".stripMargin
   }
 
-  /** Exact mean via scaled-BIGINT sum / count — mirror of
-    * ExactAgg.davg (dsum(x, 4) / count).
+  /** Exact mean via scaled-BIGINT sum / count — the shared OracleSql
+    * twin of ExactAgg.davg (never re-implemented here, so the two
+    * sides cannot drift).
     */
   private def davgSql(x: String): String =
-    s"((CAST(SUM(CAST(ROUND(($x) * 1.0e4, 0) AS BIGINT)) AS DOUBLE) / 1.0e4) / COUNT($x))"
+    graft.functions.OracleSql.davg(x)
 
   /** Mirror of TextAnalysis.datasetSplit: salted-md5 two-hex-digit
     * bucket split (train < 'cc' ≤ val < 'e6' ≤ test) over the quality

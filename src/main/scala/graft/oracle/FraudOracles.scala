@@ -348,6 +348,8 @@ object FraudOracles {
       "CAST(conv_control + conv_treatment AS DOUBLE) / (n_control + n_treatment)"
     val se = s"SQRT(($pPool) * (${D(1.0)} - ($pPool)) * " +
       s"(${D(1.0)} / n_control + ${D(1.0)} / n_treatment))"
+    val zGuarded = s"CASE WHEN ($se) > ${D(0.0)} " +
+      s"THEN ROUND((($pC) - ($pT)) / ($se), 6) ELSE NULL END"
     s"""WITH a AS (
        |  SELECT
        |    COUNT(*) FILTER (WHERE $isControl) AS n_control,
@@ -357,8 +359,8 @@ object FraudOracles {
        |  FROM events)
        |SELECT n_control, n_treatment, conv_control, conv_treatment,
        |  $pC AS p_control, $pT AS p_treatment,
-       |  ROUND((($pC) - ($pT)) / ($se), 6) AS z_r,
-       |  ABS(ROUND((($pC) - ($pT)) / ($se), 6)) > ${D(1.96)} AS significant
+       |  $zGuarded AS z_r,
+       |  ABS($zGuarded) > ${D(1.96)} AS significant
        |FROM a""".stripMargin
   }
 

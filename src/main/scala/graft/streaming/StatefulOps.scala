@@ -134,9 +134,14 @@ object StatefulOps {
   /** Streaming twin of `ml.DeterministicModels.sequenceScore`: per
     * event, the average of the last ≤5 amounts for the key, clamped
     * into a score. State is the bounded 5-long list of SCALED
-    * (×10⁴, half-up-rounded) amounts, so the average — and therefore
-    * the score — is bit-identical to the batch window's scaled-BIGINT
-    * sum: (Σscaled / 1e4) / n, the same IEEE op order.
+    * (×10⁴, HALF_UP away-from-zero — [[scaleAmount]] replicates
+    * Catalyst `round`, including negative amounts) amounts, so the
+    * average — and therefore the score — is bit-identical to the
+    * batch window's scaled-BIGINT sum: (Σscaled / 1e4) / n, the same
+    * IEEE op order. Equal-timestamp events within a micro-batch are
+    * ordered by (ts, value) — deterministic run-to-run; exact batch
+    * parity additionally needs unique per-key timestamps (the batch
+    * tiebreak is event_id, which the stream schema doesn't carry).
     */
   def sequenceScore(events: Dataset[KeyedEvent]): Dataset[SeqScoreOut] = {
     implicit val se = Encoders.product[SeqScoreState]
@@ -147,8 +152,8 @@ object StatefulOps {
         (key: String, it: Iterator[KeyedEvent],
          st: GroupState[SeqScoreState]) => {
           var recent = st.getOption.map(_.recentScaled).getOrElse(Nil)
-          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
-            recent = (math.round(e.value * 1.0e4) :: recent).take(5)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+            recent = (scaleAmount(e.value) :: recent).take(5)
             val n = recent.size.toLong
             val avg = (recent.sum.toDouble / 1.0e4) / n
             SeqScoreOut(key, e.ts, n, avg,
@@ -158,6 +163,14 @@ object StatefulOps {
           out.iterator
         })
   }
+
+  /** ×10⁴ scaling with Catalyst `round` semantics — HALF_UP away from
+    * zero (JVM `math.round` rounds half toward +∞, which differs on
+    * negative .5 boundaries).
+    */
+  private[streaming] def scaleAmount(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1.0e4)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   /** The SAME sequence scorer on Spark 4's arbitrary-state API v2
     * (`transformWithState` + `StatefulProcessor` + typed
@@ -178,8 +191,8 @@ object StatefulOps {
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SeqScoreOut] = {
       var kept = if (recent.exists()) recent.get().recentScaled else Nil
-      val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
-        kept = (math.round(e.value * 1.0e4) :: kept).take(5)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+        kept = (scaleAmount(e.value) :: kept).take(5)
         val n = kept.size.toLong
         val avg = (kept.sum.toDouble / 1.0e4) / n
         SeqScoreOut(key, e.ts, n, avg,

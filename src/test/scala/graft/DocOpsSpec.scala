@@ -121,6 +121,17 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out == Map("en" -> 1L, "de" -> 1L)) // dup collapsed, langs agree
   }
 
+  test("collocations tolerate single-token and empty documents") {
+    // regression: sequence(1, 0) DESCENDS in Spark — a 1-token doc
+    // must contribute zero bigrams, not crash on element_at(ts, 0)
+    val d = Seq((1L, "solo", "en"), (2L, "", "en"),
+      (3L, Seq.fill(6)("a b").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.collocations(d, minCount = 1L, k = 5).collect()
+    assert(out.nonEmpty) // the repeated "a b" bigram survives
+    assert(out.forall(r => r.getAs[String]("w1").nonEmpty))
+  }
+
   test("langid is deterministic and prefers matching stopwords") {
     val d = Seq((1L, "der und das ist ein test", "de"),
                 (2L, "the of and is a to", "en"))
