@@ -56,8 +56,10 @@ object Bench {
         case (Left(err), Left(_)) => errors += name -> err
       }
       // operators cache internal views (signatures, prepared vectors);
-      // drop them between queries so 62×2 runs don't accumulate
-      // executor storage until LRU eviction
+      // drop them between queries so the ~80×2 runs don't accumulate
+      // executor storage until LRU eviction. releaseAll unpersists the
+      // registered operator caches; clearCache stays as the catch-all.
+      graft.operators.OperatorCaches.releaseAll()
       spark.catalog.clearCache()
     }
     val results = timings.result()
@@ -76,9 +78,19 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // The driver captures only the last 2000 BYTES of stdout (BENCH_r03
+    // "tail" is 2000 chars and starts mid-line, so the full per-query
+    // map never parses). Print a COMPACT line — total + the slowest 20
+    // queries at 3 dp — guaranteed to fit the capture window; the
+    // complete map lives in the file written above.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
     // last stdout line, bare (build.sbt sets run/outputStrategy :=
     // StdoutOutput so sbt does not prefix it with [info])
-    println(json)
+    println(compact)
     if (failed.nonEmpty) sys.exit(2)
   }
 }

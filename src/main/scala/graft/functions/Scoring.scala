@@ -44,7 +44,23 @@ object Scoring {
     num / lit(scores.map(_._2).sum)
   }
 
-  /** Majority vote at a threshold: 1.0 if most models fire. */
+  /** Graded voting combiner: the fraction of members whose score
+    * clears the threshold — fraud_votes / total_votes, matching the
+    * reference's `_voting_ensemble` contract
+    * (ensemble_predictor.py:296-323 returns the vote fraction as a
+    * probability, not a binary decision). Exact rational: an integer
+    * vote count divided by the member count.
+    */
+  def voteFraction(scores: Seq[Column], threshold: Double = 0.5): Column = {
+    val votes = scores.map(s =>
+      when(s > threshold, 1).otherwise(0)).reduce(_ + _)
+    votes.cast("double") / lit(scores.size.toDouble)
+  }
+
+  /** Thresholded majority DECISION: 1 iff a strict majority of members
+    * fire. This is the binary decision layered on [[voteFraction]] —
+    * the reference's combiner itself returns the graded fraction.
+    */
   def majorityVote(scores: Seq[Column], threshold: Double = 0.5): Column = {
     val votes = scores.map(s =>
       when(s > threshold, 1).otherwise(0)).reduce(_ + _)

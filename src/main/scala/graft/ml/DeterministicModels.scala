@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * construction (all leaf math is rational: sums of exact-decimal
   * leaves divided by a small integer — no libm anywhere).
   *
+  * DIALECT WARNING: `Pred.sql` / `renderSql` / `treeEnsembleSql` /
+  * `isolationScoreSql` emit **DuckDB-dialect SQL only**, for the
+  * oracle. They are NOT safe to run through `spark.sql`:
+  * `IsWeekend` renders `dayofweek(ts) IN (0, 6)`, correct under
+  * DuckDB's 0=Sunday..6=Saturday numbering but silently meaning
+  * Friday+Saturday under Spark's 1=Sunday..7=Saturday; `RoundAmount`
+  * renders `fmod(...)`, which Spark lacks (that one at least fails
+  * loudly). "Engine-identical" means the *Catalyst rendering* and the
+  * *DuckDB rendering* of the same tree agree — not that the SQL
+  * string is portable across SQL engines.
+  *
   * Splits test only reproducible event columns (amount = `value`,
   * time-of-day / weekday of `ts`), matching the feature families the
   * reference's models consume (feature_engineering.py amount/time

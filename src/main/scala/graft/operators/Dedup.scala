@@ -61,7 +61,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxDocFreq: Long = 1000): DataFrame = {
-    val sh = shingles(docs, n, maxDocFreq).cache()
+    val sh = OperatorCaches.track(shingles(docs, n, maxDocFreq))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -81,9 +81,9 @@ object Dedup {
   def jaccardPairsBanded(docs: DataFrame, threshold: Double, n: Int = 3,
                          maxDocFreq: Long = 1000, numHashes: Int = 8,
                          bands: Int = 2): DataFrame = {
-    val sh = shingles(docs, n, maxDocFreq).cache()
+    val sh = OperatorCaches.track(shingles(docs, n, maxDocFreq))
     // cached: the banded signature view is consumed 4× inside bandPairs
-    val cand = bandPairs(signaturesFrom(sh, numHashes).cache(),
+    val cand = bandPairs(OperatorCaches.track(signaturesFrom(sh, numHashes)),
       numHashes, bands)
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
@@ -151,7 +151,8 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8,
                         bands: Int = 2): DataFrame =
     // cached: the banded view is consumed 4× (2 bands × 2 join sides)
-    bandPairs(minhashSignatures(docs, numHashes).cache(), numHashes, bands)
+    bandPairs(OperatorCaches.track(minhashSignatures(docs, numHashes)),
+      numHashes, bands)
 
   /** Hex nibble → 0-15 as a when-chain (kept as an expression both
     * engines can mirror exactly; no hex→int builtin is shared).
@@ -188,7 +189,8 @@ object Dedup {
     */
   def minhashCandidatesOph(docs: DataFrame, numHashes: Int = 8,
                            bands: Int = 2): DataFrame =
-    bandPairs(minhashSignaturesOph(docs, numHashes).cache(), numHashes, bands)
+    bandPairs(OperatorCaches.track(minhashSignaturesOph(docs, numHashes)),
+      numHashes, bands)
 
   /** Blocked fuzzy matching: Levenshtein edit distance within a
     * blocking-key partition (the classic scalable fuzzy-dedup shape:
@@ -244,7 +246,7 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs).cache()
+    val sig = OperatorCaches.track(simhash(docs))
     val blocks = (0 until 4).map(i =>
       sig.withColumn("block", lit(i))
         .withColumn("bkey", expr(s"(simhash DIV ${1L << (i * 8)}) % 256")))

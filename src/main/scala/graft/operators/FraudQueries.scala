@@ -49,7 +49,9 @@ object FraudQueries {
   }
 
   /** A11 ensemble combiners over three deterministic pseudo-model
-    * scores (weighted average / majority vote / confidence-weighted).
+    * scores (weighted average / graded vote fraction /
+    * confidence-weighted — the vote combiner returns
+    * fraud_votes/total_votes per ensemble_predictor.py:296-323).
     */
   def ensemble(events: DataFrame): DataFrame = {
     val s1 = (col("value") % 100.0) / 100.0
@@ -58,7 +60,7 @@ object FraudQueries {
     events.select(col("event_id"),
       Scoring.weightedAverage(Seq(s1 -> 0.5, s2 -> 0.25, s3 -> 0.25))
         .as("ens_wavg"),
-      Scoring.majorityVote(Seq(s1, s2, s3)).as("ens_vote"),
+      Scoring.voteFraction(Seq(s1, s2, s3)).as("ens_vote"),
       Scoring.confidenceWeighted(Seq(s1, s2, s3)).as("ens_conf"))
   }
 
@@ -88,7 +90,7 @@ object FraudQueries {
       Scoring.weightedAverage(
           Seq(lr -> 0.4, tree -> 0.3, rule -> 0.15, iso -> 0.15))
         .as("ens_wavg"),
-      Scoring.majorityVote(members).as("ens_vote"),
+      Scoring.voteFraction(members).as("ens_vote"),
       Scoring.confidenceWeighted(members).as("ens_conf"))
   }
 

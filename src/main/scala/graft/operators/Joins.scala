@@ -164,12 +164,15 @@ object Joins {
                    topNPerSrc: Int = 0): DataFrame = {
     // cached: the distinct-edge projection feeds the degree agg AND the
     // salted frame, which itself feeds both join sides — without the
-    // cache each branch re-runs the scan+distinct
-    val e = edges.select(col(src).as("s"), col(via).as("v")).distinct().cache()
+    // cache each branch re-runs the scan+distinct. Tracked in
+    // OperatorCaches: long-lived sessions release via releaseAll()
+    val e = OperatorCaches.track(
+      edges.select(col(src).as("s"), col(via).as("v")).distinct())
     val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val withG = e.join(deg, "v").withColumn("g",
-      greatest(ceil(col("deg").cast("double") / saltCap).cast("int"), lit(1)))
-      .cache()
+    val withG = OperatorCaches.track(
+      e.join(deg, "v").withColumn("g",
+        greatest(ceil(col("deg").cast("double") / saltCap).cast("int"),
+          lit(1))))
     val a = withG.withColumn("salt",
       explode(sequence(lit(0), col("g") - 1)))
     val b = withG.select(col("s").as("s_b"), col("v").as("v_b"),

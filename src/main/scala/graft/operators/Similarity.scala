@@ -65,8 +65,9 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column,
                      k: Int, dim: Int = Dim): DataFrame = {
-    // cached: consumed twice (query side + candidate side)
-    val all = prepared(embeddings, dim).cache()
+    // cached: consumed twice (query side + candidate side);
+    // registered with OperatorCaches for caller-side release
+    val all = OperatorCaches.track(prepared(embeddings, dim))
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qnrm"))
@@ -91,8 +92,8 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               bits: Int = 8, dim: Int = Dim): DataFrame = {
-    val all = prepared(embeddings, dim)
-      .withColumn("bkt", signBucket(col("v"), bits)).cache()
+    val all = OperatorCaches.track(prepared(embeddings, dim)
+      .withColumn("bkt", signBucket(col("v"), bits)))
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qnrm"), col("bkt").as("qbkt"))
@@ -124,7 +125,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, dim: Int = Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: scored against pivots twice (assignment + query probes)
-    val all = prepared(embeddings, dim).cache()
+    val all = OperatorCaches.track(prepared(embeddings, dim))
     // the codebook rides along as ONE broadcast array row, so pivot
     // ranking is ROW-LOCAL array math: the old row_number() spelling
     // shuffled all N×nlist score rows on vec_id TWICE (assignment +
@@ -200,12 +201,18 @@ object Similarity {
     * recall at t=0.4 but 64.6% of pairs as candidates — Θ(N²), NOT
     * scale-safe) survives only as the explicitly-parameterized recall
     * stress test in SimilaritySpec/DocOpsSpec.
+    *
+    * `bitsPerBand`/`bands` have NO defaults on purpose: the banding
+    * regime decides the recall-vs-candidate-volume trade (8×8 =
+    * selective/partial-recall, 4×16 = wide-recall/Θ(N²) candidates),
+    * and that choice is semantic — callers must pick it consciously
+    * at the query site rather than inherit a hidden default.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
-                   bitsPerBand: Int = 8, bands: Int = 8,
+                   bitsPerBand: Int, bands: Int,
                    dim: Int = Dim): DataFrame = {
     // cached: consumed three times (band projection + both verify sides)
-    val all = prepared(embeddings, dim).cache()
+    val all = OperatorCaches.track(prepared(embeddings, dim))
     val bandArr = array(
       (0 until bands).map(b => bandKey(col("v"), b, bitsPerBand)): _*)
     val bd = all.select(col("vec_id"),

@@ -138,8 +138,8 @@ object TextAnalysis {
     // document frequency = row count per term of the tf frame itself —
     // one explode+agg pass feeds both, instead of a second
     // explode+distinct over the token stream
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .cache()
+    val tf = OperatorCaches.track(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs_total"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

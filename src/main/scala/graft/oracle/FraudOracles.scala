@@ -127,7 +127,7 @@ object FraudOracles {
       |  (s1 * 0.5 + s2 * 0.25 + s3 * 0.25) / 1.0 AS ens_wavg,
       |  CAST((CASE WHEN s1 > 0.5 THEN 1 ELSE 0 END
       |      + CASE WHEN s2 > 0.5 THEN 1 ELSE 0 END
-      |      + CASE WHEN s3 > 0.5 THEN 1 ELSE 0 END) >= 2 AS INTEGER)
+      |      + CASE WHEN s3 > 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0
       |    AS ens_vote,
       |  CASE WHEN (ABS(s1 - 0.5) * 2.0) + (ABS(s2 - 0.5) * 2.0)
       |          + (ABS(s3 - 0.5) * 2.0) > 0.0
@@ -278,7 +278,7 @@ object FraudOracles {
        |  FROM events)
        |SELECT event_id, m_lr, m_tree, m_rule, m_iso,
        |  ($wavgNum) / ($wavgDen) AS ens_wavg,
-       |  CAST(($votes) >= 3 AS INTEGER) AS ens_vote,
+       |  CAST(($votes) AS DOUBLE) / 4.0 AS ens_vote,
        |  CASE WHEN ($confDen) > ${D(0.0)}
        |       THEN ($confNum) / ($confDen) ELSE ${D(0.5)} END AS ens_conf
        |FROM m""".stripMargin

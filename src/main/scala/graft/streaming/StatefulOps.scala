@@ -141,7 +141,17 @@ object StatefulOps {
     * IEEE op order. Equal-timestamp events within a micro-batch are
     * ordered by (ts, value) — deterministic run-to-run; exact batch
     * parity additionally needs unique per-key timestamps (the batch
-    * tiebreak is event_id, which the stream schema doesn't carry).
+    * tiebreak is event_id, which the stream schema doesn't carry)
+    * AND in-order arrival ACROSS micro-batches: state is a
+    * prepend-only list in arrival order, so a late event (earlier ts
+    * landing in a later micro-batch) is folded AFTER newer events and
+    * scores against the 5 most-recently-ARRIVED amounts, not the 5
+    * most-recent event times — this is the deliberate semantics (the
+    * reference's LSTM consumer likewise scores in arrival order,
+    * ml-models stream loop), and StreamingSpec pins it with a
+    * two-batch out-of-order case. Callers needing event-time order
+    * must deliver in order (e.g. watermark + sort upstream) or use
+    * the batch window form.
     */
   def sequenceScore(events: Dataset[KeyedEvent]): Dataset[SeqScoreOut] = {
     implicit val se = Encoders.product[SeqScoreState]

@@ -88,12 +88,14 @@ class DocOpsSpec extends AnyFunSuite {
     val allPairs = n * (n - 1) / 2
     // count candidates the same way nearDupPairs generates them:
     // verified output with threshold -1 keeps every candidate exactly once
-    val cand = Similarity.nearDupPairs(emb, threshold = -1.0).count()
+    val cand = Similarity.nearDupPairs(emb, threshold = -1.0,
+      bitsPerBand = 8, bands = 8).count()
     // background band-match probability is bands/2^bits = 8/256 ≈ 3.1%
     assert(cand <= (0.06 * allPairs).toLong,
       s"candidate ratio ${cand.toDouble / allPairs} exceeds selective bound")
     // still finds true near-dups (subset correctness is covered above)
-    assert(Similarity.nearDupPairs(emb, 0.4).count() > 0)
+    assert(Similarity.nearDupPairs(emb, 0.4,
+      bitsPerBand = 8, bands = 8).count() > 0)
   }
 
   test("dataset split partitions the whole corpus, train majority") {

@@ -127,7 +127,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("embedding near-dup is band-keyed, never a cross product") {
     val plan = explainStr(
-      Similarity.nearDupPairs(t("embeddings"), threshold = 0.4))
+      Similarity.nearDupPairs(t("embeddings"), threshold = 0.4,
+        bitsPerBand = 8, bands = 8))
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"),
       s"near-dup degenerated to all-pairs:\n$plan")

@@ -76,6 +76,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sequence score folds cross-batch late events in ARRIVAL order") {
+    // A late event (earlier ts, later micro-batch) scores against the
+    // 5 most-recently-ARRIVED amounts, not event-time order — the
+    // documented semantics (see StatefulOps.sequenceScore). Batch 1:
+    // ts=0min/100.0 then ts=4min/200.0; batch 2 delivers ts=2min/50.0
+    // late. Its row must average {100,200,50} (all arrivals), not the
+    // event-time-window {100,50}.
+    val in = MemoryStream[KeyedEvent](spark)
+    qn += 1
+    val name = s"out$qn"
+    val q = StatefulOps.sequenceScore(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // two genuine micro-batches: the query must be running between adds
+    // (addData before start() folds everything into batch 0)
+    in.addData(KeyedEvent("u1", t(0), 100.0), KeyedEvent("u1", t(4), 200.0))
+    q.processAllAvailable()
+    in.addData(KeyedEvent("u1", t(2), 50.0)) // late arrival
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select($"ts", $"nRecent", $"avgRecent")
+      .as[(Timestamp, Long, Double)].collect().toMap2
+    assert(rows(t(0)) == ((1L, 100.0)))
+    assert(rows(t(4)) == ((2L, 150.0)))
+    assert(rows(t(2)) == ((3L, 350.0 / 3))) // includes the NEWER t(4) event
+  }
+
+  private implicit class Tup3Ops[A, B, C](xs: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = xs.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
+
   test("state-API-v2 sequence score (transformWithState) matches v1") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption(
