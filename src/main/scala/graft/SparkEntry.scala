@@ -259,9 +259,13 @@ object SparkEntry {
     // J7: graph neighborhood co-occurrence (shared-part supplier pairs)
     // bounded neighborhood contract (graph_neural_network.py:244-315):
     // >=2 shared parts, top-10 strongest neighbors per supplier via the
-    // native TopK operator — output is O(10·|suppliers|), not Θ(n²)
+    // native TopK operator — output is O(10·|suppliers|), not Θ(n²).
+    // Dense-strategy form (2 shuffles, row-local pair enumeration);
+    // part degree is bounded, so no hot-via salt is needed — the
+    // salted coOccurrence form is the skew path (FraudOpsSpec pins
+    // output equivalence of the two)
     "q_graph_cooccur" -> ((s, d) =>
-      Joins.coOccurrence(T(s, d)("lineitem"), "l_suppkey", "l_partkey",
+      Joins.coOccurrenceDense(T(s, d)("lineitem"), "l_suppkey", "l_partkey",
         minShared = 2L, topNPerSrc = 10)),
     // §2.6: amount/time feature library
     "q_event_features" -> ((s, d) =>

@@ -73,6 +73,22 @@ class FraudOpsSpec extends AnyFunSuite {
     assert(bounded == Map((1L, 2L) -> 3L))
   }
 
+  test("dense co-occurrence strategy is row-identical to the salted join") {
+    // duplicate edges, a hot via, and bounded-output parameters all at
+    // once: the two physical strategies must agree exactly
+    val edges = ((1 to 25).map(s => (s.toLong, 999L)) ++
+      Seq((1L, 5L), (2L, 5L), (1L, 5L), (70L, 6L), (71L, 6L), (3L, 7L)))
+      .toDF("src", "via")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows(Joins.coOccurrenceDense(edges, "src", "via")) ==
+           rows(Joins.coOccurrence(edges, "src", "via", saltCap = 8)))
+    assert(rows(Joins.coOccurrenceDense(edges, "src", "via",
+             minShared = 2L, topNPerSrc = 3)) ==
+           rows(Joins.coOccurrence(edges, "src", "via", saltCap = 8,
+             minShared = 2L, topNPerSrc = 3)))
+  }
+
   test("velocity 1h horizon accumulates past the 5min one") {
     val ev = Seq((1L, 1L, t(0), 1.0), (2L, 1L, t(30), 1.0), (3L, 1L, t(59), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
