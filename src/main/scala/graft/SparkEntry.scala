@@ -232,6 +232,28 @@ object SparkEntry {
     // rolling-window document fingerprint
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(T(s, d)("documents"))),
+    // connected-component dedup clusters: iterative min-label
+    // propagation + pointer jumping over the simhash near-dup graph
+    // (oracle computes the same fixpoint by recursive closure)
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.simhashClusters(T(s, d)("documents"))),
+    // hashing-trick bag-of-words: fixed-width feature slots, ±1 signs
+    "q_feature_hash" -> ((s, d) =>
+      FeatureEng.hashedFeatures(T(s, d)("documents"))),
+    // per-type z-score normalization (exact mean, exact-shape stddev)
+    "q_feature_normalize" -> ((s, d) =>
+      FeatureEng.zscoreNormalize(T(s, d)("events"))),
+    // Pearson correlation screen: amount vs hour-of-day per type
+    "q_feature_corr" -> ((s, d) =>
+      FeatureEng.featureCorrelation(T(s, d)("events"))),
+    // α=1/2 EWMA decayed-amount feature (exact dyadic weights)
+    "q_ewma" -> ((s, d) => FeatureEng.ewmaAmounts(T(s, d)("events"))),
+    // equi-depth NTILE discretization per type, bin stats
+    "q_quantile_bins" -> ((s, d) =>
+      FeatureEng.quantileBins(T(s, d)("events"))),
+    // deterministic 10% stratified sample via salted-md5 ranking
+    "q_sample_stratified" -> ((s, d) =>
+      FeatureEng.stratifiedSample(T(s, d)("events"))),
 
     // ---- fraud-domain operators over the events stream ----
     // A8: multi-horizon (5min/1h/24h) rolling velocity counters
@@ -343,6 +365,58 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.oracle.DocOracles.sql ++ graft.oracle.FraudOracles.sql ++ Map(
+    "q_feature_normalize" ->
+      s"""WITH s AS (SELECT event_type, ${davg("value")} AS mu,
+         |             ${dstd("value")} AS sigma
+         |           FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type, value,
+         |  CASE WHEN sigma > 0.0 THEN (value - mu) / sigma END AS z
+         |FROM events e JOIN s USING (event_type)""".stripMargin,
+
+    "q_feature_corr" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CASE WHEN ${dstd("value")} > 0.0 AND ${dstd("hour(ts)")} > 0.0
+         |       THEN (${dsum("value * hour(ts)", 0)} / CAST(COUNT(*) AS DOUBLE)
+         |             - (${dsum("value")} / CAST(COUNT(*) AS DOUBLE))
+         |               * (${dsum("hour(ts)")} / CAST(COUNT(*) AS DOUBLE)))
+         |            / (${dstd("value")} * ${dstd("hour(ts)")})
+         |  END AS corr_value_hour
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_ewma" -> {
+      // same fixed left-to-right chain as FeatureEng.ewmaAmounts —
+      // every term is an exact division by a power of two
+      val terms = (0 until 10).map { k =>
+        val t = if (k == 0) "value"
+                else s"COALESCE(LAG(value, $k) OVER w, CAST(0.0 AS DOUBLE))"
+        s"$t / CAST(${math.pow(2.0, k)} AS DOUBLE)"
+      }.mkString("\n  + ")
+      s"""SELECT event_id, user_id, ts, value,
+         |  $terms AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+    },
+
+    "q_quantile_bins" ->
+      s"""SELECT event_type, bin, COUNT(*) AS n,
+         |  MIN(value) AS lo, MAX(value) AS hi,
+         |  ${davg("value")} AS avg_value
+         |FROM (SELECT event_type, value, event_id,
+         |        CAST(NTILE(10) OVER (PARTITION BY event_type
+         |               ORDER BY value, event_id) AS INTEGER) AS bin
+         |      FROM events)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type, rk FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5('smp:' || CAST(event_id AS STRING)), event_id)
+        |      AS INTEGER) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_stratum
+        |  FROM events)
+        |WHERE rk * 10 <= n_stratum""".stripMargin,
+
     "q_user_velocity" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  ${dsum("value")} AS total_value,

@@ -157,7 +157,7 @@ object Dedup {
   /** Hex nibble → 0-15 as a when-chain (kept as an expression both
     * engines can mirror exactly; no hex→int builtin is shared).
     */
-  private def hexNibble(c: Column): Column =
+  private[operators] def hexNibble(c: Column): Column =
     "0123456789abcdef".zipWithIndex.tail.foldLeft(when(c === "0", 0)) {
       case (acc, (ch, i)) => acc.when(c === ch.toString, i)
     }
@@ -283,4 +283,75 @@ object Dedup {
     simhashPairs(docs, maxHamming)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("canonical_id"))
+
+  /** Connected components over an undirected pair list — the dedup
+    * CLUSTER step that [[simhashCanonical]]'s one-pass parent pointers
+    * approximate: every node is labeled with the smallest id reachable
+    * through any chain of near-dup pairs, so transitive duplicates
+    * (a≈b, b≈c but a̸≈c) land in one cluster with one canonical id.
+    *
+    * Algorithm: distributed min-label propagation with pointer
+    * jumping — per round, one hop of neighbor minima
+    * (L(x) ← min(L(x), min over N(x) of L(y)); a keyed join + a keyed
+    * min, both plain shuffles) followed by one shortcut
+    * (L(x) ← L(L(x))), which contracts label chains geometrically, so
+    * rounds ≈ log(diameter) instead of diameter (near-dup graphs are
+    * clique-ish: 2 rounds + the convergence probe in practice). The
+    * fixpoint — min id per component — is unique, so the result is
+    * deterministic regardless of round count, and the DuckDB oracle
+    * can compute it by recursive transitive closure instead of
+    * replaying the iteration. Labels only ever decrease, so the SUM of
+    * labels is a monotone convergence metric: one cheap agg action per
+    * round, no row-diff join. State per round is one (node, label)
+    * frame — O(|nodes|) — never the closure itself (which is Θ(Σ k²)
+    * and exists only on the small-SF oracle side).
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = OperatorCaches.track(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster_id"))
+    var prev = Option.empty[Long]
+    var done = false
+    while (!done) {
+      // neighbor minima as a LEFT JOIN + least, not a union: a union
+      // whose second child re-reads the first child's frame trips
+      // Union constraint rewriting ("key not found: node#…") on the
+      // shared attribute ids; self-JOINs of one frame go through
+      // DeduplicateRelations and are safe
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("nb_node"))
+        .agg(min(col("cluster_id")).as("nb_min"))
+      val hop = labels
+        .join(nbrMin, col("node") === col("nb_node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+      val jumped = hop.as("x").join(hop.as("y"),
+          col("x.cluster_id") === col("y.node"))
+        .select(col("x.node").as("node"),
+          col("y.cluster_id").as("cluster_id"))
+      // EAGER lineage cut, not cache(): the self-join references `hop`
+      // twice, so an uncut plan DOUBLES per round — exponential
+      // analysis cost (measured: OOM in Catalyst by round ~4). The
+      // local checkpoint materializes the O(N) label frame and makes
+      // each round's plan constant-size.
+      val next = jumped.localCheckpoint(true)
+      val sig = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      done = prev.contains(sig)
+      prev = Some(sig)
+      labels = next
+    }
+    labels.select(col("node").as(idCol), col("cluster_id"))
+  }
+
+  /** Dedup clusters over the [[simhashPairs]] near-dup graph: every
+    * document (singletons included) mapped to its cluster's canonical
+    * (minimum) doc id.
+    */
+  def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    connectedComponents(
+      simhashPairs(docs, maxHamming).select("doc_a", "doc_b"),
+      docs.select("doc_id"), "doc_id")
 }

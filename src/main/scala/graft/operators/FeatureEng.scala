@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.ExactAgg._
+
+/** Feature-engineering operators for the training-data pipeline:
+  * normalization, correlation, decayed aggregates, discretization,
+  * deterministic sampling, and the hashing trick. The reference
+  * engineers its model features per event in Python
+  * (services/feature-engineering/...); here each transform is column
+  * algebra over the whole table — one scan, keyed shuffles only, and
+  * every float is oracle-exact (scaled-BIGINT sums, fixed-order
+  * chains, md5-derived randomness — see ExactAgg / the oracle twins).
+  */
+object FeatureEng {
+
+  /** Per-group z-score normalization: z = (x − μ)/σ with the exact
+    * mean and the exact-shape population stddev. The stats frame is a
+    * broadcast (|groups| rows), so normalization adds NO shuffle on
+    * the fact side — the same plan as the enrichment joins.
+    * Zero-variance groups yield NULL z (no division by zero).
+    */
+  def zscoreNormalize(events: DataFrame): DataFrame = {
+    val stats = events.groupBy("event_type").agg(
+      davg(col("value")).as("mu"), dstd(col("value")).as("sigma"))
+    graft.sources.Par.fan(events).join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("sigma") > 0.0,
+          (col("value") - col("mu")) / col("sigma")).as("z"))
+  }
+
+  /** Pearson correlation of amount vs hour-of-day per event type —
+    * the feature-selection screen. r = (Σxy/n − x̄·ȳ)/(σx·σy) with
+    * every Σ an exact scaled-BIGINT sum and both σ the exact-shape
+    * dstd, so r is bit-identical across engines without rounding.
+    * Degenerate groups (either σ = 0) yield NULL.
+    */
+  def featureCorrelation(events: DataFrame): DataFrame = {
+    val x = col("value")
+    val y = hour(col("ts"))
+    val n = count(lit(1)).cast(DoubleType)
+    val cov = dsum(x * y, 0) / n - (dsum(x) / n) * (dsum(y) / n)
+    val sx = dstd(x)
+    val sy = dstd(y)
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      when(sx > 0.0 && sy > 0.0, cov / (sx * sy)).as("corr_value_hour"))
+  }
+
+  /** Exponentially-weighted moving average with α = 1/2 over each
+    * user's event sequence: ewma = Σ_{k=0..9} x_{t−k} / 2^k (10-term
+    * look-back; weight below 1/512 is noise). α = 1/2 on purpose:
+    * every weight is a power of two, so each term x/2^k is EXACT in
+    * IEEE arithmetic (exponent shift only) and the fixed left-to-right
+    * sum is bit-identical across engines — a decayed-velocity feature
+    * with zero float drift. One keyed window pass, the same exchange
+    * as the sequence model.
+    */
+  def ewmaAmounts(events: DataFrame, terms: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val chain = (0 until terms).map { k =>
+      val term = if (k == 0) col("value")
+                 else coalesce(lag(col("value"), k).over(w), lit(0.0))
+      term / lit(math.pow(2.0, k))
+    }.reduce(_ + _)
+    graft.sources.Par.fan(events)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        chain.as("ewma"))
+  }
+
+  /** Equi-depth discretization: NTILE(10) per event type over
+    * (value, event_id) — the deterministic total order — rolled up to
+    * per-bin boundaries and exact means. The window is KEYED (one
+    * shuffle on event_type), not a global sort.
+    */
+  def quantileBins(events: DataFrame, bins: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events.withColumn("bin", ntile(bins).over(w))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"), davg(col("value")).as("avg_value"))
+  }
+
+  /** Deterministic stratified sampling: within each event type, rank
+    * rows by md5 of a salted id (a uniform, engine-independent
+    * permutation) and keep the first ⌊n/10⌋ — exactly 10% per stratum,
+    * reproducible in any engine, no RNG state. The classic
+    * training-subset draw (datasetSplit's per-ROW twin: that splits by
+    * hash range, this draws an exact-size per-group sample).
+    */
+  def stratifiedSample(events: DataFrame, pctKeep: Int = 10): DataFrame = {
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy(md5(concat(lit("smp:"), col("event_id").cast("string"))),
+        col("event_id"))
+    val cnt = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("n_stratum", count(lit(1)).over(cnt))
+      .filter(col("rk") * lit(100L / pctKeep) <= col("n_stratum"))
+      .select(col("event_id"), col("event_type"), col("rk"))
+  }
+
+  /** Hashing-trick bag-of-words (Weinberger et al., ICML 2009): each
+    * token hashes to one of `buckets` feature slots (first two md5
+    * nibbles) with a ±1 sign (third nibble's high bit), summed per
+    * document — a fixed-width feature vector in long form, no
+    * vocabulary pass, one explode + one keyed aggregation. md5-derived
+    * slots and signs reproduce exactly in the oracle.
+    */
+  def hashedFeatures(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    val tok = graft.sources.Par.fan(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bucket = pmod(
+      Dedup.hexNibble(substring(col("h"), 1, 1)) * 16 +
+        Dedup.hexNibble(substring(col("h"), 2, 1)), lit(buckets))
+    val sign = when(substring(col("h"), 3, 1) >= "8", 1).otherwise(-1)
+    tok.groupBy(col("doc_id"), bucket.as("bucket"))
+      .agg(sum(sign).as("weight"))
+  }
+}

@@ -347,7 +347,46 @@ object DocOracles {
       |ORDER BY pmi DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  /** Mirror of Dedup.simhashClusters: the unique fixpoint of min-label
+    * propagation is the min id reachable in the pair graph, which SQL
+    * computes directly as a recursive transitive closure (the closure
+    * is Θ(Σ cluster²) — fine at oracle SF, never materialized on the
+    * Spark side, which iterates an O(N) label frame instead).
+    */
+  private def simhashClustersSql: String =
+    s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |        UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |  WHERE s.b <> r.a),
+       |m AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+
+  /** Mirror of FeatureEng.hashedFeatures: md5 nibble-pair bucket,
+    * third-nibble sign, per-doc summed weights.
+    */
+  private def hashedFeaturesSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+       |tb AS (SELECT doc_id,
+       |         ((CASE substr(h, 1, 1) $nibble END) * 16
+       |          + (CASE substr(h, 2, 1) $nibble END)) % 64 AS bucket,
+       |         CASE WHEN substr(h, 3, 1) >= '8' THEN 1 ELSE -1 END AS sign
+       |       FROM th)
+       |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+       |FROM tb GROUP BY 1, 2""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_dedup_clusters" -> simhashClustersSql,
+    "q_feature_hash" -> hashedFeaturesSql,
     "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,
     "q_corpus_curate" -> curateSql,

@@ -98,6 +98,37 @@ class DocOpsSpec extends AnyFunSuite {
       bitsPerBand = 8, bands = 8).count() > 0)
   }
 
+  test("connected components label transitive chains with the min id") {
+    // chain 1-5, 5-9 plus clique {2,7}; singleton 3 keeps itself
+    val pairs = Seq((1L, 5L), (5L, 9L), (2L, 7L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 1L, 9L -> 1L,
+                      2L -> 2L, 7L -> 2L, 3L -> 3L))
+  }
+
+  test("connected components: long path converges via pointer jumping") {
+    val n = 40
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (1L to n).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, nodes).collect()
+    assert(out.length == n && out.forall(_.getLong(1) == 1L))
+  }
+
+  test("hashed features: bounded buckets, duplicated doc doubles weights") {
+    val d = docs((1L, "alpha beta gamma alpha"), (2L, "alpha beta gamma alpha"))
+    val out = graft.operators.FeatureEng.hashedFeatures(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+    val m = out.toMap
+    assert(out.length == m.size)
+    assert(out.forall { case ((_, b), _) => b >= 0 && b < 64 })
+    // identical text ⇒ identical (bucket, weight) profile per doc
+    val p1 = m.collect { case ((1L, b), w) => b -> w }
+    val p2 = m.collect { case ((2L, b), w) => b -> w }
+    assert(p1 == p2 && p1.nonEmpty)
+  }
+
   test("dataset split partitions the whole corpus, train majority") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val out = TextAnalysis.datasetSplit(docs).collect()

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FeatureEng
+
+class FeatureEngSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  private def ev(rows: (Long, Long, Timestamp, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("z-score: mean 0 pattern, zero-variance group yields NULL") {
+    val d = ev(
+      (1L, 1L, t(0), "a", 10.0), (2L, 1L, t(1), "a", 20.0),
+      (3L, 1L, t(2), "a", 30.0),
+      (4L, 2L, t(0), "b", 7.0), (5L, 2L, t(1), "b", 7.0))
+    val out = FeatureEng.zscoreNormalize(d).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out(4L).isEmpty && out(5L).isEmpty) // sigma = 0
+    assert(out(2L).contains(0.0))              // at the mean
+    assert(out(1L).get < 0 && out(3L).get > 0)
+    assert(math.abs(out(1L).get + out(3L).get) < 1e-12) // symmetric
+  }
+
+  test("ewma: dyadic weights accumulate exactly, resets per user") {
+    val d = ev(
+      (1L, 1L, t(0), "a", 8.0), (2L, 1L, t(1), "a", 4.0),
+      (3L, 1L, t(2), "a", 2.0),
+      (4L, 2L, t(0), "a", 100.0))
+    val out = FeatureEng.ewmaAmounts(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(1L) == 8.0)
+    assert(out(2L) == 4.0 + 8.0 / 2)       // 8.0
+    assert(out(3L) == 2.0 + 4.0 / 2 + 8.0 / 4) // 6.0
+    assert(out(4L) == 100.0)               // other user unaffected
+  }
+
+  test("quantile bins partition each type into balanced ordered bins") {
+    val d = ev((1L to 25L).map(i =>
+      (i, i, t(i.toInt), "a", i.toDouble)): _*)
+    val out = FeatureEng.quantileBins(d, bins = 5).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == (1 to 5).toSet)
+    assert(out.values.forall(_._1 == 5L)) // 25 rows / 5 bins
+    assert(out(1)._2 == 1.0 && out(5)._3 == 25.0)
+    // bins are contiguous, non-overlapping ranges
+    assert((1 to 4).forall(b => out(b)._3 < out(b + 1)._2))
+  }
+
+  test("stratified sample draws exactly floor(n/10) per stratum") {
+    val d = ev((1L to 43L).map(i =>
+      (i, i, t(i.toInt), if (i <= 30) "a" else "b", i.toDouble)): _*)
+    val out = FeatureEng.stratifiedSample(d).collect()
+      .map(r => r.getString(1))
+    assert(out.count(_ == "a") == 3) // floor(30/10)
+    assert(out.count(_ == "b") == 1) // floor(13/10)
+    // deterministic: same draw on a re-run
+    val again = FeatureEng.stratifiedSample(d).collect().map(_.getLong(0)).toSet
+    assert(again == FeatureEng.stratifiedSample(d).collect()
+      .map(_.getLong(0)).toSet)
+  }
+
+  test("correlation: perfect positive linear feature pair gives r = 1") {
+    // value = 10 * hour  →  r must be exactly 1 within the exact-agg
+    // quantization (scaled sums are exact, so r lands within 1e-9)
+    val d = (0 until 24).map { h =>
+      (h.toLong, 1L, Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"),
+        "a", h * 10.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = FeatureEng.featureCorrelation(d).collect().head.getDouble(2)
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+}
