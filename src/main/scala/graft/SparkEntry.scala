@@ -254,6 +254,12 @@ object SparkEntry {
     // deterministic 10% stratified sample via salted-md5 ranking
     "q_sample_stratified" -> ((s, d) =>
       FeatureEng.stratifiedSample(T(s, d)("events"))),
+    // MI + chi-square feature-selection screen from one contingency pass
+    "q_feature_select" -> ((s, d) =>
+      FeatureEng.featureSelection(T(s, d)("events"))),
+    // fixed-point integer PageRank, 3 damped rounds, user<->merchant
+    "q_pagerank" -> ((s, d) =>
+      GraphRank.pagerankBipartite(T(s, d)("events"))),
 
     // ---- fraud-domain operators over the events stream ----
     // A8: multi-horizon (5min/1h/24h) rolling velocity counters
@@ -416,6 +422,62 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY event_type) AS n_stratum
         |  FROM events)
         |WHERE rk * 10 <= n_stratum""".stripMargin,
+
+    "q_feature_select" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS conv,
+        |    COUNT(*) AS n_ab
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, CAST(SUM(n_ab) AS BIGINT) AS n_a
+        |       FROM cells GROUP BY 1),
+        |cm AS (SELECT conv, CAST(SUM(n_ab) AS BIGINT) AS n_b
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT event_type, conv, n_a, n_b,
+        |           COALESCE(n_ab, CAST(0 AS BIGINT)) AS n_ab
+        |         FROM (SELECT * FROM rm, cm)
+        |         LEFT JOIN cells USING (event_type, conv)),
+        |t AS (SELECT
+        |    CASE WHEN n_ab > 0 THEN
+        |      (CAST(n_ab AS DOUBLE) / n)
+        |        * ROUND(LN(CAST(n_ab * n AS DOUBLE)
+        |                   / CAST(n_a * n_b AS DOUBLE)), 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS mi_term,
+        |    (CAST(n_ab AS DOUBLE) - CAST(n_a * n_b AS DOUBLE) / n)
+        |      * (CAST(n_ab AS DOUBLE) - CAST(n_a * n_b AS DOUBLE) / n)
+        |      / (CAST(n_a * n_b AS DOUBLE) / n) AS chi_term
+        |  FROM grid, tot)
+        |SELECT
+        |  CAST(SUM(CAST(ROUND(mi_term * 1.0e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / 1.0e9 AS mi,
+        |  CAST(SUM(CAST(ROUND(chi_term * 1.0e6, 0) AS BIGINT)) AS DOUBLE)
+        |    / 1.0e6 AS chi2,
+        |  COUNT(*) AS n_cells
+        |FROM t""".stripMargin,
+
+    "q_pagerank" -> {
+      def iter(prev: String, i: Int): String =
+        s"""c$i AS (SELECT s.b AS dst,
+           |  CAST(FLOOR(CAST(pr * 85 AS DOUBLE) / (deg * 100)) AS BIGINT) AS c
+           |  FROM sym s JOIN $prev ON s.a = $prev.node),
+           |s$i AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS in_sum
+           |        FROM c$i GROUP BY 1),
+           |p$i AS (SELECT node, 150000 + COALESCE(in_sum, CAST(0 AS BIGINT))
+           |          AS pr, deg
+           |        FROM $prev LEFT JOIN s$i ON node = dst)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT
+         |    'u:' || CAST(user_id AS STRING) AS a,
+         |    'm:' || CAST((event_id * 7) % 97 AS STRING) AS b
+         |  FROM events),
+         |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr, deg FROM deg),
+         |${iter("p0", 1)},
+         |${iter("p1", 2)},
+         |${iter("p2", 3)}
+         |SELECT node, pr FROM p3""".stripMargin
+    },
 
     "q_user_velocity" ->
       s"""SELECT user_id, COUNT(*) AS n_events,

@@ -106,6 +106,45 @@ object FeatureEng {
       .select(col("event_id"), col("event_type"), col("rk"))
   }
 
+  /** Feature-selection screen: mutual information AND chi-square
+    * statistic between event type and the conversion flag
+    * (value > 100), from one contingency pass. Cross-engine exactness:
+    * every probability is an integer ratio; the only libm crossing
+    * (ln) is rounded at 6dp BEFORE the product; and the cell sums are
+    * made order-independent by quantizing each term to a BIGINT
+    * (Σ over an unordered cell set would otherwise be
+    * float-order-dependent). The statistic runs over the FULL
+    * marginal grid — zero cells contribute their expected mass to
+    * chi² (the classic observed-cells-only mistake halves chi² on a
+    * perfect 2×2) and drop out of MI by the 0·ln 0 = 0 convention.
+    */
+  def featureSelection(events: DataFrame): DataFrame = {
+    val conv = (col("value") > 100.0).cast("int")
+    val cells = events.groupBy(col("event_type"), conv.as("conv"))
+      .agg(count(lit(1)).as("n_ab"))
+    val rowm = cells.groupBy("event_type").agg(sum("n_ab").as("n_a"))
+    val colm = cells.groupBy("conv").agg(sum("n_ab").as("n_b"))
+    val tot = cells.agg(sum("n_ab").as("n"))
+    val j = broadcast(rowm).crossJoin(broadcast(colm))
+      .crossJoin(broadcast(tot))
+      .join(cells, Seq("event_type", "conv"), "left")
+      .withColumn("n_ab", coalesce(col("n_ab"), lit(0L)))
+    val p = col("n_ab").cast(DoubleType) / col("n")
+    val lnArg = (col("n_ab") * col("n")).cast(DoubleType) /
+      (col("n_a") * col("n_b")).cast(DoubleType)
+    val miTerm = when(col("n_ab") > 0, p * round(log(lnArg), 6))
+      .otherwise(lit(0.0))
+    val e = (col("n_a") * col("n_b")).cast(DoubleType) / col("n")
+    val dlt = col("n_ab").cast(DoubleType) - e
+    val chiTerm = dlt * dlt / e
+    j.agg(
+      (sum(round(miTerm * 1.0e9).cast("long")).cast(DoubleType) / 1.0e9)
+        .as("mi"),
+      (sum(round(chiTerm * 1.0e6).cast("long")).cast(DoubleType) / 1.0e6)
+        .as("chi2"),
+      count(lit(1)).as("n_cells"))
+  }
+
   /** Hashing-trick bag-of-words (Weinberger et al., ICML 2009): each
     * token hashes to one of `buckets` feature slots (first two md5
     * nibbles) with a ±1 sign (third nibble's high bit), summed per

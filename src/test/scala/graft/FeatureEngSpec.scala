@@ -68,6 +68,36 @@ class FeatureEngSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet)
   }
 
+  test("feature selection: independent features score 0, dependent ~ln 2") {
+    // independent: both types convert at the same 50% rate
+    val ind = ev(
+      (1L, 1L, t(0), "a", 200.0), (2L, 1L, t(1), "a", 1.0),
+      (3L, 1L, t(2), "b", 200.0), (4L, 1L, t(3), "b", 1.0))
+    val r0 = graft.operators.FeatureEng.featureSelection(ind).collect().head
+    assert(r0.getDouble(0) == 0.0 && r0.getDouble(1) == 0.0)
+    // fully dependent: type determines conversion → MI = ln 2
+    val dep = ev(
+      (1L, 1L, t(0), "a", 200.0), (2L, 1L, t(1), "a", 300.0),
+      (3L, 1L, t(2), "b", 1.0), (4L, 1L, t(3), "b", 2.0))
+    val r1 = graft.operators.FeatureEng.featureSelection(dep).collect().head
+    assert(math.abs(r1.getDouble(0) - math.log(2.0)) < 1e-5)
+    assert(math.abs(r1.getDouble(1) - 4.0) < 1e-5) // chi2 = N for perfect 2x2
+  }
+
+  test("pagerank: integer ranks are deterministic and mass-bounded") {
+    val d = ev((1L to 40L).map(i =>
+      (i, i % 5, t(i.toInt), "a", i.toDouble)): _*)
+    val out = graft.operators.GraphRank.pagerankBipartite(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = graft.operators.GraphRank.pagerankBipartite(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == again) // exact integer ranks, run-to-run identical
+    val S = graft.operators.GraphRank.Scale
+    assert(out.values.forall(v => v >= S * 15 / 100 && v <= S * out.size))
+    // total mass never exceeds the injected mass (floors only lose)
+    assert(out.values.sum <= S * out.size)
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)
