@@ -311,8 +311,33 @@ object Dedup {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val sym = OperatorCaches.track(
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster_id"))
-    var prev = Option.empty[Long]
+
+    // one pointer jump L(x) ← L(L(x)); every label is itself a node,
+    // so the self-join is total. localCheckpoint (EAGER), not cache():
+    // the jump references its input twice, so an uncut plan DOUBLES
+    // per round (measured: Catalyst OOM by round ~4) and would re-run
+    // the upstream join once per jump side.
+    def jump(ls: DataFrame): DataFrame =
+      ls.as("x").join(ls.as("y"), col("x.cluster_id") === col("y.node"))
+        .select(col("x.node").as("node"),
+          col("y.cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+    def sigOf(ls: DataFrame): Long =
+      ls.agg(sum(col("cluster_id"))).head().getLong(0)
+
+    // seed = the first hop with identity labels, join-free: the min
+    // neighbor ID is a plain keyed min over the edge list
+    val nbr0 = sym.groupBy(col("src").as("nb_node"))
+      .agg(min(col("dst")).as("nb_min"))
+    val seed = nodes
+      .select(col(idCol).as("node"), col(idCol).as("cluster_id"))
+      .join(nbr0, col("node") === col("nb_node"), "left")
+      .select(col("node"),
+        least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+          .as("cluster_id"))
+      .localCheckpoint(true)
+    var labels = jump(seed)
+    var prev = sigOf(labels)
     var done = false
     while (!done) {
       // neighbor minima as a LEFT JOIN + least, not a union: a union
@@ -328,20 +353,12 @@ object Dedup {
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
-      val jumped = hop.as("x").join(hop.as("y"),
-          col("x.cluster_id") === col("y.node"))
-        .select(col("x.node").as("node"),
-          col("y.cluster_id").as("cluster_id"))
-      // EAGER lineage cut, not cache(): the self-join references `hop`
-      // twice, so an uncut plan DOUBLES per round — exponential
-      // analysis cost (measured: OOM in Catalyst by round ~4). The
-      // local checkpoint materializes the O(N) label frame and makes
-      // each round's plan constant-size.
-      val next = jumped.localCheckpoint(true)
-      val sig = next.agg(sum(col("cluster_id"))).head().getLong(0)
-      done = prev.contains(sig)
-      prev = Some(sig)
-      labels = next
+        .localCheckpoint(true)
+      val rooted = jump(hop)
+      val sig = sigOf(rooted)
+      done = sig == prev
+      prev = sig
+      labels = rooted
     }
     labels.select(col("node").as(idCol), col("cluster_id"))
   }
