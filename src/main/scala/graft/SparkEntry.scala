@@ -240,6 +240,13 @@ object SparkEntry {
     // hashing-trick bag-of-words: fixed-width feature slots, ±1 signs
     "q_feature_hash" -> ((s, d) =>
       FeatureEng.hashedFeatures(T(s, d)("documents"))),
+    // incremental batch-vs-corpus dedup: exact-hash + band semi-joins
+    "q_dedup_incremental" -> ((s, d) =>
+      Dedup.incrementalDedup(T(s, d)("documents"),
+        org.apache.spark.sql.functions.col("doc_id") % 10 === 0)),
+    // Gopher-style repetition screens: exact token/bigram share ratios
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionMetrics(T(s, d)("documents"))),
     // per-type z-score normalization (exact mean, exact-shape stddev)
     "q_feature_normalize" -> ((s, d) =>
       FeatureEng.zscoreNormalize(T(s, d)("events"))),

@@ -127,17 +127,26 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band a signature frame (h0..h{n-1} columns) and self-join on the
-    * band buckets — shared by both MinHash variants.
+  /** (doc_id, band, bkey) LSH band keys from a signature frame
+    * (h0..h{n-1} columns) — the probe structure shared by the pair
+    * self-join and the incremental (batch-vs-corpus) semi-join.
     */
-  private def bandPairs(sigs: DataFrame, numHashes: Int,
-                        bands: Int): DataFrame = {
+  private def bandKeys(sigs: DataFrame, numHashes: Int,
+                       bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val banded = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val key = md5(concat_ws("|",
         (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
       sigs.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Band a signature frame and self-join on the band buckets —
+    * shared by both MinHash variants.
+    */
+  private def bandPairs(sigs: DataFrame, numHashes: Int,
+                        bands: Int): DataFrame = {
+    val banded = bandKeys(sigs, numHashes, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -371,4 +380,43 @@ object Dedup {
     connectedComponents(
       simhashPairs(docs, maxHamming).select("doc_a", "doc_b"),
       docs.select("doc_id"), "doc_id")
+
+  /** INCREMENTAL dedup — the production shape: classify each document
+    * of an incoming batch against the existing corpus without ever
+    * re-pairing the corpus with itself. `dup_exact` = verbatim text
+    * already in the corpus (hash semi-join); `dup_near` = shares a
+    * MinHash-LSH band bucket with any corpus doc (band-key semi-join —
+    * candidate probes, not pairs); else `new`. Cost per batch is
+    * O(|batch| + matching buckets), independent of corpus-internal
+    * duplication — the reason incremental ingest at 100 TB runs
+    * per-batch instead of re-running global dedup. Signatures are
+    * computed in ONE pass over batch ∪ corpus (same document-frequency
+    * cap as the global operators), then split by the predicate.
+    */
+  def incrementalDedup(docs: DataFrame, batchPred: Column,
+                       numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    val tagged = docs.select(col("doc_id"), col("text"),
+      batchPred.as("is_new"))
+    val batch = tagged.filter(col("is_new"))
+    val corpus = tagged.filter(!col("is_new"))
+    val exactIds = batch.join(
+        corpus.select(md5(col("text")).as("eh")).distinct(),
+        md5(col("text")) === col("eh"), "left_semi")
+      .select(col("doc_id"))
+    val keys = OperatorCaches.track(
+      bandKeys(minhashSignatures(docs, numHashes), numHashes, bands)
+        .join(tagged.select("doc_id", "is_new"), "doc_id"))
+    val nearIds = keys.filter(col("is_new")).as("a")
+      .join(keys.filter(!col("is_new")).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "dup_exact")
+          .when(col("is_near") === 1, "dup_near")
+          .otherwise("new").as("status"))
+  }
 }

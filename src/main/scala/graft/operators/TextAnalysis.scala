@@ -185,6 +185,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-style repetition metrics per document (Rae et al., 2021
+    * §A1.1 repetition filters; C4's boilerplate screens): distinct-
+    * token ratio, most-frequent-token share, most-frequent-bigram
+    * share, and the composite repetitive flag. All ratios are exact
+    * integer divisions, so the floats — and the flag — are
+    * bit-identical across engines. One explode + keyed aggs; no
+    * self-joins.
+    */
+  def repetitionMetrics(docs: DataFrame,
+                        maxTopTokenShare: Double = 0.2,
+                        minDistinctRatio: Double = 0.3): DataFrame = {
+    val toked = fan(docs).select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val tc = toked.select(col("doc_id"), explode(col("ts")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val uni = tc.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"))
+    // same size>=2 guard as collocations: sequence(1, 0) DESCENDS
+    val bc = toked.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val big = bc.groupBy("doc_id").agg(
+      max(col("c")).as("top_bc"), sum(col("c")).as("n_bigrams"))
+    val distinctRatio = col("n_distinct").cast(DoubleType) / col("n_tokens")
+    val topShare = col("top_c").cast(DoubleType) / col("n_tokens")
+    val topBigramShare = when(col("n_bigrams") > 0,
+      col("top_bc").cast(DoubleType) / col("n_bigrams"))
+    uni.join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        topShare.as("top_token_share"),
+        topBigramShare.as("top_bigram_share"),
+        (distinctRatio < minDistinctRatio || topShare > maxTopTokenShare)
+          .as("is_repetitive"))
+  }
+
   /** Document fingerprint: min md5 over all 8-char rolling windows
     * (winnowing-style content fingerprint, rolling-hash analog).
     */

@@ -384,8 +384,69 @@ object DocOracles {
        |FROM tb GROUP BY 1, 2""".stripMargin
   }
 
+  /** Mirror of Dedup.incrementalDedup: batch = doc_id % 10 = 0,
+    * corpus = rest; exact-hash membership, then MinHash band-bucket
+    * membership (same signature/band derivation as minhashSql).
+    */
+  private def incrementalDedupSql: String = {
+    val hashes = (0 until 8).map(j =>
+      s"MIN(md5('$j:' || sh)) AS h$j").mkString(", ")
+    def band(b: Int) = {
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM s"
+    }
+    s"""$shinglesCte,
+       |s AS (SELECT doc_id, $hashes FROM e GROUP BY doc_id),
+       |bd AS (${band(0)} UNION ALL ${band(1)}),
+       |tag AS (SELECT doc_id, text, doc_id % 10 = 0 AS is_new
+       |        FROM documents),
+       |eh AS (SELECT DISTINCT md5(text) AS eh FROM tag WHERE NOT is_new),
+       |near AS (SELECT DISTINCT a.doc_id
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.bkey = b.bkey
+       |         JOIN tag ta ON a.doc_id = ta.doc_id AND ta.is_new
+       |         JOIN tag tb ON b.doc_id = tb.doc_id AND NOT tb.is_new)
+       |SELECT t.doc_id,
+       |  CASE WHEN md5(t.text) IN (SELECT eh FROM eh) THEN 'dup_exact'
+       |       WHEN t.doc_id IN (SELECT doc_id FROM near) THEN 'dup_near'
+       |       ELSE 'new' END AS status
+       |FROM tag t WHERE is_new""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.repetitionMetrics: exact integer-ratio
+    * repetition screens (Gopher-style).
+    */
+  private def repetitionSql: String =
+    """WITH toked AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |               FROM documents),
+      |tcc AS (SELECT doc_id, w, COUNT(*) AS c
+      |        FROM (SELECT doc_id, UNNEST(ts) AS w FROM toked)
+      |        GROUP BY 1, 2),
+      |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |          COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+      |        FROM tcc GROUP BY 1),
+      |bcc AS (SELECT doc_id, b, COUNT(*) AS c
+      |        FROM (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS b
+      |              FROM (SELECT doc_id, ts,
+      |                      UNNEST(generate_series(1, len(ts) - 1)) AS i
+      |                    FROM toked))
+      |        GROUP BY 1, 2),
+      |big AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bc,
+      |          CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |        FROM bcc GROUP BY 1)
+      |SELECT u.doc_id, n_tokens,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      |  CAST(top_c AS DOUBLE) / n_tokens AS top_token_share,
+      |  CASE WHEN n_bigrams > 0 THEN CAST(top_bc AS DOUBLE) / n_bigrams
+      |  END AS top_bigram_share,
+      |  (CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+      |   OR CAST(top_c AS DOUBLE) / n_tokens > 0.2) AS is_repetitive
+      |FROM uni u LEFT JOIN big USING (doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_dedup_clusters" -> simhashClustersSql,
+    "q_dedup_incremental" -> incrementalDedupSql,
+    "q_text_repetition" -> repetitionSql,
     "q_feature_hash" -> hashedFeaturesSql,
     "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,

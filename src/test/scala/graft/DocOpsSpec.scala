@@ -129,6 +129,40 @@ class DocOpsSpec extends AnyFunSuite {
     assert(p1 == p2 && p1.nonEmpty)
   }
 
+  test("incremental dedup classifies batch docs vs the corpus") {
+    // corpus = odd ids; batch = even ids (pred: doc_id % 2 == 0)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      (1L, base),                      // corpus
+      (3L, "completely different words here about spark engines"),
+      (2L, base),                      // batch: exact dup of 1
+      (4L, base + " extra"),           // batch: near dup of 1 (shares bands)
+      (6L, "unique unseen payload tokens nothing shared with corpus docs"))
+    val out = graft.operators.Dedup
+      .incrementalDedup(d, org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(2L, 4L, 6L))
+    assert(out(2L) == "dup_exact")
+    assert(out(4L) == "dup_near")
+    assert(out(6L) == "new")
+  }
+
+  test("repetition metrics flag degenerate docs, pass diverse ones") {
+    val d = docs(
+      (1L, "spam spam spam spam spam"),             // one token repeated
+      (2L, "alpha beta gamma delta epsilon zeta"),  // all distinct
+      (3L, "solo"))                                 // single token: no bigrams
+    val out = graft.operators.TextAnalysis.repetitionMetrics(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    assert(out(1L).getAs[Double]("top_token_share") == 1.0)
+    assert(out(1L).getAs[Double]("top_bigram_share") == 1.0)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+    assert(out(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("top_bigram_share")))
+    assert(out(3L).getAs[Long]("n_tokens") == 1L)
+  }
+
   test("dataset split partitions the whole corpus, train majority") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val out = TextAnalysis.datasetSplit(docs).collect()
