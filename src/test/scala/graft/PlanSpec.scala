@@ -166,4 +166,41 @@ class PlanSpec extends AnyFunSuite {
       s"tfidf should rank through the custom TopK operator:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("z-score normalization broadcasts stats, never shuffle-joins facts") {
+    val plan = explainStr(FeatureEng.zscoreNormalize(t("events")))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("ShuffledHashJoin"),
+      s"per-group stats must reach the fact side as a broadcast:\n$plan")
+  }
+
+  test("ewma costs exactly one keyed exchange (the user window)") {
+    val plan = explainStr(FeatureEng.ewmaAmounts(t("events")))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected a single keyed shuffle, found $n:\n$plan")
+  }
+
+  test("quantile bins use a KEYED window — no single-partition sort") {
+    val plan = explainStr(FeatureEng.quantileBins(t("events")))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"NTILE degenerated to a global sort:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("incremental dedup plans semi-joins, never a cross product") {
+    val plan = explainStr(Dedup.incrementalDedup(t("documents"),
+      col("doc_id") % 10 === 0))
+    assert(plan.contains("LeftSemi"), s"expected semi-join probes:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dense co-occurrence: two keyed exchanges, zero joins") {
+    val plan = explainStr(Joins.coOccurrenceDense(
+      t("lineitem"), "l_suppkey", "l_partkey"))
+    assert(!plan.contains("Join"), s"dense strategy must not join:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2, s"expected groupBy(via) + groupBy(pair) only, got $n:\n$plan")
+  }
 }
