@@ -247,6 +247,12 @@ object SparkEntry {
     // Gopher-style repetition screens: exact token/bigram share ratios
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionMetrics(T(s, d)("documents"))),
+    // int8 embedding quantization audit: scale, mse, max error per vec
+    "q_emb_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(T(s, d)("embeddings"))),
+    // concat-then-chunk sequence packing into 512-token windows
+    "q_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(T(s, d)("documents"))),
     // per-type z-score normalization (exact mean, exact-shape stddev)
     "q_feature_normalize" -> ((s, d) =>
       FeatureEng.zscoreNormalize(T(s, d)("events"))),

@@ -241,6 +241,40 @@ object Similarity {
       .filter(col("cos") > threshold)
   }
 
+  /** Symmetric int8 quantization audit — the storage-compression leg
+    * of an embedding store (4× smaller vectors; a 100 TB fp32
+    * embedding corpus becomes 25 TB): per vector, the absmax scale
+    * s = max|x_i|, codes q_i = clamp(round(x_i/s·127), ±127), and the
+    * reconstruction error mse = Σ(x_i − q_i/127·s)²/dim. Entirely
+    * row-local column algebra — no shuffle at all — and every float
+    * is exact-shape IEEE (divisions/products on identical operands,
+    * HALF_UP rounds, a fixed left-associated error sum mirroring the
+    * oracle's explicit chain), so scale, clip counts, and mse are
+    * bit-identical across engines. Output is scalar per vector (the
+    * codes themselves stay an internal transform).
+    */
+  def quantizeInt8(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val withS = graft.sources.Par.fan(embeddings)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("s", array_max(transform(col("v"), x => abs(x))))
+    def qOf(x: Column): Column =
+      greatest(lit(-127.0), least(lit(127.0),
+        round(x / col("s") * lit(127))))
+    val errSq = aggregate(
+      transform(col("v"), x => {
+        val e = x - qOf(x) / lit(127.0) * col("s")
+        e * e
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val maxAbsErr = array_max(transform(col("v"), x =>
+      abs(x - qOf(x) / lit(127.0) * col("s"))))
+    withS.select(col("vec_id"), col("s").as("scale"),
+      when(col("s") > 0.0, errSq / lit(dim.toDouble)).otherwise(0.0)
+        .as("mse"),
+      when(col("s") > 0.0, maxAbsErr).otherwise(0.0).as("max_abs_err"))
+  }
+
   /** All-pairs exact near-dup — O(N²) oracle/test baseline ONLY (the
     * recall yardstick for [[nearDupPairs]] in SimilaritySpec). Never
     * the scale path.

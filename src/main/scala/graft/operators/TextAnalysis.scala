@@ -223,6 +223,36 @@ object TextAnalysis {
           .as("is_repetitive"))
   }
 
+  /** Sequence packing (concat-then-chunk): documents are concatenated
+    * in id order into one token stream that is cut into fixed
+    * `budget`-token context windows — the standard LLM-pretraining
+    * packing layout. Per document: its token count, the window its
+    * first token lands in, the window its last token lands in, and
+    * how many windows it spans. All integer arithmetic over one
+    * running-sum window — exact in any engine.
+    *
+    * The running sum here is a single global ORDER BY doc_id — the
+    * demonstration layout. At corpus scale packing is run per shard
+    * (add the shard to the window's partitionBy): windows never cross
+    * shards in real pipelines, so the global order is not a
+    * scalability requirement, just the oracle-comparable one.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = size(split(col("text"), " ")).cast("long")
+    val b = lit(budget.toDouble)
+    docs.select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / b).cast("long")
+          .as("start_window"),
+        floor((col("cum") - 1) / b).cast("long").as("end_window"))
+      .withColumn("n_windows",
+        col("end_window") - col("start_window") + 1)
+  }
+
   /** Document fingerprint: min md5 over all 8-char rolling windows
     * (winnowing-style content fingerprint, rolling-hash analog).
     */

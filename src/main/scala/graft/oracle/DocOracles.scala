@@ -222,6 +222,53 @@ object DocOracles {
        |WHERE cos > 0.4""".stripMargin
   }
 
+  /** Mirror of Similarity.quantizeInt8: per-index error terms with the
+    * identical clamp/round/div shapes, mse as the explicit
+    * left-associated 64-term chain (the fold's order), max error via
+    * list_max (comparison-only — exact).
+    */
+  private def quantizeSql: String = {
+    def q(x: String) =
+      s"GREATEST(-127.0, LEAST(127.0, ROUND($x / s * 127, 0)))"
+    def err(i: Int) = s"(v[$i] - ${q(s"v[$i]")} / 127.0 * s)"
+    val mseChain = (1 to 64).map(i => s"${err(i)} * ${err(i)}")
+      .mkString(" + ")
+    s"""$embCte,
+       |ws AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS s
+       |       FROM d)
+       |SELECT vec_id, s AS scale,
+       |  CASE WHEN s > 0.0 THEN ($mseChain) / 64.0
+       |       ELSE CAST(0.0 AS DOUBLE) END AS mse,
+       |  CASE WHEN s > 0.0 THEN
+       |    list_max(list_transform(v, x ->
+       |      abs(x - GREATEST(-127.0, LEAST(127.0, ROUND(x / s * 127, 0)))
+       |          / 127.0 * s)))
+       |  ELSE CAST(0.0 AS DOUBLE) END AS max_abs_err
+       |FROM ws""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.packSequences: one running sum, integer
+    * window ids.
+    */
+  private def packSequencesSql: String =
+    """WITH n AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM n)
+      |SELECT doc_id, n_tokens,
+      |  CAST(FLOOR((cum - n_tokens) / CAST(512.0 AS DOUBLE)) AS BIGINT)
+      |    AS start_window,
+      |  CAST(FLOOR((cum - 1) / CAST(512.0 AS DOUBLE)) AS BIGINT)
+      |    AS end_window,
+      |  CAST(FLOOR((cum - 1) / CAST(512.0 AS DOUBLE)) AS BIGINT)
+      |    - CAST(FLOOR((cum - n_tokens) / CAST(512.0 AS DOUBLE)) AS BIGINT)
+      |    + 1 AS n_windows
+      |FROM c""".stripMargin
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -448,6 +495,8 @@ object DocOracles {
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_text_repetition" -> repetitionSql,
     "q_feature_hash" -> hashedFeaturesSql,
+    "q_emb_quantize" -> quantizeSql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,
     "q_corpus_curate" -> curateSql,

@@ -163,6 +163,47 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_tokens") == 1L)
   }
 
+  test("int8 quantization: exact dyadic values reconstruct losslessly") {
+    // ±s and 0 always land on exact codes; 63.5/127·127 = 63.5 rounds
+    // HALF_UP to code 64 → error 0.5, mse = 0.25/4
+    val emb = Seq(
+      (1L, Array(127.0f, -127.0f, 0.0f, 0.0f)),
+      (2L, Array(127.0f, -127.0f, 0.0f, 63.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: guarded path
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, dim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("scale") == 127.0)
+    assert(out(1L).getAs[Double]("mse") == 0.0)
+    assert(out(1L).getAs[Double]("max_abs_err") == 0.0)
+    assert(math.abs(out(2L).getAs[Double]("mse") - 0.0625) < 1e-9)
+    assert(math.abs(out(2L).getAs[Double]("max_abs_err") - 0.5) < 1e-9)
+    assert(out(3L).getAs[Double]("scale") == 0.0)
+    assert(out(3L).getAs[Double]("mse") == 0.0) // no NaN from 0/0
+  }
+
+  test("int8 quantization error is bounded by half a quantization step") {
+    val emb = Seq((1L, Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(emb).collect().head
+    val s = r.getAs[Double]("scale")
+    assert(r.getAs[Double]("max_abs_err") <= s / 127.0 / 2 + 1e-12)
+    assert(r.getAs[Double]("mse") > 0.0)
+  }
+
+  test("sequence packing: window spans follow the running token sum") {
+    val d = docs(
+      (1L, "a b c d"),                  // 4 tokens, cum 4
+      (2L, "e f g h i j k l"),          // 8 tokens, cum 12 — straddles
+      (3L, "m n o"))                    // 3 tokens, cum 15
+    val out = TextAnalysis.packSequences(d, budget = 10).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((4L, 0L, 0L, 1L)))
+    assert(out(2L) == ((8L, 0L, 1L, 2L))) // spans the window boundary
+    assert(out(3L) == ((3L, 1L, 1L, 1L)))
+  }
+
   test("dataset split partitions the whole corpus, train majority") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val out = TextAnalysis.datasetSplit(docs).collect()
