@@ -26,7 +26,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
         // sequence window (WINDOW clause), graph degree score
         "q_top_supplier", "q_share_supplier", "q_dormant_customers",
         "q_small_qty_rev", "q_big_orders", "q_ab_test",
-        "q_seq_score", "q_graph_score")
+        "q_seq_score", "q_graph_score",
+        // round-4 additions: broadcast-stats normalization, exact
+        // Pearson, MI/chi2 over the marginal grid, EWMA lag chain,
+        // NTILE bins, md5-ranked stratified sample, fixed-point
+        // PageRank CTE rounds
+        "q_feature_normalize", "q_feature_corr", "q_feature_select",
+        "q_ewma", "q_quantile_bins", "q_sample_stratified",
+        "q_pagerank")
 
   test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
     Tables.registerAll(spark, sf)
