@@ -253,6 +253,9 @@ object SparkEntry {
     // concat-then-chunk sequence packing into 512-token windows
     "q_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d)("documents"))),
+    // unigram-LM surprisal score (KenLM perplexity-filter analog)
+    "q_text_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(T(s, d)("documents"))),
     // per-type z-score normalization (exact mean, exact-shape stddev)
     "q_feature_normalize" -> ((s, d) =>
       FeatureEng.zscoreNormalize(T(s, d)("events"))),

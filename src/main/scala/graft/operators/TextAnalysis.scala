@@ -223,6 +223,33 @@ object TextAnalysis {
           .as("is_repetitive"))
   }
 
+  /** Unigram-LM surprisal per document — the deterministic analog of
+    * the KenLM-perplexity quality filter real pretraining pipelines
+    * run (CCNet/RefinedWeb): score(doc) = mean over tokens of
+    * −ln p(w) with p(w) the corpus unigram frequency. High average
+    * surprisal = rare-token-heavy (gibberish or exotic) documents;
+    * low = boilerplate. Cross-engine exactness: each token's
+    * surprisal is ln of an exact integer ratio rounded at 6dp, and
+    * the per-doc sum quantizes terms to BIGINT so the unordered sum
+    * is order-independent. One explode, one vocabulary join, one
+    * keyed agg.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = fan(docs).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = tok.agg(count(lit(1)).as("n_corpus"))
+    val term = round(log(col("n_corpus").cast(DoubleType) /
+      col("cw").cast(DoubleType)), 6)
+    val scaledSum = sum(round(term * lit(1.0e6)).cast("long"))
+      .cast(DoubleType) / lit(1.0e6)
+    tok.join(counts, "w").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), scaledSum.as("surprisal_sum"))
+      .withColumn("avg_surprisal",
+        col("surprisal_sum") / col("n_tokens"))
+  }
+
   /** Sequence packing (concat-then-chunk): documents are concatenated
     * in id order into one token stream that is cut into fixed
     * `budget`-token context windows — the standard LLM-pretraining

@@ -269,6 +269,25 @@ object DocOracles {
       |    + 1 AS n_windows
       |FROM c""".stripMargin
 
+  /** Mirror of TextAnalysis.unigramSurprisal: ln of integer ratios
+    * rounded 6dp, per-doc sum via BIGINT-quantized terms.
+    */
+  private def surprisalSql: String =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_corpus FROM tok),
+      |t AS (SELECT doc_id,
+      |        ROUND(LN(CAST(n_corpus AS DOUBLE) / CAST(cw AS DOUBLE)), 6)
+      |          AS term
+      |      FROM tok JOIN cw USING (w), n)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CAST(ROUND(term * 1.0e6, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1.0e6 AS surprisal_sum,
+      |  (CAST(SUM(CAST(ROUND(term * 1.0e6, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1.0e6) / COUNT(*) AS avg_surprisal
+      |FROM t GROUP BY 1""".stripMargin
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -497,6 +516,7 @@ object DocOracles {
     "q_feature_hash" -> hashedFeaturesSql,
     "q_emb_quantize" -> quantizeSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_text_surprisal" -> surprisalSql,
     "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,
     "q_corpus_curate" -> curateSql,

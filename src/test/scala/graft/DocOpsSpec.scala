@@ -191,6 +191,20 @@ class DocOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mse") > 0.0)
   }
 
+  test("unigram surprisal ranks rare-token docs above boilerplate") {
+    val d = docs(
+      (1L, "common common common common"),
+      (2L, "common common rare unique"),
+      (3L, "common common common common"))
+    val out = graft.operators.TextAnalysis.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_surprisal")).toMap
+    assert(out(2L) > out(1L))
+    assert(out(1L) == out(3L)) // identical docs, identical score
+    // all-common doc: surprisal = ln(12/10) rounded 6dp exactly
+    assert(math.abs(out(1L) -
+      math.rint(math.log(12.0 / 10) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("sequence packing: window spans follow the running token sum") {
     val d = docs(
       (1L, "a b c d"),                  // 4 tokens, cum 4
