@@ -72,7 +72,7 @@ object Joins {
         (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
       .withColumn("_is_l", lit(0))
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_is_l"))
       .rowsBetween(Window.unboundedPreceding, 0)

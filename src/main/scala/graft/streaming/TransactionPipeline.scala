@@ -75,7 +75,8 @@ object TransactionPipeline {
   def parseJson(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
     val parsed = raw.withColumn("t",
       from_json(col(jsonCol), transactionSchema))
-    val rest = transactionSchema.fieldNames.filterNot(_ == "transaction_id")
+    val rest = transactionSchema.fieldNames.toIndexedSeq
+      .filterNot(_ == "transaction_id")
     parsed.select(
       when(col("t.transaction_id").isNull,
         concat(lit("ERROR_"), md5(col(jsonCol))))
@@ -175,7 +176,7 @@ object TransactionPipeline {
     */
   def toKafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
                   checkpoint: String) =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
