@@ -256,6 +256,15 @@ object SparkEntry {
     // unigram-LM surprisal score (KenLM perplexity-filter analog)
     "q_text_surprisal" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(T(s, d)("documents"))),
+    // RAG-style overlapping chunk plan (128-token chunks, 16 overlap)
+    "q_chunk_docs" -> ((s, d) =>
+      TextAnalysis.chunkPlan(T(s, d)("documents"))),
+    // key-skew diagnosis: heavy hitters + max/mean skew ratio
+    "q_skew_profile" -> ((s, d) =>
+      Quality.keySkewProfile(T(s, d)("events"), "user_id")),
+    // hourly resample + longest-dormancy profile (gaps-and-islands)
+    "q_gapfill" -> ((s, d) =>
+      WindowedAggs.hourlyGapProfile(T(s, d)("events"))),
     // per-type z-score normalization (exact mean, exact-shape stddev)
     "q_feature_normalize" -> ((s, d) =>
       FeatureEng.zscoreNormalize(T(s, d)("events"))),
@@ -438,6 +447,47 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY event_type) AS n_stratum
         |  FROM events)
         |WHERE rk * 10 <= n_stratum""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_rows
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_keys, MAX(n_rows) AS max_rows,
+        |        CAST(CAST(SUM(n_rows) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |          AS mean_rows
+        |      FROM c)
+        |SELECT user_id, n_rows, n_keys, max_rows, mean_rows,
+        |  max_rows / mean_rows AS skew_ratio
+        |FROM (SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 5), s"""
+        .stripMargin,
+
+    "q_gapfill" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+        |    date_trunc('hour', MAX(ts)) AS h1
+        |  FROM events GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |j AS (SELECT s.user_id, s.h, n,
+        |    (epoch_us(s.h) // 1000000) // 3600 AS hidx,
+        |    n IS NULL AS is_empty
+        |  FROM spine s LEFT JOIN hourly USING (user_id, h)),
+        |runs AS (SELECT user_id, MAX(run) AS max_empty_run FROM (
+        |    SELECT user_id, grp, COUNT(*) AS run FROM (
+        |      SELECT user_id, hidx,
+        |        hidx - ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                  ORDER BY hidx) AS grp
+        |      FROM j WHERE is_empty)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT j.user_id, COUNT(*) AS n_hours,
+        |  COUNT(CASE WHEN NOT is_empty THEN 1 END) AS n_active_hours,
+        |  COUNT(CASE WHEN is_empty THEN 1 END) AS n_empty_hours,
+        |  COALESCE(MAX(max_empty_run), CAST(0 AS BIGINT)) AS max_empty_run
+        |FROM j LEFT JOIN runs USING (user_id)
+        |GROUP BY 1""".stripMargin,
 
     "q_feature_select" ->
       """WITH cells AS (

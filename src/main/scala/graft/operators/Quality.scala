@@ -73,4 +73,26 @@ object Quality {
       fkOrphans(orders, "o_custkey", customer, "c_custkey",
         "fk_orders_customer"))
   }
+
+  /** Key-skew profile — the diagnosis that decides whether a join or
+    * aggregation on `key` needs the salting machinery
+    * ([[Salt]]/[[Joins.coOccurrence]]): per-key counts rolled into
+    * n_keys / max / exact-ratio mean / skew = max/mean, attached to
+    * the top-`k` heavy hitters (deterministic count-desc, key-asc
+    * order). One keyed agg + one tiny sorted limit; the summary rides
+    * along as a broadcast. Exactness: mean is an integer ratio, skew
+    * a division of exact doubles.
+    */
+  def keySkewProfile(df: DataFrame, key: String, k: Int = 5): DataFrame = {
+    val counts = OperatorCaches.track(
+      df.groupBy(col(key)).agg(count(lit(1)).as("n_rows")))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"), max(col("n_rows")).as("max_rows"),
+      sum(col("n_rows")).as("total_rows"))
+      .select(col("n_keys"), col("max_rows"),
+        (col("total_rows").cast("double") / col("n_keys")).as("mean_rows"))
+      .withColumn("skew_ratio", col("max_rows") / col("mean_rows"))
+    counts.orderBy(col("n_rows").desc, col(key)).limit(k)
+      .crossJoin(broadcast(summary))
+  }
 }

@@ -223,6 +223,31 @@ object TextAnalysis {
           .as("is_repetitive"))
   }
 
+  /** Overlapping-window document chunking (RAG/embedding-index
+    * layout): fixed `size`-token chunks advancing by stride
+    * size − overlap. Per document: chunk count and the final chunk's
+    * fill — n_chunks = 1 + ⌈(n − size)/stride⌉ for n > size, else 1.
+    * Pure per-row integer arithmetic (the ceil is
+    * floor((n − size + stride − 1)/stride) in exact double division
+    * of small ints).
+    */
+  def chunkPlan(docs: DataFrame, size: Int = 128,
+                overlap: Int = 16): DataFrame = {
+    require(overlap < size, "overlap must be smaller than the chunk size")
+    val stride = size - overlap
+    val n = org.apache.spark.sql.functions.size(split(col("text"), " "))
+      .cast("long")
+    val extraChunks = floor(
+      (col("n_tokens") - size + (stride - 1)) / lit(stride.toDouble))
+      .cast("long")
+    docs.select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= size, 1L)
+          .otherwise(lit(1L) + extraChunks))
+      .withColumn("last_chunk_tokens",
+        col("n_tokens") - (col("n_chunks") - 1) * stride)
+  }
+
   /** Unigram-LM surprisal per document — the deterministic analog of
     * the KenLM-perplexity quality filter real pretraining pipelines
     * run (CCNet/RefinedWeb): score(doc) = mean over tokens of

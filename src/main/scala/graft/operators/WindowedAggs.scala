@@ -171,4 +171,42 @@ object WindowedAggs {
            dsum(col("value")).as("total_value"),
            min(col("ts")).as("session_start"))
       .drop("session_window")
+
+  /** Hourly gap-fill + dormancy profile per user: densify each user's
+    * [first, last] activity range to an hourly spine (sequence +
+    * explode — rows exist for silent hours too, the resample shape),
+    * left-join the real hourly counts, and measure the LONGEST silent
+    * streak via the gaps-and-islands trick (hour index minus empty-row
+    * rank is constant within a consecutive silent run). Dormancy gaps
+    * are an account-takeover signal in the reference's feature set;
+    * this is the batch resample form. All integer arithmetic: spine
+    * hours, counts, and run lengths are exact in any engine.
+    */
+  def hourlyGapProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = events.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+           date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val joined = spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("hidx", (col("h").cast("long") / 3600).cast("long"))
+      .withColumn("is_empty", col("n").isNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hidx"))
+    val runs = joined.filter(col("is_empty"))
+      .withColumn("grp", col("hidx") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("user_id").agg(max(col("run")).as("max_empty_run"))
+    joined.groupBy("user_id").agg(
+        count(lit(1)).as("n_hours"),
+        count(when(!col("is_empty"), 1)).as("n_active_hours"),
+        count(when(col("is_empty"), 1)).as("n_empty_hours"))
+      .join(runs, Seq("user_id"), "left")
+      .withColumn("max_empty_run",
+        coalesce(col("max_empty_run"), lit(0L)))
+  }
 }

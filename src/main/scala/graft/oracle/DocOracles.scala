@@ -288,6 +288,22 @@ object DocOracles {
       |    / 1.0e6) / COUNT(*) AS avg_surprisal
       |FROM t GROUP BY 1""".stripMargin
 
+  /** Mirror of TextAnalysis.chunkPlan (size 128, overlap 16, stride
+    * 112): per-row integer chunk arithmetic.
+    */
+  private def chunkPlanSql: String =
+    """WITH n AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 128 THEN CAST(1 AS BIGINT)
+      |         ELSE 1 + CAST(FLOOR((n_tokens - 128 + 111)
+      |                / CAST(112.0 AS DOUBLE)) AS BIGINT) END AS n_chunks
+      |  FROM n)
+      |SELECT doc_id, n_tokens, n_chunks,
+      |  n_tokens - (n_chunks - 1) * 112 AS last_chunk_tokens
+      |FROM c""".stripMargin
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -517,6 +533,7 @@ object DocOracles {
     "q_emb_quantize" -> quantizeSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_surprisal" -> surprisalSql,
+    "q_chunk_docs" -> chunkPlanSql,
     "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,
     "q_corpus_curate" -> curateSql,

@@ -98,6 +98,48 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(out.values.sum <= S * out.size)
   }
 
+  test("chunk plan: boundary and overlap arithmetic") {
+    val d = Seq(
+      (1L, Seq.fill(128)("w").mkString(" ")),  // exactly one chunk
+      (2L, Seq.fill(129)("w").mkString(" ")),  // one token over → 2 chunks
+      (3L, Seq.fill(240)("w").mkString(" ")),  // 128 + 112 exactly
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkPlan(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 128L)))
+    assert(out(2L) == ((2L, 17L)))  // second chunk starts at 112: 129-112
+    assert(out(3L) == ((2L, 128L))) // full second chunk
+    assert(out(4L) == ((1L, 2L)))
+  }
+
+  test("skew profile surfaces the hot key with the right ratio") {
+    // key 1: 8 rows; keys 2..5: 2 rows each → mean 3.2, skew 2.5
+    val rows = (1 to 8).map(i => (i.toLong, 1L)) ++
+      (2L to 5L).flatMap(k => Seq((100 + k, k), (200 + k, k)))
+    val d = rows.toDF("event_id", "user_id")
+    val out = graft.operators.Quality.keySkewProfile(d, "user_id", k = 2)
+      .collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert(top.getAs[Long]("user_id") == 1L)
+    assert(top.getAs[Long]("max_rows") == 8L)
+    assert(top.getAs[Long]("n_keys") == 5L)
+    assert(top.getAs[Double]("skew_ratio") == 8.0 / 3.2)
+  }
+
+  test("gap profile finds the longest dormant streak") {
+    // user 1 active at hours 0,1,5,6 → empty hours 2,3,4 (run 3)
+    val d = (Seq(0, 1, 5, 6).map(h => (h.toLong, 1L, t(h * 60), "a", 1.0)) ++
+      Seq((10L, 2L, t(0), "a", 1.0))) // user 2: single hour, no gaps
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.WindowedAggs.hourlyGapProfile(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((7L, 4L, 3L, 3L)))
+    assert(out(2L) == ((1L, 1L, 0L, 0L)))
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)
