@@ -259,6 +259,9 @@ object SparkEntry {
     // RAG-style overlapping chunk plan (128-token chunks, 16 overlap)
     "q_chunk_docs" -> ((s, d) =>
       TextAnalysis.chunkPlan(T(s, d)("documents"))),
+    // static domain-mixture reweighting to a uniform target
+    "q_domain_mix" -> ((s, d) =>
+      TextAnalysis.domainMixture(T(s, d)("documents"))),
     // key-skew diagnosis: heavy hitters + max/mean skew ratio
     "q_skew_profile" -> ((s, d) =>
       Quality.keySkewProfile(T(s, d)("events"), "user_id")),

