@@ -147,4 +147,43 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("connectedComponents equals union-find on random graphs") {
+    // iterative min-label propagation vs a classic in-memory
+    // union-find — random graphs hit cliques, chains, forests, and
+    // singletons in the same trial
+    val genGraph = for {
+      nNodes <- Gen.choose(1, 30)
+      nEdges <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(1L, nNodes.toLong)
+        b <- Gen.choose(1L, nNodes.toLong)
+      } yield (a, b))
+    } yield (nNodes, edges.filter(e => e._1 != e._2))
+    check(Prop.forAll(genGraph) { case (nNodes, edges) =>
+      val nodes = (1L to nNodes.toLong).toList
+      // reference: union-find with path compression
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(x => x -> find(x)).toMap
+      val pairsDf =
+        if (edges.isEmpty)
+          Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      val got = graft.operators.Dedup
+        .connectedComponents(pairsDf, nodes.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    })
+  }
 }
