@@ -108,6 +108,21 @@ class StreamingSpec extends AnyFunSuite {
     def toMap2: Map[A, (B, C)] = xs.map { case (a, b, c) => a -> (b, c) }.toMap
   }
 
+  test("streaming ingest dedups against a static corpus (anti-join)") {
+    // the streaming face of Dedup.incrementalDedup's exact-hash stage:
+    // a stream-static LEFT ANTI join on md5(text) — corpus hashes are
+    // a broadcast, so per-micro-batch cost is O(batch)
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpusHashes = corpus.select(md5($"text").as("eh"))
+    val in = MemoryStream[(Long, String)](spark)
+    in.addData((10L, "alpha beta gamma"), (11L, "fresh content here"))
+    val deduped = in.toDF().toDF("doc_id", "text")
+      .join(corpusHashes, md5($"text") === $"eh", "left_anti")
+    val got = runToMemory(deduped)
+    assert(got.collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
   test("state-API-v2 sequence score (transformWithState) matches v1") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption(
