@@ -34,20 +34,29 @@ object GraphRank {
     val sym = OperatorCaches.track(
       edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))))
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
-    var pr = deg.select(col("a").as("node"), lit(Scale).as("pr"), col("deg"))
-      .localCheckpoint(true)
+    // LAZY caches, not eager checkpoints: the round count is FIXED
+    // (no convergence action), so the whole iteration stays one lazy
+    // plan materialized by the caller's single action — each round's
+    // frame is cached because the next round references it twice
+    // (contribution join + rank-update join); without the cache the
+    // recompute would be exponential in rounds. Bounded plan growth
+    // (2^iters ≈ 8 copies) is fine for analysis at this depth — the
+    // convergence-LOOP operators (connectedComponents) still need
+    // eager lineage cuts.
+    var pr = OperatorCaches.track(
+      deg.select(col("a").as("node"), lit(Scale).as("pr"), col("deg")))
     for (_ <- 0 until iters) {
       val contrib = sym.join(pr, sym("a") === pr("node"))
         .select(sym("b").as("dst"),
           floor((col("pr") * 85).cast("double") / (col("deg") * 100))
             .cast("long").as("c"))
       val sums = contrib.groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      pr = pr.join(sums, pr("node") === sums("dst"), "left")
-        .select(col("node"),
-          (lit(Scale * 15 / 100) + coalesce(col("in_sum"), lit(0L)))
-            .as("pr"),
-          col("deg"))
-        .localCheckpoint(true)
+      pr = OperatorCaches.track(
+        pr.join(sums, pr("node") === sums("dst"), "left")
+          .select(col("node"),
+            (lit(Scale * 15 / 100) + coalesce(col("in_sum"), lit(0L)))
+              .as("pr"),
+            col("deg")))
     }
     pr.select(col("node"), col("pr"))
   }
