@@ -268,6 +268,11 @@ object SparkEntry {
     // hourly resample + longest-dormancy profile (gaps-and-islands)
     "q_gapfill" -> ((s, d) =>
       WindowedAggs.hourlyGapProfile(T(s, d)("events"))),
+    // drift monitor: PSI + binned KS between month halves
+    "q_drift_psi" -> ((s, d) =>
+      Quality.driftMonitor(T(s, d)("events"),
+        col("ts") < org.apache.spark.sql.functions
+          .lit("2024-01-16 00:00:00").cast("timestamp"))),
     // per-type z-score normalization (exact mean, exact-shape stddev)
     "q_feature_normalize" -> ((s, d) =>
       FeatureEng.zscoreNormalize(T(s, d)("events"))),
@@ -491,6 +496,34 @@ object SparkEntry {
         |  COALESCE(MAX(max_empty_run), CAST(0 AS BIGINT)) AS max_empty_run
         |FROM j LEFT JOIN runs USING (user_id)
         |GROUP BY 1""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH b AS (SELECT
+        |    LEAST(GREATEST(CAST(FLOOR(value / CAST(40.0 AS DOUBLE))
+        |      AS INTEGER), 0), 9) AS bin,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+        |  FROM events),
+        |c AS (SELECT bin,
+        |    COUNT(CASE WHEN is_ref THEN 1 END) AS n_ref,
+        |    COUNT(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+        |    COUNT(*) AS k_bins FROM c),
+        |j AS (SELECT bin,
+        |    CAST(n_ref + 1 AS DOUBLE) / (t_ref + k_bins) AS p,
+        |    CAST(n_cur + 1 AS DOUBLE) / (t_cur + k_bins) AS q,
+        |    CAST(CAST(SUM(n_ref) OVER w AS BIGINT) AS DOUBLE) / t_ref AS cp,
+        |    CAST(CAST(SUM(n_cur) OVER w AS BIGINT) AS DOUBLE) / t_cur AS cq
+        |  FROM c, t
+        |  WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT
+        |  CAST(CAST(SUM(CAST(ROUND((p - q) * ROUND(LN(p / q), 6) * 1.0e9,
+        |    0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e9 AS psi,
+        |  MAX(ABS(cp - cq)) AS ks,
+        |  COUNT(*) AS n_bins
+        |FROM j""".stripMargin,
 
     "q_feature_select" ->
       """WITH cells AS (

@@ -83,6 +83,46 @@ object Quality {
     * along as a broadcast. Exactness: mean is an integer ratio, skew
     * a division of exact doubles.
     */
+  /** Distribution-drift monitor between a reference and a current
+    * population (model monitoring's PSI screen + a binned
+    * Kolmogorov–Smirnov statistic), over fixed amount bins so the
+    * binning is deterministic in any engine. PSI =
+    * Σ (p_i − q_i)·ln(p_i/q_i) with the ln rounded 6dp pre-product
+    * and the unordered bin sum BIGINT-quantized; KS = max over bins
+    * of |cumP − cumQ| (exact integer-ratio CDFs, comparison-only
+    * max). Empty bins are Laplace-smoothed by one count on BOTH
+    * sides — the standard PSI guard, identical cross-engine. One
+    * scan, one tiny bin aggregation.
+    */
+  def driftMonitor(events: DataFrame, splitPred: Column,
+                   binWidth: Double = 40.0, bins: Int = 10): DataFrame = {
+    val bin = least(greatest(floor(col("value") / binWidth).cast("int"),
+      lit(0)), lit(bins - 1))
+    val counted = events.groupBy(bin.as("bin")).agg(
+      count(when(splitPred, 1)).as("n_ref"),
+      count(when(!splitPred, 1)).as("n_cur"))
+    val tot = counted.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("k_bins"))
+    // Laplace smoothing: +1 per observed bin on both sides so an
+    // empty side cannot produce ln(0); totals adjusted by bin count
+    val j = counted.crossJoin(broadcast(tot))
+    val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + col("k_bins"))
+    val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("k_bins"))
+    val psiTerm = (p - q) * round(log(p / q), 6)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumP = sum(col("n_ref")).over(w).cast("double") / col("t_ref")
+    val cumQ = sum(col("n_cur")).over(w).cast("double") / col("t_cur")
+    j.withColumn("psi_term_scaled",
+        round(psiTerm * lit(1.0e9)).cast("long"))
+      .withColumn("cdf_gap", abs(cumP - cumQ))
+      .agg(
+        (sum(col("psi_term_scaled")).cast("double") / lit(1.0e9)).as("psi"),
+        max(col("cdf_gap")).as("ks"),
+        count(lit(1)).as("n_bins"))
+  }
+
   def keySkewProfile(df: DataFrame, key: String, k: Int = 5): DataFrame = {
     val counts = OperatorCaches.track(
       df.groupBy(col(key)).agg(count(lit(1)).as("n_rows")))

@@ -140,6 +140,25 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 1L, 0L, 0L)))
   }
 
+  test("drift monitor: identical halves score ~0, shifted halves alarm") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def ev2(vals: Seq[(Double, Boolean)]) = vals.zipWithIndex.map {
+      case ((v, ref), i) => (i.toLong, 1L, t(if (ref) 0 else 1000), "a", v)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val pred = col("ts") < lit(t(500))
+    // identical value distribution in both halves → zero drift
+    val same = ev2(Seq(10.0, 50.0, 90.0, 130.0).flatMap(v =>
+      Seq(v -> true, v -> false)))
+    val r0 = graft.operators.Quality.driftMonitor(same, pred).collect().head
+    assert(r0.getAs[Double]("psi") == 0.0 && r0.getAs[Double]("ks") == 0.0)
+    // reference mass in bin 0, current mass in bin 9 → strong drift
+    val shifted = ev2(
+      Seq.fill(8)(5.0 -> true) ++ Seq.fill(8)(395.0 -> false))
+    val r1 = graft.operators.Quality.driftMonitor(shifted, pred).collect().head
+    assert(r1.getAs[Double]("psi") > 1.0)  // PSI > 0.2 is the action bar
+    assert(r1.getAs[Double]("ks") == 1.0)  // disjoint CDFs
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)
