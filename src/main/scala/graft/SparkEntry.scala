@@ -172,6 +172,29 @@ object SparkEntry {
     // EXISTS + NOT EXISTS with inequality residual (Q21 shape)
     "q_sole_supplier" -> ((s, d) =>
       OlapQueries.soleGoodSupplier(T(s, d)("lineitem"))),
+    // TPC-H Q13 shape: outer-join order-count histogram
+    "q_cust_distribution" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.customerDistribution(t("customer"), t("orders"))
+    }),
+    // TPC-H Q10 shape: top-20 lost revenue from returned items
+    "q_returned_items" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.returnedItems(t("customer"), t("orders"),
+        t("lineitem"), t("nation"))
+    }),
+    // TPC-H Q7 shape: nation-pair shipping volume, nation joined twice
+    "q_volume_shipping" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.volumeShipping(t("supplier"), t("lineitem"),
+        t("orders"), t("customer"), t("nation"))
+    }),
+    // TPC-H Q8 shape: national market share as a conditional-sum ratio
+    "q_market_share" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.marketShare(t("region"), t("nation"), t("customer"),
+        t("supplier"), t("orders"), t("lineitem"))
+    }),
 
     // ---- training-data pipeline operators ----
     // exact dedup via hash-groupBy
@@ -496,6 +519,59 @@ object SparkEntry {
         |  COALESCE(MAX(max_empty_run), CAST(0 AS BIGINT)) AS max_empty_run
         |FROM j LEFT JOIN runs USING (user_id)
         |GROUP BY 1""".stripMargin,
+
+    "q_cust_distribution" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${dsum("CASE WHEN n1.n_name = 'NATION_19' " +
+             "THEN l_extendedprice * (1.0 - l_discount) " +
+             "ELSE 0.0 END")}
+         |    / ${dsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region   ON n2.n_regionkey = r_regionkey
+         |WHERE r_name = 'AMERICA'
+         |GROUP BY 1""".stripMargin,
 
     "q_drift_psi" ->
       """WITH b AS (SELECT

@@ -230,6 +230,96 @@ object OlapQueries {
         col("o_totalprice"), col("sum_qty"))
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution — the LEFT
+    * OUTER join keeps zero-order customers in the histogram (the
+    * subtlety Q13 exists to test), then two grouped integer
+    * aggregations.
+    */
+  def customerDistribution(customer: DataFrame,
+                           orders: DataFrame): DataFrame = {
+    val perCust = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    * items in one quarter — return-flag filter, 4-table join, exact
+    * revenue sums so the ORDER BY/LIMIT ranking is engine-stable.
+    */
+  def returnedItems(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, nation: DataFrame): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q7 shape: shipping volume between a nation pair, both
+    * directions, by ship year — the nation dimension joined TWICE
+    * (supplier side and customer side), broadcast both times.
+    */
+  def volumeShipping(supplier: DataFrame, lineitem: DataFrame,
+                     orders: DataFrame, customer: DataFrame,
+                     nation: DataFrame, nationA: String = "NATION_18",
+                     nationB: String = "NATION_19"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("n2_key"),
+      col("n_name").as("cust_nation"))
+    lineitem
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q8 shape: one nation's market share of a region's order
+    * volume per year — the ratio of two exact conditional revenue
+    * sums over the full star (supplier nation tagged on every line,
+    * customer region filters the orders).
+    */
+  def marketShare(region: DataFrame, nation: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame,
+                  suppNation: String = "NATION_19",
+                  regionName: String = "AMERICA"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("n2_key"),
+      col("n_regionkey").as("cust_region"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .join(region, col("cust_region") === col("r_regionkey") &&
+        col("r_name") === regionName)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("supp_nation") === suppNation, rev)
+            .otherwise(lit(0.0))) / dsum(rev)).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q19 shape: disjunctive brand/quantity predicate over the
     * part join — OR-of-ANDs that must still prune at the scan.
     */

@@ -33,7 +33,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
         // PageRank CTE rounds
         "q_feature_normalize", "q_feature_corr", "q_feature_select",
         "q_ewma", "q_quantile_bins", "q_sample_stratified",
-        "q_pagerank", "q_skew_profile", "q_drift_psi")
+        "q_pagerank", "q_skew_profile", "q_drift_psi",
+        // Q13/Q10/Q7/Q8 classic shapes
+        "q_cust_distribution", "q_returned_items", "q_volume_shipping",
+        "q_market_share")
 
   test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
     Tables.registerAll(spark, sf)
