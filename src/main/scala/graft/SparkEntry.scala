@@ -195,6 +195,21 @@ object SparkEntry {
       OlapQueries.marketShare(t("region"), t("nation"), t("customer"),
         t("supplier"), t("orders"), t("lineitem"))
     }),
+    // TPC-H Q9 shape: product-type profit by nation and year
+    "q_product_profit" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.productProfit(t("part"), t("supplier"), t("lineitem"),
+        t("orders"), t("nation"))
+    }),
+    // TPC-H Q11 shape: grouped HAVING vs a scalar fraction-of-total
+    "q_important_parts" -> ((s, d) =>
+      OlapQueries.importantParts(T(s, d)("lineitem"))),
+    // TPC-H Q16 shape: NOT-IN supplier exclusion + COUNT(DISTINCT)
+    "q_part_supplier_counts" -> ((s, d) => {
+      val t = T(s, d) _
+      OlapQueries.partSupplierCounts(t("part"), t("supplier"),
+        t("lineitem"))
+    }),
 
     // ---- training-data pipeline operators ----
     // exact dedup via hash-groupBy
@@ -267,12 +282,26 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) =>
       Dedup.incrementalDedup(T(s, d)("documents"),
         org.apache.spark.sql.functions.col("doc_id") % 10 === 0)),
+    // benchmark decontamination: 5-gram overlap vs the eval partition
+    "q_decontaminate" -> ((s, d) =>
+      Dedup.decontaminate(T(s, d)("documents"),
+        org.apache.spark.sql.functions.col("doc_id") % 20 === 1)),
     // Gopher-style repetition screens: exact token/bigram share ratios
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionMetrics(T(s, d)("documents"))),
     // int8 embedding quantization audit: scale, mse, max error per vec
     "q_emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(T(s, d)("embeddings"))),
+    // SemDeDup: IVF-cluster-bounded semantic dedup, min-id canonical
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(T(s, d)("embeddings"), threshold = 0.4)),
+    // DSIR-style importance weights: hashed unigrams, target = 'en'
+    "q_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(T(s, d)("documents"),
+        org.apache.spark.sql.functions.col("lang") === "en")),
+    // substring-level dedup profile: strided-window repeated share
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.repeatedSubstrings(T(s, d)("documents"))),
     // concat-then-chunk sequence packing into 512-token windows
     "q_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d)("documents"))),
@@ -572,6 +601,40 @@ object SparkEntry {
          |JOIN region   ON n2.n_regionkey = r_regionkey
          |WHERE r_name = 'AMERICA'
          |GROUP BY 1""".stripMargin,
+
+    "q_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount) " +
+             "- p_retailprice * 0.1 * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_important_parts" ->
+      s"""WITH pp AS (SELECT l_partkey,
+         |    ${dsum("l_extendedprice * (1.0 - l_discount)")} AS part_value
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")}
+         |    AS total_value,
+         |    COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem)
+         |SELECT l_partkey, part_value
+         |FROM pp, t
+         |WHERE part_value > total_value * 1.5 / n_parts""".stripMargin,
+
+    "q_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND p_brand <> 'Brand#1'
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_drift_psi" ->
       """WITH b AS (SELECT

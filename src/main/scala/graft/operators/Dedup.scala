@@ -30,25 +30,58 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
 
-  /** (doc_id, shingle) pairs: distinct word n-grams (default n=3),
-    * with shingles above the document-frequency cap removed.
+  /** (doc_id, sh) distinct word n-grams per document — the shared
+    * explode used by the shingle family and [[decontaminate]].
+    * Tokenizes ONCE per row: element_at over a column reference
+    * instead of element_at(split(...)) — the naive form re-splits the
+    * text per shingle term (~n·|shingles| splits per document).
     */
-  def shingles(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
-    // materialize the token array ONCE per row: element_at over a
-    // column reference instead of element_at(split(...)) — the naive
-    // form re-splits the text per shingle term (~3·|shingles| splits
-    // per document)
+  private def ngrams(docs: DataFrame, n: Int): DataFrame = {
     val toked = graft.sources.Par.fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val grams = when(size(col("toks")) >= n,
       expr(s"""transform(sequence(1, size(toks) - ${n - 1}),
               |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")}))"""
         .stripMargin)).otherwise(array().cast("array<string>"))
-    val ex = toked
-      .select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
+    toked.select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
+  }
+
+  /** (doc_id, shingle) pairs: distinct word n-grams (default n=3),
+    * with shingles above the document-frequency cap removed.
+    */
+  def shingles(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
+    val ex = ngrams(docs, n)
     val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     ex.join(freq, "sh").select("doc_id", "sh")
+  }
+
+  /** Benchmark decontamination — the GPT-3/PaLM-style n-gram overlap
+    * screen: a training document is CONTAMINATED when any of its word
+    * n-grams also appears in the held-out evaluation set. `evalPred`
+    * names the eval rows; every non-eval document comes back with its
+    * count of distinct shared n-grams and the contamination flag.
+    *
+    * Scale shape: the eval side of the join is a benchmark suite —
+    * megabytes against the corpus's terabytes — so its distinct
+    * n-gram set BROADCASTS and the corpus side never shuffles at
+    * all until the (matches-only, tiny) per-doc count; the final
+    * flag join is keyed on doc_id. No corpus self-join anywhere.
+    * The published screens use 8–13-gram windows on tokenized text;
+    * n=5 matches this corpus's 8–90-word documents.
+    */
+  def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 5): DataFrame = {
+    val evalGrams = ngrams(docs.filter(evalPred), n)
+      .select(col("sh")).distinct()
+    val hits = ngrams(docs.filter(!evalPred), n)
+      .join(broadcast(evalGrams), "sh")
+      // grams are distinct per doc, so COUNT = distinct shared grams
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(!evalPred).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** N-gram Jaccard near-dup pairs: self-join distinct shingle sets,
@@ -321,31 +354,34 @@ object Dedup {
     val sym = OperatorCaches.track(
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
 
-    // one pointer jump L(x) ← L(L(x)); every label is itself a node,
-    // so the self-join is total. localCheckpoint (EAGER), not cache():
-    // the jump references its input twice, so an uncut plan DOUBLES
-    // per round (measured: Catalyst OOM by round ~4) and would re-run
-    // the upstream join once per jump side.
+    // The iteration runs ONLY over nodes that appear in some pair —
+    // singletons (the overwhelming majority of a lightly-duplicated
+    // corpus) are identity-labeled by the final left join, so the
+    // per-round state is O(|paired nodes|), not O(|corpus|). Every
+    // label is a paired node (labels are minima over edge endpoints),
+    // so the jump self-join stays total on the restricted set.
+    //
+    // localCheckpoint (EAGER), not cache(): the jump references its
+    // input twice, so an uncut plan DOUBLES per round (measured:
+    // Catalyst OOM by round ~4). ONE cut per round — the jump
+    // self-join recomputes the uncheckpointed hop on both sides, a
+    // bounded 2× of one keyed join+agg over checkpointed inputs —
+    // measured cheaper than the second eager checkpoint job it
+    // replaces (each driver-side action costs more than the tiny
+    // re-shuffle at any SF where rounds matter).
     def jump(ls: DataFrame): DataFrame =
       ls.as("x").join(ls.as("y"), col("x.cluster_id") === col("y.node"))
         .select(col("x.node").as("node"),
           col("y.cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
     def sigOf(ls: DataFrame): Long =
       ls.agg(sum(col("cluster_id"))).head().getLong(0)
 
     // seed = the first hop with identity labels, join-free: the min
-    // neighbor ID is a plain keyed min over the edge list
-    val nbr0 = sym.groupBy(col("src").as("nb_node"))
-      .agg(min(col("dst")).as("nb_min"))
-    val seed = nodes
-      .select(col(idCol).as("node"), col(idCol).as("cluster_id"))
-      .join(nbr0, col("node") === col("nb_node"), "left")
-      .select(col("node"),
-        least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-          .as("cluster_id"))
-      .localCheckpoint(true)
-    var labels = jump(seed)
+    // neighbor ID is a plain keyed min over the edge list (grouping
+    // key usable inside the agg), restricted to paired nodes
+    val seed = sym.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+    var labels = jump(seed).localCheckpoint(true)
     var prev = sigOf(labels)
     var done = false
     while (!done) {
@@ -362,14 +398,17 @@ object Dedup {
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
-      val rooted = jump(hop)
+      val rooted = jump(hop).localCheckpoint(true)
       val sig = sigOf(rooted)
       done = sig == prev
       prev = sig
       labels = rooted
     }
-    labels.select(col("node").as(idCol), col("cluster_id"))
+    // singletons re-enter with identity labels
+    nodes.select(col(idCol).as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
   /** Dedup clusters over the [[simhashPairs]] near-dup graph: every
@@ -380,6 +419,45 @@ object Dedup {
     connectedComponents(
       simhashPairs(docs, maxHamming).select("doc_a", "doc_b"),
       docs.select("doc_id"), "doc_id")
+
+  /** Substring-level duplication profile — the exact-substring-dedup
+    * family (suffix-array dedup à la "Deduplicating Training Data
+    * Makes Language Models Better"): instead of a doc-level verdict,
+    * measure per document how much of its CONTENT is verbatim-shared
+    * with any other document. Strided k-char windows are hashed and
+    * counted corpus-wide; a window present in ≥2 distinct docs is a
+    * repeated span. Output per doc: window counts and the repeated
+    * fraction — the score a span-removal pass would threshold on.
+    *
+    * Scale shape: the suffix array of the published method is replaced
+    * by the windowed equivalent a distributed engine wants — one
+    * explode (|text|/stride rows per doc), one groupBy on the window
+    * hash (the only wide shuffle, same volume as the shingle df pass),
+    * one keyed join back + per-doc aggregate. No suffix structure, no
+    * cross-doc pair enumeration.
+    */
+  def repeatedSubstrings(docs: DataFrame, k: Int = 20,
+                         stride: Int = 10): DataFrame = {
+    val starts = when(length(col("text")) >= k,
+      sequence(lit(1), length(col("text")) - (k - 1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val wins = OperatorCaches.track(graft.sources.Par.fan(docs)
+      .select(col("doc_id"), col("text"), explode(starts).as("i"))
+      .select(col("doc_id"), md5(expr(s"substr(text, i, $k)")).as("h")))
+    val freq = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val perDoc = wins.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          col("n_repeated").cast(DoubleType) / col("n_windows"))
+          .as("repeated_frac"))
+  }
 
   /** INCREMENTAL dedup — the production shape: classify each document
     * of an incoming batch against the existing corpus without ever

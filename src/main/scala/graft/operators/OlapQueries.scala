@@ -320,6 +320,72 @@ object OlapQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q9 shape: product-type profit by nation and year. The
+    * tables here carry no `partsupp`, so supply cost is derived
+    * deterministically from the part's retail price (10%), keeping
+    * Q9's plan shape — a name-filtered part dimension driving a
+    * 5-table star with a computed measure — without inventing data.
+    * Part/supplier/nation broadcast; the two fact-side joins shuffle
+    * on their own keys.
+    */
+  def productProfit(part: DataFrame, supplier: DataFrame,
+                    lineitem: DataFrame, orders: DataFrame,
+                    nation: DataFrame,
+                    nameFragment: String = "widget"): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(0.1) * col("l_quantity")
+    lineitem
+      .join(part.filter(col("p_name").contains(nameFragment)),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+  }
+
+  /** TPC-H Q11 shape: parts whose revenue exceeds a multiple of the
+    * corpus-wide MEAN part value — grouped HAVING against a scalar
+    * subquery. Q11 proper scales its fixed fraction by 1/SF so the
+    * result stays non-empty as data grows; deriving the threshold
+    * from the same scan (total / #parts) achieves that without an
+    * external SF parameter. The scalar total is a 1-row broadcast
+    * (cross join), so the per-part aggregate shuffles once and the
+    * threshold predicate is row-local.
+    */
+  def importantParts(lineitem: DataFrame,
+                     multiple: Double = 1.5): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(dsum(rev).as("part_value"))
+    val total = lineitem.agg(dsum(rev).as("total_value"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") >
+        col("total_value") * lit(multiple) / col("n_parts"))
+      .select(col("l_partkey"), col("part_value"))
+  }
+
+  /** TPC-H Q16 shape: how many qualified suppliers stock each
+    * (brand, type, size) bucket — a NOT-IN supplier exclusion
+    * (left-anti join on the fact side) feeding a COUNT(DISTINCT)
+    * over the part dimension attributes.
+    */
+  def partSupplierCounts(part: DataFrame, supplier: DataFrame,
+                         lineitem: DataFrame,
+                         excludeBrand: String = "Brand#1"): DataFrame = {
+    val badSuppliers = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    lineitem
+      .join(badSuppliers, col("l_suppkey") === col("bad_suppkey"),
+        "left_anti")
+      .join(part.filter(col("p_brand") =!= excludeBrand),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** TPC-H Q19 shape: disjunctive brand/quantity predicate over the
     * part join — OR-of-ANDs that must still prune at the scan.
     */

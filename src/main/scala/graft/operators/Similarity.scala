@@ -121,31 +121,43 @@ object Similarity {
     * exact-cosine with id tiebreaks, so the result is reproducible in
     * any engine (q_ann_ivf mirrors it in SQL).
     */
+  /** Row-local IVF pivot scoring: the codebook (first `nlist` vectors)
+    * rides along as ONE broadcast array row, so pivot ranking needs no
+    * shuffle — the old row_number() spelling exchanged all N×nlist
+    * score rows on vec_id just to rank nlist values per vector. Struct
+    * ordering is (pcos, -pid), so max / sort-desc break ties toward
+    * the smallest pid, exactly a window's ORDER BY pcos DESC, pid.
+    * Adds a `pcs` array column to `src`.
+    */
+  private def pivotScored(src: DataFrame, all: DataFrame, nlist: Int,
+                          dim: Int): DataFrame = {
+    val pivots = all.filter(col("vec_id") < nlist)
+      .agg(collect_list(struct(col("vec_id").as("pid"), col("v").as("pv"),
+        col("nrm").as("pn"))).as("parr"))
+    src.crossJoin(broadcast(pivots))
+      .withColumn("pcs", transform(col("parr"), p =>
+        struct((dot(col("v"), p("pv"), dim) / (col("nrm") * p("pn")))
+                 .as("pcos"),
+               (lit(0L) - p("pid")).as("npid"))))
+      .drop("parr")
+  }
+
+  /** Corpus → (vec_id, v, nrm, list_id): every vector assigned to its
+    * max-cosine pivot, all row-local (see [[pivotScored]]).
+    */
+  private def ivfAssigned(all: DataFrame, nlist: Int, dim: Int): DataFrame =
+    pivotScored(all, all, nlist, dim)
+      .withColumn("list_id", lit(0L) - array_max(col("pcs"))("npid"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
               nlist: Int = 16, nprobe: Int = 4, dim: Int = Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: scored against pivots twice (assignment + query probes)
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    // the codebook rides along as ONE broadcast array row, so pivot
-    // ranking is ROW-LOCAL array math: the old row_number() spelling
-    // shuffled all N×nlist score rows on vec_id TWICE (assignment +
-    // probes) — a full-corpus exchange that existed only to rank
-    // nlist values per vector. Struct ordering is (pcos, -pid), so
-    // max / sort-desc break ties toward the smallest pid, exactly the
-    // window's ORDER BY pcos DESC, pid.
-    val pivots = all.filter(col("vec_id") < nlist)
-      .agg(collect_list(struct(col("vec_id").as("pid"), col("v").as("pv"),
-        col("nrm").as("pn"))).as("parr"))
     def pivotScores(src: DataFrame): DataFrame =
-      src.crossJoin(broadcast(pivots))
-        .withColumn("pcs", transform(col("parr"), p =>
-          struct((dot(col("v"), p("pv"), dim) / (col("nrm") * p("pn")))
-                   .as("pcos"),
-                 (lit(0L) - p("pid")).as("npid"))))
-        .drop("parr")
-    val assigned = pivotScores(all)
-      .withColumn("list_id", lit(0L) - array_max(col("pcs"))("npid"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+      pivotScored(src, all, nlist, dim)
+    val assigned = ivfAssigned(all, nlist, dim)
     val probes = pivotScores(all.filter(queryPred))
       .withColumn("pp",
         explode(slice(sort_array(col("pcs"), asc = false), 1, nprobe)))
@@ -273,6 +285,49 @@ object Similarity {
       when(col("s") > 0.0, errSq / lit(dim.toDouble)).otherwise(0.0)
         .as("mse"),
       when(col("s") > 0.0, maxAbsErr).otherwise(0.0).as("max_abs_err"))
+  }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-dedup): the
+    * corpus is partitioned by the deterministic IVF codebook
+    * ([[ivfAssigned]] — broadcast pivot scan, zero corpus shuffle),
+    * and near-duplicate candidates are searched ONLY within a
+    * cluster — pair volume is Σ|cluster|² instead of N², the entire
+    * point of the published design (SemDeDup: clustering makes
+    * semantic dedup tractable at web scale by never comparing across
+    * clusters). A vector is a duplicate when some LOWER-ID cluster-mate
+    * has cosine ≥ `threshold`; min-id-wins makes the kept
+    * representative deterministic, so the DuckDB oracle reproduces the
+    * output exactly (the paper keeps the cluster-centroid-farthest
+    * member — any fixed rule works; ours needs no extra pass).
+    *
+    * Output: every vector with its cluster, its canonical `dup_of`
+    * (null when kept), and the `is_dup` drop flag.
+    *
+    * Scale note: cluster sizes are bounded by codebook granularity —
+    * production SemDeDup uses nlist ≈ √N (10k–100k clusters at web
+    * scale), keeping each within-cluster join a few thousand rows.
+    * Known-miss: cross-cluster duplicates are invisible by design
+    * (measured by the paper at <1% for reasonable nlist).
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double,
+               nlist: Int = 16, dim: Int = Dim): DataFrame = {
+    // cached: the assigned view feeds both pair-join sides + the output
+    val assigned = OperatorCaches.track(
+      ivfAssigned(prepared(embeddings, dim), nlist, dim))
+    val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(pairCos(col("va"), col("na"), col("vb"), col("nb"), dim)
+        >= threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("list_id").as("cluster_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
   }
 
   /** All-pairs exact near-dup — O(N²) oracle/test baseline ONLY (the

@@ -329,6 +329,56 @@ object TextAnalysis {
         col("end_window") - col("start_window") + 1)
   }
 
+  /** DSIR-style data-selection weights (Xie et al., 2023): score every
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET distribution (rows matching `targetPred`) than under
+    * the RAW corpus distribution. log w(x) = Σ_b c_b(x)·ln(p_t(b)/p_r(b))
+    * with Laplace-smoothed bucket probabilities over `buckets`
+    * md5-hashed token slots (the same hashing trick as
+    * [[FeatureEng.hashedFeatures]]).
+    *
+    * Cross-engine exactness: each bucket's log-ratio is quantized ONCE
+    * to a scaled BIGINT (round(ln·10⁶) — the established libm
+    * playbook), so the per-document weighted sum is pure int64
+    * arithmetic: order-independent, bit-identical in any engine, and
+    * `target_like` is an integer-sign test. The bucket-stats side is
+    * tiny (≤`buckets` rows) and broadcasts; the corpus side is one
+    * explode + two keyed aggregations — no self-join, no collect.
+    * Production DSIR resamples with probability ∝ w(x); emitting the
+    * log-weight keeps the operator deterministic and lets the sampler
+    * downstream draw with any temperature.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 64): DataFrame = {
+    val tok = fan(docs)
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("bucket", pmod(
+        Dedup.hexNibble(substring(col("h"), 1, 1)) * 16 +
+          Dedup.hexNibble(substring(col("h"), 2, 1)), lit(buckets)))
+      .select(col("doc_id"), col("is_target"), col("bucket"))
+    val withB = OperatorCaches.track(tok)
+    val stats = withB.groupBy("bucket").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = stats.agg(sum(col("n_raw")).as("t_raw"),
+      sum(col("n_tgt")).as("t_tgt"), count(lit(1)).as("k"))
+    val pT = (col("n_tgt") + 1).cast(DoubleType) / (col("t_tgt") + col("k"))
+    val pR = (col("n_raw") + 1).cast(DoubleType) / (col("t_raw") + col("k"))
+    val ratio = stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(pT / pR) * lit(1000000.0), 0).cast("long").as("lri"))
+    val perDoc = withB.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("c") * col("lri")).cast(DoubleType) / lit(1000000.0))
+          .as("log_weight"),
+        (sum(col("c") * col("lri")) > 0L).as("target_like"))
+  }
+
   /** Document fingerprint: min md5 over all 8-char rolling windows
     * (winnowing-style content fingerprint, rolling-hash analog).
     */

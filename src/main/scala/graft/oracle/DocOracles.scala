@@ -525,7 +525,117 @@ object DocOracles {
       |   OR CAST(top_c AS DOUBLE) / n_tokens > 0.2) AS is_repetitive
       |FROM uni u LEFT JOIN big USING (doc_id)""".stripMargin
 
+  /** Mirror of Similarity.semDedup: IVF-codebook cluster assignment
+    * (same ROW_NUMBER tie-break as annIvfSql) + within-cluster
+    * exact-cosine pairs, min-id canonical wins.
+    */
+  private def semDedupSql: String =
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |ar AS (SELECT d.vec_id, d.v, pid,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS (SELECT vec_id, v, pid AS list_id FROM ar WHERE prn = 1),
+       |dup AS (SELECT a2.vec_id AS vec_id, MIN(a1.vec_id) AS dup_of
+       |        FROM a a1 JOIN a a2
+       |          ON a1.list_id = a2.list_id AND a1.vec_id < a2.vec_id
+       |        WHERE ${cos("a1.v", "a2.v")} >= 0.4
+       |        GROUP BY 1)
+       |SELECT a.vec_id, a.list_id AS cluster_id, dup.dup_of,
+       |  dup.dup_of IS NOT NULL AS is_dup
+       |FROM a LEFT JOIN dup USING (vec_id)""".stripMargin
+
+  /** Mirror of TextAnalysis.dsirWeights: hashed-unigram importance
+    * weights, target = lang 'en'. Same md5 nibble bucketing as
+    * hashedFeaturesSql; the per-bucket log-ratio is quantized to a
+    * scaled BIGINT before the per-doc sum, so the weights are pure
+    * integer arithmetic in both engines.
+    */
+  private def dsirSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+       |               UNNEST(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |th AS (SELECT doc_id, is_target, md5(tok) AS h FROM tok),
+       |tb AS (SELECT doc_id, is_target,
+       |         ((CASE substr(h, 1, 1) $nibble END) * 16
+       |          + (CASE substr(h, 2, 1) $nibble END)) % 64 AS bucket
+       |       FROM th),
+       |st AS (SELECT bucket, COUNT(*) AS n_raw,
+       |         COUNT(CASE WHEN is_target THEN 1 END) AS n_tgt
+       |       FROM tb GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS t_raw,
+       |        CAST(SUM(n_tgt) AS BIGINT) AS t_tgt,
+       |        COUNT(*) AS k FROM st),
+       |lr AS (SELECT bucket,
+       |         CAST(ROUND(LN((CAST(n_tgt + 1 AS DOUBLE) / (t_tgt + k))
+       |             / (CAST(n_raw + 1 AS DOUBLE) / (t_raw + k)))
+       |           * 1000000.0, 0) AS BIGINT) AS lri
+       |       FROM st, t),
+       |pd AS (SELECT doc_id, bucket, COUNT(*) AS c
+       |       FROM tb GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(SUM(c * lri) AS BIGINT) AS DOUBLE) / 1000000.0
+       |    AS log_weight,
+       |  CAST(SUM(c * lri) AS BIGINT) > 0 AS target_like
+       |FROM pd JOIN lr USING (bucket)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of Dedup.repeatedSubstrings: strided 20-char window
+    * hashes, corpus-wide distinct-doc counts, per-doc repeated share.
+    */
+  private def repeatedSubstringsSql: String =
+    """WITH w AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 20)) AS h
+      |           FROM (SELECT doc_id, text,
+      |                   UNNEST(generate_series(1, length(text) - 19, 10)) AS i
+      |                 FROM documents WHERE length(text) >= 20)),
+      |f AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
+      |         CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_repeated
+      |       FROM w JOIN f USING (h) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_windows, CAST(0 AS BIGINT)) AS n_windows,
+      |  COALESCE(n_repeated, CAST(0 AS BIGINT)) AS n_repeated,
+      |  CASE WHEN COALESCE(n_windows, CAST(0 AS BIGINT)) > 0
+      |       THEN CAST(n_repeated AS DOUBLE) / n_windows END
+      |    AS repeated_frac
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** Mirror of Dedup.decontaminate: distinct 5-gram overlap of every
+    * non-eval document against the eval partition (doc_id % 20 = 1).
+    */
+  private def decontaminateSql: String = {
+    val terms = (0 until 5)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, doc_id % 20 = 1 AS is_eval,
+       |        string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, is_eval,
+       |        CASE WHEN len(toks) >= 5 THEN
+       |          list_distinct(list_transform(generate_series(1, len(toks) - 4),
+       |            i -> $terms))
+       |        ELSE [] END AS shs
+       |      FROM t),
+       |e AS (SELECT doc_id, is_eval, UNNEST(shs) AS sh FROM g),
+       |ev AS (SELECT DISTINCT sh FROM e WHERE is_eval),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_shared
+       |         FROM e JOIN ev USING (sh) WHERE NOT is_eval GROUP BY 1)
+       |SELECT t.doc_id,
+       |  COALESCE(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       |  COALESCE(n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+       |FROM t LEFT JOIN hits USING (doc_id)
+       |WHERE NOT is_eval""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
+    "q_semdedup" -> semDedupSql,
+    "q_dsir_weights" -> dsirSql,
+    "q_substring_dedup" -> repeatedSubstringsSql,
     "q_dedup_clusters" -> simhashClustersSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_text_repetition" -> repetitionSql,

@@ -268,4 +268,50 @@ class DocOpsSpec extends AnyFunSuite {
     val fp = TextAnalysis.fingerprint(d).collect().map(_.getString(1))
     assert(fp.distinct.length == 1)
   }
+
+  test("decontaminate flags train docs sharing a 5-gram with the eval set") {
+    val d = docs(
+      (1L, "a b c d e f g h"),   // eval (doc_id % 20 == 1)
+      (2L, "x a b c d e y z"),   // shares "a b c d e"
+      (3L, "p q r s t u v w"))   // clean
+    val out = Dedup.decontaminate(d, col("doc_id") % 20 === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(2L, 3L)) // eval rows are not scored
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (0L, false))
+  }
+
+  test("semDedup drops the higher id of a within-cluster near-identical pair") {
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1f else 0f)
+    val df = Seq((0L, e1), (1L, e1), (2L, e2)).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, threshold = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(3), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(0L) == (false, -1L))  // kept, canonical
+    assert(out(1L) == (true, 0L))    // duplicate of 0
+    assert(out(2L) == (false, -1L))  // different cluster, kept
+  }
+
+  test("repeated substrings finds verbatim cross-doc spans") {
+    val shared = "0123456789abcdefghij" // one exact 20-char window
+    val d = docs((1L, shared + " tail text here"),
+      (2L, shared + " different ending"),
+      (3L, "completely unrelated text z"))
+    val out = Dedup.repeatedSubstrings(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) >= 1L && out(2L) >= 1L) // shared prefix window
+    assert(out(3L) == 0L)
+  }
+
+  test("dsir weights rank target-language docs above off-target docs") {
+    val d = Seq(
+      (1L, "aa bb cc", "en"), (2L, "aa bb cc", "en"),
+      (3L, "xx yy zz", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeights(d, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == out(2L))       // identical text, identical weight
+    assert(out(1L) > out(3L))        // en bag scores above de bag
+  }
 }

@@ -36,7 +36,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "q_pagerank", "q_skew_profile", "q_drift_psi",
         // Q13/Q10/Q7/Q8 classic shapes
         "q_cust_distribution", "q_returned_items", "q_volume_shipping",
-        "q_market_share")
+        "q_market_share",
+        // Q9/Q11/Q16 classic shapes
+        "q_product_profit", "q_important_parts", "q_part_supplier_counts")
 
   test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
     Tables.registerAll(spark, sf)
