@@ -203,4 +203,48 @@ class PlanSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 2, s"expected groupBy(via) + groupBy(pair) only, got $n:\n$plan")
   }
+
+  test("decontamination broadcasts the eval grams; corpus side never cross-joins") {
+    val plan = explainStr(Dedup.decontaminate(t("documents"),
+      org.apache.spark.sql.functions.col("doc_id") % 20 === 1))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram set should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semDedup pair search is keyed on the cluster, not all-pairs") {
+    val plan = explainStr(Similarity.semDedup(t("embeddings"), 0.4))
+    // the only nested-loop is the 1-row codebook broadcast; the pair
+    // join itself must be an equi-join on list_id
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"within-cluster pair join must be keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"semDedup degenerated to a cartesian:\n$plan")
+  }
+
+  test("dsir weights broadcast the bucket stats, one explode pass") {
+    val plan = explainStr(TextAnalysis.dsirWeights(t("documents"),
+      org.apache.spark.sql.functions.col("lang") === "en"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio table should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("substring dedup: window-hash groupBy + keyed join back, no pairs") {
+    val plan = explainStr(Dedup.repeatedSubstrings(t("documents")))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never enumerate doc pairs:\n$plan")
+  }
+
+  test("Q9 profit star: every dimension side broadcasts") {
+    val plan = explainStr(OlapQueries.productProfit(t("part"),
+      t("supplier"), t("lineitem"), t("orders"), t("nation")))
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension joins should broadcast at this scale:\n$plan")
+    assert(plan.contains("PushedFilters"),
+      s"part name filter should reach the scan:\n$plan")
+  }
 }
