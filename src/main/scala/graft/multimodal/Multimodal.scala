@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -188,6 +188,101 @@ object Multimodal {
           MediaMeta(side, side, 0, 0, "png"))
       }
     }
+  }
+
+  final case class ImageHash(media_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL image decode path:
+    * block-average the luminance onto an 8×8 grid, threshold each cell
+    * at the grid mean, pack the 64 bits. Near-identical images (crops
+    * resized, recompressed, minor edits) land within a few bits of
+    * each other — the classic cheap perceptual fingerprint. Undecodable
+    * or non-image rows degrade to a deterministic byte-fold hash with
+    * `decoded = false`, keeping the partly-corrupt-corpus guarantee of
+    * [[decodeImages]].
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      def fold(row: MediaRow): Long = {
+        var h = 1125899906842597L
+        row.bytes.foreach(b => h = h * 31 + (b & 0xff))
+        h
+      }
+      it.map { row =>
+        val img =
+          if (row.kind != "image") None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.bytes)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val sum = new Array[Double](64)
+            val cnt = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+                val gi = math.min(y * 8 / h, 7) * 8 + math.min(x * 8 / w, 7)
+                sum(gi) += lum
+                cnt(gi) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val avg = new Array[Double](64)
+            var mean = 0.0
+            var i = 0
+            while (i < 64) {
+              avg(i) = if (cnt(i) > 0) sum(i) / cnt(i) else 0.0
+              mean += avg(i)
+              i += 1
+            }
+            mean /= 64
+            var hash = 0L
+            i = 0
+            while (i < 64) { if (avg(i) > mean) hash |= (1L << i); i += 1 }
+            ImageHash(row.media_id, decoded = true, hash)
+          case None => ImageHash(row.media_id, decoded = false, fold(row))
+        }
+      }
+    }
+  }
+
+  /** Hamming near-duplicate pairs over 64-bit perceptual hashes — the
+    * image leg of the dedup family, same byte-block LSH as
+    * `Dedup.simhashPairs`: candidates come from an equi-join on one of
+    * 8 shared bytes (pigeonhole: full recall up to hamming ≤ 7), kept
+    * only at their FIRST shared block (row-local when-chain — no
+    * distinct shuffle), then verified by exact `bit_count(xor)`. Pair
+    * volume is Σ per-(block,byte) bucket², never N².
+    */
+  def imageNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    def blockOf(c: Column, b: Int): Column =
+      shiftrightunsigned(c, b * 8).bitwiseAND(lit(255L))
+    val bd = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until 8).map(i => blockOf(col("ahash"), i)): _*))
+        .as(Seq("block", "bkey")))
+    val firstShared = (1 until 8).foldLeft(
+      when(blockOf(col("a.ahash"), 0) === blockOf(col("b.ahash"), 0), 0)) {
+      (acc, b) => acc.when(
+        blockOf(col("a.ahash"), b) === blockOf(col("b.ahash"), b), b)
+    }
+    bd.as("a").join(bd.as("b"),
+        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(col("a.block") === firstShared)
+      .select(col("a.media_id").as("img_a"), col("b.media_id").as("img_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Video frame sampling as metadata expansion (real, not stubbed):

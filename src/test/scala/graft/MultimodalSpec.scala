@@ -89,4 +89,39 @@ class MultimodalSpec extends AnyFunSuite {
       emb, col("vec_id") < 2, k = 3, dim = 16)
     assert(top.count() == 6) // 2 queries x top-3
   }
+
+  test("perceptual hash: identical images collide, hash is decode-real") {
+    // two byte-identical PNGs under different ids + one gradient image
+    val base = Multimodal.syntheticPngMedia(spark, 1, side = 8).collect()(0)
+    val grad = {
+      System.setProperty("java.awt.headless", "true")
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, ((y * 8 + x) * 4) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(7L, "image", bos.toByteArray,
+        Multimodal.MediaMeta(8, 8, 0, 0, "png"))
+    }
+    val rows = Seq(base.copy(media_id = 1L), base.copy(media_id = 2L),
+      grad).toDS()
+    val hashes = Multimodal.imageHashes(rows).collect()
+    assert(hashes.forall(_.decoded))
+    val hs = hashes.map(h => h.media_id -> h.ahash).toMap
+    assert(hs(1L) == hs(2L)) // identical bytes → identical perceptual hash
+    val pairs = Multimodal.imageNearDup(
+        Multimodal.imageHashes(rows).toDF(), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("image near-dup is block-keyed: no cartesian in the plan") {
+    val pngs = Multimodal.syntheticPngMedia(spark, 24, side = 8)
+    val plan = Multimodal.imageNearDup(
+        Multimodal.imageHashes(pngs).toDF())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
