@@ -417,6 +417,12 @@ object SparkEntry {
     // exact interpolated percentiles per key
     "q_percentiles" -> ((s, d) =>
       FraudQueries.percentiles(T(s, d)("events"))),
+    // winsorization: per-key exact-percentile clamp, broadcast bounds
+    "q_winsorize" -> ((s, d) =>
+      FeatureEng.winsorize(T(s, d)("events"))),
+    // cross-split leakage audit over near-dup clusters
+    "q_split_leakage" -> ((s, d) =>
+      TextAnalysis.splitLeakage(T(s, d)("documents"))),
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",

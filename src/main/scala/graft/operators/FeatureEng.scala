@@ -152,6 +152,28 @@ object FeatureEng {
     * vocabulary pass, one explode + one keyed aggregation. md5-derived
     * slots and signs reproduce exactly in the oracle.
     */
+  /** Winsorization — clamp each value into its key's [p_lo, p_hi]
+    * exact percentile band, the standard outlier-robust preprocessing
+    * step before normalization/training. The per-key bounds frame is
+    * |keys| rows and broadcasts; the clamp is row-local
+    * greatest/least (pure selection, no arithmetic — bit-exact in any
+    * engine given equal percentiles, which Spark `percentile` and
+    * DuckDB `quantile_cont` guarantee via the shared
+    * linear-interpolation definition).
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.01,
+                hi: Double = 0.99): DataFrame = {
+    val bounds = events.groupBy(col("event_type").as("wt"))
+      .agg(expr(s"percentile(value, $lo)").as("p_lo"),
+        expr(s"percentile(value, $hi)").as("p_hi"))
+    events.join(broadcast(bounds), col("event_type") === col("wt"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(col("p_lo"), least(col("p_hi"), col("value")))
+          .as("value_winsorized"),
+        (col("value") < col("p_lo")).as("clipped_low"),
+        (col("value") > col("p_hi")).as("clipped_high"))
+  }
+
   def hashedFeatures(docs: DataFrame, buckets: Int = 64): DataFrame = {
     val tok = graft.sources.Par.fan(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

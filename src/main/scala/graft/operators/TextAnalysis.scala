@@ -85,12 +85,19 @@ object TextAnalysis {
     * under reprocessing and insensitive to row order or partitioning.
     * Output: per-split document count, token volume, mean quality.
     */
-  def datasetSplit(docs: DataFrame): DataFrame = {
-    import graft.functions.ExactAgg.davg
+  /** Deterministic salted-hash split assignment (~80/10/10) — shared
+    * by [[datasetSplit]] and [[splitLeakage]].
+    */
+  private def splitOf: Column = {
     val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
-    val split = when(substring(h, 1, 2) < "cc", "train")
+    when(substring(h, 1, 2) < "cc", "train")
       .when(substring(h, 1, 2) < "e6", "val")
       .otherwise("test")
+  }
+
+  def datasetSplit(docs: DataFrame): DataFrame = {
+    import graft.functions.ExactAgg.davg
+    val split = splitOf
     qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .withColumn("split", split)
@@ -99,6 +106,27 @@ object TextAnalysis {
         sum(col("n_tokens")).cast("long").as("total_tokens"),
         davg(col("quality")).as("avg_quality"))
   }
+
+  /** Cross-split LEAKAGE audit — the check a train/test split must
+    * pass before the split is trusted: a near-dup cluster
+    * ([[Dedup.simhashClusters]]) whose members land in different
+    * splits leaks training content into evaluation (the reason
+    * dedup-then-split is the published order; this operator catches
+    * the split-then-dedup mistake). Output: every multi-document
+    * cluster with its split spread and the `leaky` verdict.
+    *
+    * Scale: one extra keyed aggregate over the cluster labels — the
+    * cluster pass dominates; the audit itself is O(clusters).
+    */
+  def splitLeakage(docs: DataFrame): DataFrame =
+    Dedup.simhashClusters(docs)
+      .withColumn("split", splitOf)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(sort_array(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("leaky", col("n_splits") >= 2)
 
   /** End-to-end corpus curation — the composed cleaning pipeline a
     * pretraining corpus goes through: keep a document iff it is the

@@ -448,6 +448,25 @@ object DocOracles {
        |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
 
+  /** Mirror of TextAnalysis.splitLeakage: recursive-closure clusters +
+    * the salted-md5 split rule; multi-doc clusters with split spread.
+    */
+  private def splitLeakageSql: String =
+    s"""WITH cl AS (SELECT * FROM ($simhashClustersSql)),
+       |s AS (SELECT cluster_id,
+       |        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+       |               THEN 'train'
+       |             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |               THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM cl)
+       |SELECT cluster_id, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT split) AS n_splits,
+       |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+       |  COUNT(DISTINCT split) >= 2 AS leaky
+       |FROM s GROUP BY 1
+       |HAVING COUNT(*) >= 2""".stripMargin
+
   /** Mirror of FeatureEng.hashedFeatures: md5 nibble-pair bucket,
     * third-nibble sign, per-doc summed weights.
     */
@@ -636,6 +655,7 @@ object DocOracles {
     "q_semdedup" -> semDedupSql,
     "q_dsir_weights" -> dsirSql,
     "q_substring_dedup" -> repeatedSubstringsSql,
+    "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_text_repetition" -> repetitionSql,

@@ -464,6 +464,16 @@ object FraudOracles {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.01) AS p_lo,
+        |    quantile_cont(value, 0.99) AS p_hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  GREATEST(p_lo, LEAST(p_hi, value)) AS value_winsorized,
+        |  value < p_lo AS clipped_low,
+        |  value > p_hi AS clipped_high
+        |FROM events JOIN b USING (event_type)""".stripMargin,
     "q_fuzzy_match" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist

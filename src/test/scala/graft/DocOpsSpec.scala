@@ -304,6 +304,22 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(3L) == 0L)
   }
 
+  test("split leakage flags near-dup clusters that span splits") {
+    // three exact copies: simhash pairs all three, one cluster; with
+    // ids spread across the md5-split boundaries some split-spread is
+    // deterministic for these fixed ids
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, t), (2L, t), (3L, t), (4L, "unrelated solo text"))
+    val out = TextAnalysis.splitLeakage(d).collect()
+    assert(out.length == 1) // one multi-doc cluster, singleton excluded
+    val r = out(0)
+    assert(r.getAs[Long]("cluster_id") == 1L)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    // leaky ⇔ more than one distinct split among members
+    assert(r.getAs[Boolean]("leaky") ==
+      (r.getAs[Long]("n_splits") >= 2L))
+  }
+
   test("dsir weights rank target-language docs above off-target docs") {
     val d = Seq(
       (1L, "aa bb cc", "en"), (2L, "aa bb cc", "en"),

@@ -159,6 +159,22 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("ks") == 1.0)  // disjoint CDFs
   }
 
+  test("winsorize clamps outliers to the in-band extremes, flags them") {
+    // 0..99 plus one huge outlier: p99 sits inside, 1000 gets clipped
+    val d = ((0 until 100).map(i => (i.toLong, "a", i.toDouble)) :+
+      (100L, "a", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val out = FeatureEng.winsorize(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getAs[Boolean]("clipped_high"))
+    assert(out(100L).getAs[Double]("value_winsorized") < 1000.0)
+    assert(out(50L).getAs[Double]("value_winsorized") == 50.0)
+    assert(!out(50L).getAs[Boolean]("clipped_low") &&
+           !out(50L).getAs[Boolean]("clipped_high"))
+    val clippedLow = out.values.count(_.getAs[Boolean]("clipped_low"))
+    assert(clippedLow >= 1) // p01 of 101 values clips the minimum
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)
