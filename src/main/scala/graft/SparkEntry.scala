@@ -420,6 +420,16 @@ object SparkEntry {
     // winsorization: per-key exact-percentile clamp, broadcast bounds
     "q_winsorize" -> ((s, d) =>
       FeatureEng.winsorize(T(s, d)("events"))),
+    // deterministic negative sampling: anti-join + salted-hash rank
+    // over the customer-supplier interaction graph
+    "q_negative_samples" -> ((s, d) => {
+      val t = T(s, d) _
+      val interactions = t("orders")
+        .join(t("lineitem"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      FeatureEng.negativeSamples(interactions, "o_custkey", "l_suppkey")
+    }),
     // cross-split leakage audit over near-dup clusters
     "q_split_leakage" -> ((s, d) =>
       TextAnalysis.splitLeakage(T(s, d)("documents"))),

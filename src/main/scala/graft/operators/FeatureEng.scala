@@ -174,6 +174,32 @@ object FeatureEng {
         (col("value") > col("p_hi")).as("clipped_high"))
   }
 
+  /** Deterministic NEGATIVE SAMPLING — the contrastive-training prep
+    * step: for every user, draw `k` items (event types) the user has
+    * never interacted with, ranked by a salted hash so the draw is
+    * reproducible (no RNG) and uniform-ish per user. The candidate
+    * space is users × vocabulary with the positives anti-joined out;
+    * the vocabulary side is small by definition (it's an item/type
+    * catalog) and broadcasts, so the plan is one distinct pass over
+    * the interactions, one broadcast expansion, one anti join, one
+    * keyed window — no shuffle of the raw events beyond the distinct.
+    */
+  def negativeSamples(interactions: DataFrame, userCol: String,
+                      itemCol: String, k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = interactions.select(userCol).distinct()
+    val vocab = interactions.select(itemCol).distinct()
+    val pos = interactions.select(userCol, itemCol).distinct()
+    val rank = row_number().over(Window.partitionBy(col(userCol))
+      .orderBy(md5(concat(lit("neg:"), col(userCol).cast("string"),
+        lit(":"), col(itemCol).cast("string"))), col(itemCol)))
+    users.crossJoin(broadcast(vocab))
+      .join(pos, Seq(userCol, itemCol), "left_anti")
+      .withColumn("rnk", rank)
+      .filter(col("rnk") <= k)
+      .select(col(userCol), col(itemCol).as("neg_item"), col("rnk"))
+  }
+
   def hashedFeatures(docs: DataFrame, buckets: Int = 64): DataFrame = {
     val tok = graft.sources.Par.fan(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

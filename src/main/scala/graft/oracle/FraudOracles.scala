@@ -464,6 +464,24 @@ object FraudOracles {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_negative_samples" ->
+      """WITH i AS (SELECT o_custkey, l_suppkey FROM orders
+        |           JOIN lineitem ON o_orderkey = l_orderkey),
+        |u AS (SELECT DISTINCT o_custkey FROM i),
+        |v AS (SELECT DISTINCT l_suppkey FROM i),
+        |pos AS (SELECT DISTINCT o_custkey, l_suppkey FROM i),
+        |cand AS (SELECT u.o_custkey, v.l_suppkey
+        |         FROM u CROSS JOIN v
+        |         WHERE NOT EXISTS (SELECT 1 FROM pos
+        |           WHERE pos.o_custkey = u.o_custkey
+        |             AND pos.l_suppkey = v.l_suppkey)),
+        |r AS (SELECT o_custkey, l_suppkey,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY md5('neg:' || CAST(o_custkey AS VARCHAR)
+        |            || ':' || CAST(l_suppkey AS VARCHAR)), l_suppkey) AS rnk
+        |      FROM cand)
+        |SELECT o_custkey, l_suppkey AS neg_item, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 2""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (SELECT event_type,
         |    quantile_cont(value, 0.01) AS p_lo,

@@ -175,6 +175,18 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(clippedLow >= 1) // p01 of 101 values clips the minimum
   }
 
+  test("negative samples exclude positives and are deterministic") {
+    val d = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+    def run() = FeatureEng.negativeSamples(d, "user_id", "event_type",
+        k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val out = run()
+    // user 1 saw the whole vocabulary → no negatives; user 2 lacks b
+    assert(out.toSeq == Seq((2L, "b", 1)))
+    assert(run().toSeq == out.toSeq)
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)
