@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   * The IMAGE decode path is real: [[decodeImages]] uses javax.imageio
   * (pure JVM — PNG/JPEG/BMP/GIF) to decode bytes and emit geometry +
   * a luminance-histogram feature vector, tested end-to-end on real
-  * encoded PNGs ([[syntheticPngMedia]]). Audio resample / video frame
-  * decode still require native libraries absent from this
-  * environment, so the generic [[extractFeatures]] kernel keeps a
-  * deterministic byte-derived STUB for those modalities — clearly
-  * marked below. Everything around both kernels is real and tested:
+  * encoded PNGs ([[syntheticPngMedia]]). The AUDIO decode path is
+  * real too: [[decodeAudio]] uses javax.sound.sampled (pure JVM —
+  * RIFF/WAV PCM) to parse headers and samples and emit duration,
+  * RMS, zero-crossing rate and an energy envelope, tested end-to-end
+  * on real encoded WAVs ([[syntheticWavMedia]]). Only VIDEO frame
+  * decode still requires native codecs absent from this environment,
+  * so the generic [[extractFeatures]] kernel keeps a deterministic
+  * byte-derived STUB for that modality — clearly marked below.
+  * Everything around the kernels is real and tested:
   * the schema, the partition-wise batching shape (mapPartitions with
   * an iterator, never materializing a partition), metadata-driven
   * routing, and the handoff of extracted feature vectors into
@@ -67,7 +71,8 @@ object Multimodal {
         lit("synthetic").as("format")).as("meta"))
   }
 
-  /** ======== STUB ========
+  /** ======== STUB (video only — image: [[decodeImages]], audio:
+    * [[decodeAudio]] are REAL) ========
     * Deterministic fake "decode + feature extract": folds the bytes
     * into a `dim`-float vector. A real implementation replaces ONLY
     * the body of `kernel` (e.g. JNI codec or Arrow batch to a Python
@@ -283,6 +288,140 @@ object Multimodal {
       .select(col("a.media_id").as("img_a"), col("b.media_id").as("img_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  final case class AudioFeatures(media_id: Long, decoded: Boolean,
+                                 sample_rate: Int, n_samples: Long,
+                                 duration_ms: Int, rms: Double,
+                                 zero_cross_rate: Double,
+                                 envelope: Array[Float])
+
+  /** REAL audio decode kernel — javax.sound.sampled, pure JVM, no
+    * native libs: RIFF/WAV PCM bytes → parsed sample rate + decoded
+    * samples → duration, RMS level, zero-crossing rate (the cheap
+    * pitch proxy), and a `dim`-window RMS energy envelope (the cheap
+    * temporal fingerprint — silence/speech/music segmentation input).
+    * Same Iterator→Iterator batching shape as the image kernel:
+    * per-partition init once per task, bytes never leave the
+    * partition, output is a small fixed-width vector. Non-audio or
+    * undecodable rows degrade to the deterministic byte-fold fallback
+    * (`decoded = false`) so a mixed or partly-corrupt corpus never
+    * fails the task. Compressed codecs (MP3/AAC/opus) would need
+    * native decoders this environment lacks; PCM WAV — the training-
+    * data interchange format — is fully real here.
+    */
+  def decodeAudio(media: Dataset[MediaRow], dim: Int = 16)
+      : Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.mapPartitions { it =>
+      def fallback(row: MediaRow): AudioFeatures = {
+        val acc = new Array[Float](dim)
+        var i = 0
+        row.bytes.foreach { b => acc(i % dim) += (b & 0xff) / 255.0f; i += 1 }
+        AudioFeatures(row.media_id, decoded = false, 0, 0L, 0, 0.0, 0.0, acc)
+      }
+      it.map { row =>
+        val samples =
+          if (row.kind != "audio") None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(row.bytes))
+            val fmt = ais.getFormat
+            // decode only uncompressed signed PCM (8/16-bit) — the WAV
+            // payloads a data pipeline actually stores
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              None
+            else {
+              val raw = ais.readAllBytes()
+              val bytesPer = fmt.getSampleSizeInBits / 8
+              val ch = fmt.getChannels
+              val n = raw.length / (bytesPer * ch)
+              val out = new Array[Double](n)
+              var i = 0
+              while (i < n) {
+                // first channel only; WAV PCM16 is little-endian
+                val base = i * bytesPer * ch
+                val v =
+                  if (bytesPer == 2)
+                    ((raw(base) & 0xff) | (raw(base + 1) << 8)).toShort / 32768.0
+                  else raw(base) / 128.0
+                out(i) = v
+                i += 1
+              }
+              Some((fmt.getSampleRate.toInt, out))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        samples match {
+          case Some((sr, s)) if s.length > 0 =>
+            val n = s.length
+            var sumSq = 0.0
+            var crossings = 0L
+            var i = 0
+            while (i < n) {
+              sumSq += s(i) * s(i)
+              if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) crossings += 1
+              i += 1
+            }
+            val env = new Array[Float](dim)
+            val cnt = new Array[Long](dim)
+            i = 0
+            while (i < n) {
+              val w = math.min((i.toLong * dim / n).toInt, dim - 1)
+              env(w) += (s(i) * s(i)).toFloat
+              cnt(w) += 1
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              if (cnt(i) > 0) env(i) = math.sqrt(env(i) / cnt(i)).toFloat
+              i += 1
+            }
+            AudioFeatures(row.media_id, decoded = true, sr, n.toLong,
+              math.round(n * 1000.0 / sr).toInt, math.sqrt(sumSq / n),
+              crossings.toDouble / (n - 1).max(1), env)
+          case _ => fallback(row)
+        }
+      }
+    }
+  }
+
+  /** Deterministic corpus of REAL encoded WAVs (id-derived sine tones,
+    * PCM16 mono, RIFF-encoded with AudioSystem inside the partition —
+    * scales with partitions like any spark.range). Frequency and
+    * amplitude derive from the id, so decode assertions (duration,
+    * RMS ≈ A/√2, zero-crossing rate ≈ 2f/sr) are exact-by-formula.
+    */
+  def syntheticWavMedia(spark: SparkSession, n: Long,
+                        sampleRate: Int = 8000, ms: Int = 250)
+      : Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val freq = 200.0 + (id % 20) * 50.0
+        val amp = 0.25 + (id % 4) * 0.2
+        val nSamp = sampleRate * ms / 1000
+        val pcm = new Array[Byte](nSamp * 2)
+        var i = 0
+        while (i < nSamp) {
+          val v = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) *
+            32767).toInt.toShort
+          pcm(i * 2) = (v & 0xff).toByte
+          pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio", bos.toByteArray,
+          MediaMeta(0, 0, sampleRate, ms, "wav"))
+      }
+    }
   }
 
   /** Video frame sampling as metadata expansion (real, not stubbed):

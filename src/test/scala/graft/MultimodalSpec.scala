@@ -116,6 +116,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("real WAV decode: sample rate, duration, RMS and ZCR match the tone formula") {
+    val sr = 8000
+    val wavs = Multimodal.syntheticWavMedia(spark, 12, sampleRate = sr, ms = 250)
+    val feats = Multimodal.decodeAudio(wavs, dim = 8).collect()
+    assert(feats.length == 12)
+    assert(feats.forall(_.decoded), "every synthetic WAV must decode")
+    feats.foreach { f =>
+      assert(f.sample_rate == sr)
+      assert(f.n_samples == sr / 4) // 250 ms
+      assert(f.duration_ms == 250)
+      // id-derived sine: amp = 0.25 + (id%4)*0.2, RMS ≈ amp/√2
+      val amp = 0.25 + (f.media_id % 4) * 0.2
+      assert(math.abs(f.rms - amp / math.sqrt(2)) < 0.01,
+        s"id=${f.media_id} rms=${f.rms} expected≈${amp / math.sqrt(2)}")
+      // zero crossings of a sine ≈ 2·f/sr per sample
+      val freq = 200.0 + (f.media_id % 20) * 50.0
+      assert(math.abs(f.zero_cross_rate - 2 * freq / sr) < 0.01,
+        s"id=${f.media_id} zcr=${f.zero_cross_rate} expected≈${2 * freq / sr}")
+      // constant-amplitude tone: envelope windows all ≈ the global RMS
+      assert(f.envelope.length == 8)
+      f.envelope.foreach(e => assert(math.abs(e - f.rms) < 0.02))
+    }
+    // decode is value-stable under repartitioning
+    val again = Multimodal.decodeAudio(wavs.repartition(5), dim = 8)
+      .collect().map(f => f.media_id -> f.envelope.toSeq).toMap
+    assert(again == feats.map(f => f.media_id -> f.envelope.toSeq).toMap)
+  }
+
+  test("undecodable and non-audio rows fall back, flagged decoded=false") {
+    val junk = Seq(
+      MediaRow(1L, "audio", Array[Byte](82, 73, 70, 70, 1, 2, 3), // truncated RIFF
+        Multimodal.MediaMeta(0, 0, 16000, 1000, "corrupt")),
+      MediaRow(2L, "image", Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta(0, 0, 0, 0, "png"))).toDS()
+    val out = Multimodal.decodeAudio(junk).collect()
+    assert(out.forall(!_.decoded))
+    assert(out.forall(_.envelope.length == 16))
+  }
+
+  test("audio envelope features flow into the ANN surface") {
+    val emb = Multimodal.asEmbeddings(
+      Multimodal.decodeAudio(
+        Multimodal.syntheticWavMedia(spark, 10), dim = 16)
+        .map(f => Multimodal.MediaFeatures(f.media_id, "audio", f.envelope)))
+    val top = graft.operators.Similarity.bruteForceTopK(
+      emb, col("vec_id") < 2, k = 3, dim = 16)
+    assert(top.count() == 6)
+  }
+
   test("image near-dup is block-keyed: no cartesian in the plan") {
     val pngs = Multimodal.syntheticPngMedia(spark, 24, side = 8)
     val plan = Multimodal.imageNearDup(
