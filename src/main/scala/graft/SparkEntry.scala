@@ -247,6 +247,22 @@ object SparkEntry {
     "q_emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(T(s, d)("embeddings"), threshold = 0.4,
         bitsPerBand = 8, bands = 8)),
+    // kNN label propagation (weak supervision): majority label of the
+    // 5 IVF-ANN nearest neighbors per query vector
+    "q_knn_label" -> ((s, d) =>
+      ModelEval.knnLabel(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") % 20 === 0, k = 5)),
+    // calibration reliability bins: observed positive rate vs exact
+    // mean score per score decile
+    "q_calibration" -> ((s, d) =>
+      ModelEval.calibrationBins(T(s, d)("embeddings"))),
+    // precision/recall confusion counts at fixed decision thresholds
+    "q_eval_pr" -> ((s, d) =>
+      ModelEval.prAtThresholds(T(s, d)("embeddings"))),
+    // Morton/Z-order layout key over (amount band × time-of-day band)
+    // — the multi-dim clustering key for write-side data skipping
+    "q_zorder_key" -> ((s, d) =>
+      Layout.eventZorder(T(s, d)("events"))),
     // token counting (whitespace + BPE-ish regex)
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),

@@ -193,6 +193,82 @@ object DocOracles {
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
        |WHERE rn <= 3""".stripMargin
 
+  /** Mirror of ModelEval.knnLabel: the annIvfSql IVF machinery
+    * (identical codebook, assignment, probe order and cosine shapes)
+    * widened to k=5 over the `vec_id % 20 = 0` query set, then
+    * majority vote over the neighbors' labels — votes desc, smaller
+    * label on ties, exactly the Spark window's ORDER BY.
+    */
+  private def knnLabelSql: String =
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS (SELECT vec_id, v, pid AS list_id FROM ar WHERE prn = 1),
+       |qr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
+       |       FROM ar WHERE vec_id % 20 = 0 AND prn <= 4),
+       |s AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |        ${cos("qv", "a.v")} AS cos
+       |      FROM qr JOIN a ON plist = list_id
+       |      WHERE a.vec_id <> query_id),
+       |nn AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |       WHERE rn <= 5),
+       |v AS (SELECT query_id, e.label, COUNT(*) AS votes
+       |      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+       |      GROUP BY 1, 2)
+       |SELECT query_id, label AS pred_label, votes FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY votes DESC, label) AS mrn FROM v)
+       |WHERE mrn = 1""".stripMargin
+
+  /** Deterministic scorer twin of ModelEval.detScore — identical IEEE
+    * shape: cast-to-double, +1, /2, clamp.
+    */
+  private val detScoreSql =
+    "LEAST(GREATEST((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0, 0.0), 1.0)"
+
+  /** Mirror of ModelEval.calibrationBins (10 equal-width bins, label
+    * parity as the binary target, ExactAgg scaled-BIGINT mean score).
+    */
+  private def calibrationSql: String =
+    s"""WITH s AS (SELECT $detScoreSql AS score,
+       |  CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+       |  FROM embeddings)
+       |SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INTEGER) AS bin,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(pos) AS BIGINT) AS positives,
+       |  CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate,
+       |  ${graft.functions.OracleSql.davg("score", 9)} AS mean_score
+       |FROM s GROUP BY 1""".stripMargin
+
+  /** Mirror of ModelEval.prAtThresholds: integer confusion counts and
+    * single int/int double divisions at three thresholds.
+    */
+  private def prSql: String =
+    s"""WITH s AS (SELECT $detScoreSql AS score,
+       |  CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS actual
+       |  FROM embeddings),
+       |e AS (SELECT score, actual,
+       |        UNNEST([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE),
+       |                CAST(0.7 AS DOUBLE)]) AS threshold
+       |      FROM s),
+       |p AS (SELECT threshold, actual,
+       |        CASE WHEN score >= threshold THEN 1 ELSE 0 END AS pred
+       |      FROM e)
+       |SELECT threshold,
+       |  CAST(SUM(pred * actual) AS BIGINT) AS tp,
+       |  CAST(SUM(pred * (1 - actual)) AS BIGINT) AS fp,
+       |  CAST(SUM((1 - pred) * actual) AS BIGINT) AS fn,
+       |  CAST(SUM(pred * actual) AS DOUBLE) /
+       |    GREATEST(CAST(SUM(pred) AS BIGINT), 1) AS precision,
+       |  CAST(SUM(pred * actual) AS DOUBLE) /
+       |    GREATEST(CAST(SUM(actual) AS BIGINT), 1) AS recall
+       |FROM p GROUP BY 1""".stripMargin
+
   /** Mirror of Similarity.nearDupPairs (8-bit × 8 sign-bit bands +
     * exact-cosine verify — the scale-selective regime, ~3.1% of pairs
     * as candidates). The band keys are pure sign tests on the
@@ -698,6 +774,9 @@ object DocOracles {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_emb_neardup" -> embNearDupSql,
+    "q_knn_label" -> knnLabelSql,
+    "q_calibration" -> calibrationSql,
+    "q_eval_pr" -> prSql,
 
     "q_text_tokens" ->
       """SELECT doc_id,

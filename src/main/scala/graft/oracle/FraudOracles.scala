@@ -482,6 +482,23 @@ object FraudOracles {
         |      FROM cand)
         |SELECT o_custkey, l_suppkey AS neg_item, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 2""".stripMargin,
+    "q_zorder_key" -> {
+      // interleave of the low 8 bits: x in even, y in odd positions —
+      // mirror of Layout.zorderKey's unrolled shift/mask terms. Every
+      // term is FULLY parenthesized: DuckDB (like Postgres) gives
+      // `|` and `<<` equal precedence, left-associative, so an
+      // unparenthesized a << 1 | b << 3 parses as ((a << 1) | b) << 3
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH b AS (SELECT event_id,
+         |  CAST(LEAST(FLOOR(value / 4), 255) AS BIGINT) AS x,
+         |  CAST(FLOOR((hour(ts) * 60 + minute(ts)) / 6) AS BIGINT) AS y
+         |  FROM events)
+         |SELECT event_id, x AS amount_band, y AS tod_band,
+         |  (${terms.mkString(" | ")}) AS zkey
+         |FROM b""".stripMargin
+    },
     "q_winsorize" ->
       """WITH b AS (SELECT event_type,
         |    quantile_cont(value, 0.01) AS p_lo,
