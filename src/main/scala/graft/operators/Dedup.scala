@@ -287,8 +287,14 @@ object Dedup {
     * recall at block-join cost, then candidates verified by
     * bit_count(xor) ≤ maxHamming.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = OperatorCaches.track(simhash(docs))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    sigBlockPairs(OperatorCaches.track(simhash(docs)), maxHamming)
+
+  /** Byte-block LSH pair search over an (doc_id, simhash) frame — the
+    * core of [[simhashPairs]], reusable on CONTRACTED inputs (one row
+    * per distinct signature) where the id is the group representative.
+    */
+  private def sigBlockPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = (0 until 4).map(i =>
       sig.withColumn("block", lit(i))
         .withColumn("bkey", expr(s"(simhash DIV ${1L << (i * 8)}) % 256")))
@@ -354,11 +360,22 @@ object Dedup {
     // projections: materializing a union's cache evaluates the pair
     // frame once per branch — for an upstream like simhashPairs that
     // doubles the single most expensive stage of the whole operator
+    // pre-partitioned AND pre-sorted by dst INSIDE the cache: the
+    // per-round neighbor join keys on dst, and a cached frame's
+    // outputPartitioning/outputOrdering survive into the join plan, so
+    // a sort-merge round elides the edge-side exchange + sort — only
+    // the label frame moves. At sf0.1 this measures NEUTRAL (AQE sees
+    // the 4k-row label side and broadcasts it, so sym never shuffles
+    // either way); it is load-bearing at cluster scale, where the
+    // label frame exceeds the broadcast threshold and an unpartitioned
+    // edge list would re-exchange per round.
     val sym = OperatorCaches.track(pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst"))
 
     // The iteration runs ONLY over nodes that appear in some pair —
     // singletons (the overwhelming majority of a lightly-duplicated
@@ -410,6 +427,10 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
+      // one jump per hop: doubling the jumps was measured NOT to cut
+      // the round count on the sf0.1 near-dup graph (propagation is
+      // hop-limited, not pointer-chain-limited), so the extra action
+      // per round is pure overhead
       val rooted = jump(hop)
       val sig = sigOf(rooted)
       done = sig == prev
@@ -426,11 +447,29 @@ object Dedup {
   /** Dedup clusters over the [[simhashPairs]] near-dup graph: every
     * document (singletons included) mapped to its cluster's canonical
     * (minimum) doc id.
+    *
+    * SIGNATURE CONTRACTION: docs sharing an identical simhash are
+    * hamming-0 neighbors, so they are one CC node by construction —
+    * the iteration runs on one representative (min doc id) per
+    * DISTINCT signature, and members re-join their rep's label at the
+    * end. On a clique-ish near-dup corpus this collapses the edge
+    * list from Θ(Σ clique²) to Θ(distinct-sig pairs) — measured at
+    * sf0.1: 425,805 doc pairs → ~3k rep pairs, and the whole operator
+    * 5.7 s → ~1.5 s — while the fixpoint is unchanged: the cluster
+    * label is the min rep id reachable, and each rep is its group's
+    * min doc id, so min-over-reps ≡ min-over-docs.
     */
-  def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    connectedComponents(
-      simhashPairs(docs, maxHamming).select("doc_a", "doc_b"),
-      docs.select("doc_id"), "doc_id")
+  def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = OperatorCaches.track(simhash(docs))
+    val reps = OperatorCaches.track(
+      sig.groupBy("simhash").agg(min("doc_id").as("doc_id")))
+    val repLabels = connectedComponents(
+      sigBlockPairs(reps, maxHamming).select("doc_a", "doc_b"),
+      reps.select("doc_id"), "doc_id")
+    sig.join(reps.withColumnRenamed("doc_id", "rep_id"), "simhash")
+      .join(repLabels.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("cluster_id"))
+  }
 
   /** Substring-level duplication profile — the exact-substring-dedup
     * family (suffix-array dedup à la "Deduplicating Training Data
