@@ -263,6 +263,11 @@ object SparkEntry {
     // — the multi-dim clustering key for write-side data skipping
     "q_zorder_key" -> ((s, d) =>
       Layout.eventZorder(T(s, d)("events"))),
+    // global sequential example index: range-partitioned two-phase
+    // rank (zipWithIndex), never a single-partition global window
+    "q_global_index" -> ((s, d) =>
+      Layout.globalIndex(T(s, d)("documents"), Seq("n_chars", "doc_id"))
+        .select("doc_id", "n_chars", "global_idx")),
     // token counting (whitespace + BPE-ish regex)
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),

@@ -48,6 +48,44 @@ object Layout {
       zorderKey(x, y, 8).as("zkey"))
   }
 
+  /** GLOBAL SEQUENTIAL INDEX — assign every row its 1-based rank in a
+    * deterministic total order, WITHOUT the single-partition collapse
+    * a global window (`row_number().over(Window.orderBy(...))`)
+    * forces: Spark plans an empty-partitionBy window as one task
+    * holding the whole dataset. The scalable spelling is the classic
+    * two-phase rank: range-partition + in-partition sort (a real
+    * distributed sort), count rows per partition, broadcast the tiny
+    * per-partition offset table (numPartitions longs), and add the
+    * offset to each row's in-partition position — one extra action
+    * over the sort, no data moves twice. The order must be a TOTAL
+    * order (include a tiebreaker column) for the result to be
+    * deterministic.
+    *
+    * The training-data consumer: globally numbered examples for
+    * reproducible sharding/curriculum order over a corpus that never
+    * fits one task.
+    */
+  def globalIndex(df: DataFrame, sortCols: Seq[String],
+                  indexCol: String = "global_idx",
+                  numPartitions: Int = 0): DataFrame = {
+    val ranged =
+      if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, sortCols.map(col): _*)
+      else df.repartitionByRange(sortCols.map(col): _*)
+    val sorted = ranged.sortWithinPartitions(sortCols.map(col): _*)
+    // zipWithIndex IS the two-phase rank: one counting job over the
+    // sorted partitions, then per-partition offsets added map-side.
+    // (One of the few justified .rdd drops in this library: the
+    // DataFrame spelling — a window over spark_partition_id() — pays
+    // an extra full-data exchange for what is a map-side counter.)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd,
+      sorted.schema.add(indexCol, org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
   /** The layout write recipe: range-partition on the layout key so
     * each output file owns a disjoint key span (file-level pruning),
     * sort within partitions so row groups within a file are also

@@ -777,6 +777,10 @@ object DocOracles {
     "q_knn_label" -> knnLabelSql,
     "q_calibration" -> calibrationSql,
     "q_eval_pr" -> prSql,
+    "q_global_index" ->
+      """SELECT doc_id, n_chars,
+        |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_idx
+        |FROM documents""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

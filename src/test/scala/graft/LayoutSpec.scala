@@ -41,6 +41,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(r.getLong(3) == expected)
   }
 
+  test("globalIndex equals the single-partition window rank, distributed") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val out = Layout.globalIndex(docs.repartition(7),
+        Seq("n_chars", "doc_id"))
+      .select("doc_id", "global_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs
+      .orderBy("n_chars", "doc_id").collect().map(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(out == expected)
+    // no single-task collapse: with a pinned partition count the sort
+    // stays distributed AND the index is still globally correct
+    val pinned = Layout.globalIndex(docs, Seq("n_chars", "doc_id"),
+      numPartitions = 5)
+    assert(pinned.rdd.getNumPartitions == 5)
+    assert(pinned.select("doc_id", "global_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("range layout write yields files with disjoint key spans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout")
       .toString + "/events_z"
