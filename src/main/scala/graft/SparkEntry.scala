@@ -268,6 +268,13 @@ object SparkEntry {
     "q_global_index" -> ((s, d) =>
       Layout.globalIndex(T(s, d)("documents"), Seq("n_chars", "doc_id"))
         .select("doc_id", "n_chars", "global_idx")),
+    // shard packing plan: token-budget shards via distributed prefix
+    // sum (the scale-safe twin of q_pack_sequences' global window)
+    "q_shard_plan" -> ((s, d) =>
+      TextAnalysis.shardPlan(T(s, d)("documents"))),
+    // k-anonymity risk probe: quasi-identifier classes smaller than k
+    "q_kanon_risk" -> ((s, d) =>
+      Quality.kAnonymityRisk(T(s, d)("events"))),
     // token counting (whitespace + BPE-ish regex)
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(T(s, d)("documents"))),

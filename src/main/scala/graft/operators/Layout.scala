@@ -86,6 +86,52 @@ object Layout {
         nullable = false))
   }
 
+  /** DISTRIBUTED PREFIX SUM (inclusive running total of an integral
+    * column in a deterministic total order) — same two-phase shape as
+    * [[globalIndex]], and for the same reason: the window spelling
+    * (`sum().over(Window.orderBy(...))` with no partitionBy) collapses
+    * to one task. Here: range-partition + in-partition sort, ONE tiny
+    * job to collect per-partition sums (numPartitions longs to the
+    * driver — not data), then a map-side running counter seeded with
+    * each partition's offset. Exact by int64 associativity.
+    *
+    * Consumers: shard/budget packing ([[graft.operators.TextAnalysis
+    * .shardPlan]]), curriculum token budgets, quota assignment.
+    */
+  def prefixSum(df: DataFrame, sortCols: Seq[String], valueCol: String,
+                outCol: String = "running_total",
+                numPartitions: Int = 0): DataFrame = {
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"prefixSum needs a LONG value column, got ${df.schema(valueCol)}")
+    val ranged =
+      if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, sortCols.map(col): _*)
+      else df.repartitionByRange(sortCols.map(col): _*)
+    // tracked cache: the sorted frame is consumed twice (offset job +
+    // final pass); released by the caller via OperatorCaches
+    val sorted = OperatorCaches.track(
+      ranged.sortWithinPartitions(sortCols.map(col): _*))
+    val perPart = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(valueCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + perPart.getOrElse(p, 0L)).toArray
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = offsets(pid)
+      it.map { row =>
+        running += row.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ running)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd,
+      sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
   /** The layout write recipe: range-partition on the layout key so
     * each output file owns a disjoint key span (file-level pruning),
     * sort within partitions so row groups within a file are also

@@ -123,6 +123,27 @@ object Quality {
         count(lit(1)).as("n_bins"))
   }
 
+  /** K-ANONYMITY RISK PROBE — the privacy gate a training-data
+    * pipeline runs before releasing quasi-identifier combinations:
+    * bucket the quasi-identifiers (here event_type × hour-of-day ×
+    * amount decade), count group sizes, and report every equivalence
+    * class smaller than `k` — rows whose attribute combination could
+    * re-identify an individual. One groupBy (partial-agg friendly);
+    * output is bounded by the bucket grid, not the corpus.
+    */
+  def kAnonymityRisk(events: DataFrame, k: Long = 5L): DataFrame =
+    graft.sources.Par.fan(events)
+      .groupBy(col("event_type"),
+        floor((hour(col("ts")) * 60 + minute(col("ts"))) / lit(6))
+          .cast("long").as("tod_band"),
+        // decade as digit count of the integer part — exact integer
+        // arithmetic, never floor(log10) (libm 1-ulp at exact powers
+        // of ten flips the bucket — same trick as amountClusterKey)
+        (length(floor(greatest(col("value"), lit(1.0))).cast("long")
+          .cast("string")) - 1).cast("long").as("amount_decade"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+
   def keySkewProfile(df: DataFrame, key: String, k: Int = 5): DataFrame = {
     val counts = OperatorCaches.track(
       df.groupBy(col(key)).agg(count(lit(1)).as("n_rows")))

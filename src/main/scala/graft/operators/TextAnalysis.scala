@@ -357,6 +357,23 @@ object TextAnalysis {
         col("end_window") - col("start_window") + 1)
   }
 
+  /** SHARD PACKING PLAN — assign documents, in deterministic doc_id
+    * order, to fixed-token-budget output shards: shard_id = exclusive
+    * running token total DIV budget. Semantically the shard half of
+    * [[packSequences]], but spelled scale-safe: the running total
+    * comes from [[Layout.prefixSum]] (range-partitioned two-phase
+    * rank), not a single-task global window — this is the form that
+    * plans a 100 TB corpus into shards.
+    */
+  def shardPlan(docs: DataFrame, budget: Long = 2048): DataFrame = {
+    val withTok = fan(docs).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Layout.prefixSum(withTok, Seq("doc_id"), "n_tokens", "running_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("running_tokens"),
+        ((col("running_tokens") - col("n_tokens")) / lit(budget))
+          .cast("long").as("shard_id"))
+  }
+
   /** DSIR-style data-selection weights (Xie et al., 2023): score every
     * document by how much more likely its hashed-unigram bag is under
     * the TARGET distribution (rows matching `targetPred`) than under

@@ -781,6 +781,19 @@ object DocOracles {
       """SELECT doc_id, n_chars,
         |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_idx
         |FROM documents""".stripMargin,
+    "q_shard_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS running_tokens
+        |      FROM t)
+        |SELECT doc_id, n_tokens, running_tokens,
+        |  CAST(FLOOR((running_tokens - n_tokens) / 2048.0) AS BIGINT)
+        |    AS shard_id
+        |FROM r""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

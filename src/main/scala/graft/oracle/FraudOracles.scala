@@ -482,6 +482,14 @@ object FraudOracles {
         |      FROM cand)
         |SELECT o_custkey, l_suppkey AS neg_item, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 2""".stripMargin,
+    "q_kanon_risk" ->
+      """SELECT event_type,
+        |  CAST(FLOOR((hour(ts) * 60 + minute(ts)) / 6) AS BIGINT)
+        |    AS tod_band,
+        |  CAST(length(CAST(CAST(FLOOR(GREATEST(value, 1.0)) AS BIGINT)
+        |    AS VARCHAR)) - 1 AS BIGINT) AS amount_decade,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin,
     "q_zorder_key" -> {
       // interleave of the low 8 bits: x in even, y in odd positions —
       // mirror of Layout.zorderKey's unrolled shift/mask terms. Every

@@ -175,6 +175,19 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(clippedLow >= 1) // p01 of 101 values clips the minimum
   }
 
+  test("k-anonymity probe: every reported class is genuinely below k") {
+    val events = graft.sources.Tables(spark, TestSpark.sf, "events")
+    val risky = graft.operators.Quality.kAnonymityRisk(events, k = 5)
+    assert(risky.filter($"n" >= 5).count() == 0)
+    // cross-check one reported class against a direct count
+    val r = risky.orderBy($"event_type", $"tod_band", $"amount_decade").head()
+    val direct = graft.operators.Quality.kAnonymityRisk(events, k = Long.MaxValue)
+      .filter($"event_type" === r.getString(0) &&
+        $"tod_band" === r.getLong(1) && $"amount_decade" === r.getLong(2))
+      .head().getLong(3)
+    assert(direct == r.getLong(3))
+  }
+
   test("negative samples exclude positives and are deterministic") {
     val d = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"))
       .toDF("event_id", "user_id", "event_type")

@@ -60,6 +60,36 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
   }
 
+  test("prefixSum equals the sequential running total and stays distributed") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", length($"text").cast("long").as("v"))
+    val out = Layout.prefixSum(docs.repartition(7), Seq("doc_id"), "v",
+        "run", numPartitions = 5)
+    assert(out.rdd.getNumPartitions == 5)
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val rows = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val expected = rows.map { case (id, v) => acc += v; (id, acc) }
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("shardPlan: shards are contiguous and within budget except single overlong docs") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val out = graft.operators.TextAnalysis.shardPlan(docs, budget = 500)
+      .orderBy("doc_id").collect()
+    // shard ids are non-decreasing in doc order and start at 0
+    val shards = out.map(_.getLong(3))
+    assert(shards.head == 0L)
+    assert(shards.sliding(2).forall(p => p(0) <= p(1)))
+    // every doc starts strictly inside its shard's budget window
+    out.foreach { r =>
+      val (tok, run, sh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(run - tok >= sh * 500 && run - tok < (sh + 1) * 500)
+    }
+  }
+
   test("range layout write yields files with disjoint key spans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout")
       .toString + "/events_z"
