@@ -239,6 +239,40 @@ class PlanSpec extends AnyFunSuite {
       s"substring dedup must never enumerate doc pairs:\n$plan")
   }
 
+  test("kNN label propagation: candidates keyed on the inverted list, no all-pairs") {
+    val plan = explainStr(ModelEval.knnLabel(t("embeddings"),
+      org.apache.spark.sql.functions.col("vec_id") % 20 === 0))
+    assert(!plan.contains("CartesianProduct"),
+      s"kNN degenerated to all-pairs:\n$plan")
+    // the only nested-loop allowed is the 1-row pivot-codebook ride-along
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 2, s"unexpected nested loops beyond the codebook row:\n$plan")
+  }
+
+  test("negative sampling: vocabulary broadcasts; anti-join stays keyed") {
+    val inter = t("orders").join(t("lineitem"),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"))
+    val plan = explainStr(FeatureEng.negativeSamples(
+      inter, "o_custkey", "l_suppkey"))
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate expansion must be a broadcast, not a cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab expansion should ride a broadcast:\n$plan")
+  }
+
+  test("zorder key + calibration stay per-row/partial-agg: no joins at all") {
+    val p1 = explainStr(Layout.eventZorder(t("events")))
+    // Par.fan's round-robin repartition is the only exchange allowed —
+    // the key itself must not induce a hash exchange or a join
+    assert(!p1.contains("Join") && !p1.contains("hashpartitioning"),
+      s"zorder key must be pure row-local column math:\n$p1")
+    val p2 = explainStr(ModelEval.calibrationBins(t("embeddings")))
+    assert(!p2.contains("Join"), s"calibration needs no join:\n$p2")
+    assert(p2.contains("partial"),
+      s"calibration should partial-aggregate map-side:\n$p2")
+  }
+
   test("Q9 profit star: every dimension side broadcasts") {
     val plan = explainStr(OlapQueries.productProfit(t("part"),
       t("supplier"), t("lineitem"), t("orders"), t("nation")))
