@@ -89,10 +89,16 @@ object Bench {
     // queries at 3 dp — guaranteed to fit the capture window; the
     // complete map lives in the file written above.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
+    def compactLine(n: Int): String = {
+      val slowest = results.sortBy(-_._2).take(n)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
+    }
+    // hard guarantee the line fits the driver's capture window even if
+    // query names grow: shrink the slowest-N list until it does
+    val compact = (20 to 0 by -5).map(compactLine).find(_.length <= 1800)
+      .getOrElse(compactLine(0))
     // last stdout line, bare (build.sbt sets run/outputStrategy :=
     // StdoutOutput so sbt does not prefix it with [info])
     println(compact)

@@ -90,6 +90,27 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder layout prunes at the scan: a key-range read touches a fraction of rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune")
+      .toString + "/events_z"
+    val keyed = Layout.eventZorder(graft.sources.Tables(spark, sf, "events"))
+    val total = keyed.count()
+    Layout.writeRangeLayout(keyed, "zkey", numFiles = 8, path = dir)
+    // a narrow zkey range = one clustered region; with the range
+    // layout its rows sit in few row groups, and the pushed zkey
+    // predicate prunes the rest INSIDE the parquet reader — the scan
+    // node itself must emit far fewer rows than the table holds
+    val read = spark.read.parquet(dir).filter(col("zkey") < 100)
+    // metrics must come from the SAME query execution that ran — count()
+    // would plan (and meter) a different physical tree
+    val n = read.collect().length.toLong
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < total / 2,
+      s"scan emitted $scanned of $total rows — row groups not pruned")
+    assert(scanned >= n)
+  }
+
   test("range layout write yields files with disjoint key spans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout")
       .toString + "/events_z"
