@@ -456,7 +456,8 @@ object SparkEntry {
         .join(t("lineitem"),
           org.apache.spark.sql.functions.col("o_orderkey") ===
             org.apache.spark.sql.functions.col("l_orderkey"))
-      FeatureEng.negativeSamples(interactions, "o_custkey", "l_suppkey")
+      FeatureEng.negativeSamples(interactions, "o_custkey", "l_suppkey",
+        pooled = true)
     }),
     // cross-split leakage audit over near-dup clusters
     "q_split_leakage" -> ((s, d) =>

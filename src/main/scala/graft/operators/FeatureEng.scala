@@ -185,15 +185,37 @@ object FeatureEng {
     * keyed window — no shuffle of the raw events beyond the distinct.
     */
   def negativeSamples(interactions: DataFrame, userCol: String,
-                      itemCol: String, k: Int = 2): DataFrame = {
+                      itemCol: String, k: Int = 2,
+                      pooled: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val users = interactions.select(userCol).distinct()
-    val vocab = interactions.select(itemCol).distinct()
-    val pos = interactions.select(userCol, itemCol).distinct()
+    // ONE distinct pass over the interactions feeds all three
+    // projections — without the cache, users/vocab/positives would
+    // each re-run the (possibly joined) upstream
+    val pos = OperatorCaches.track(
+      interactions.select(userCol, itemCol).distinct())
+    val users = pos.select(userCol).distinct()
+    val vocab = pos.select(itemCol).distinct()
+    val h = md5(concat(lit("neg:"), col(userCol).cast("string"),
+      lit(":"), col(itemCol).cast("string")))
+    // repartition BEFORE the broadcast expansion: AQE coalesces the
+    // tiny distinct-user frame to a couple of tasks, and the
+    // |users|×|vocab| fan-out then runs nearly serial (measured 74 s
+    // at sf0.1); hash-spreading users across the shuffle width first
+    // keeps the expansion and the window parallel (74 s → ~3 s)
+    val expanded = users.repartition(col(userCol))
+      .crossJoin(broadcast(vocab))
+    // pooled = the scale contract: a 100 TB pipeline never enumerates
+    // users × vocabulary — it samples. The deterministic 1/16 hash
+    // slice (first md5 hex digit = '0') is reproducible, mirrored
+    // exactly by the oracle, and bounds candidate volume at
+    // |users|·|vocab|/16; semantics become "UP TO k negatives" (a
+    // user whose whole slice is positive yields fewer).
+    val candidates =
+      if (pooled) expanded.filter(substring(h, 1, 1) === "0")
+      else expanded
     val rank = row_number().over(Window.partitionBy(col(userCol))
-      .orderBy(md5(concat(lit("neg:"), col(userCol).cast("string"),
-        lit(":"), col(itemCol).cast("string"))), col(itemCol)))
-    users.crossJoin(broadcast(vocab))
+      .orderBy(h, col(itemCol)))
+    candidates
       .join(pos, Seq(userCol, itemCol), "left_anti")
       .withColumn("rnk", rank)
       .filter(col("rnk") <= k)

@@ -472,7 +472,9 @@ object FraudOracles {
         |pos AS (SELECT DISTINCT o_custkey, l_suppkey FROM i),
         |cand AS (SELECT u.o_custkey, v.l_suppkey
         |         FROM u CROSS JOIN v
-        |         WHERE NOT EXISTS (SELECT 1 FROM pos
+        |         WHERE substr(md5('neg:' || CAST(u.o_custkey AS VARCHAR)
+        |             || ':' || CAST(v.l_suppkey AS VARCHAR)), 1, 1) = '0'
+        |           AND NOT EXISTS (SELECT 1 FROM pos
         |           WHERE pos.o_custkey = u.o_custkey
         |             AND pos.l_suppkey = v.l_suppkey)),
         |r AS (SELECT o_custkey, l_suppkey,

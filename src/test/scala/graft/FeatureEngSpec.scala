@@ -200,6 +200,27 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(run().toSeq == out.toSeq)
   }
 
+  test("pooled negative sampling is a hash-slice subset of the full draw") {
+    val d = (1L to 40L).flatMap(u => (1L to 10L)
+        .filter(i => (u + i) % 3 == 0).map(i => (u, i)))
+      .toDF("user_id", "item_id")
+    val full = graft.operators.FeatureEng
+      .negativeSamples(d, "user_id", "item_id", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pooled = graft.operators.FeatureEng
+      .negativeSamples(d, "user_id", "item_id", k = 100, pooled = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pooled.subsetOf(full))
+    assert(pooled.nonEmpty)
+    // every pooled candidate really is in the '0' hash slice
+    pooled.foreach { case (u, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"neg:$u:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(h.startsWith("0"), s"($u,$i) hash $h escaped the pool")
+    }
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)

@@ -186,4 +186,62 @@ class OperatorPropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("zorderKey round-trips: deinterleaving the key recovers (x, y)") {
+    // driver-side property over the whole 5-bit grid per trial is
+    // overkill — random points, full bit width
+    val genPoint = for {
+      x <- Gen.choose(0L, 255L)
+      y <- Gen.choose(0L, 255L)
+    } yield (x, y)
+    check(Prop.forAll(Gen.listOfN(24, genPoint)) { pts =>
+      val rows = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.operators.Layout.zorderKey(col("x"), col("y"), 8).as("z"))
+        .collect()
+      rows.forall { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val xb = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+        val yb = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+        xb == x && yb == y
+      }
+    })
+  }
+
+  test("prefixSum matches the sequential scan on random value sequences") {
+    val genVals = for {
+      n <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+    } yield vs
+    check(Prop.forAll(genVals) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = graft.operators.Layout
+        .prefixSum(df.repartition(5), Seq("id"), "v", "run")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expected = vs.zipWithIndex
+        .scanLeft(((-1L), 0L)) { case ((_, acc), (v, i)) => (i.toLong, acc + v) }
+        .drop(1).toMap
+      got == expected
+    })
+  }
+
+  test("negativeSamples never intersect observed positives on random graphs") {
+    val genInter = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        it <- Gen.choose(1L, 8L)
+      } yield (u, it))
+    } yield rows
+    check(Prop.forAll(genInter) { rows =>
+      val df = rows.toDF("u", "it")
+      val neg = graft.operators.FeatureEng
+        .negativeSamples(df, "u", "it", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pos = rows.toSet
+      neg.intersect(pos).isEmpty &&
+        neg.forall { case (_, it) => rows.exists(_._2 == it) }
+    })
+  }
 }

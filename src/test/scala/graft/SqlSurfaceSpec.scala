@@ -38,7 +38,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "q_cust_distribution", "q_returned_items", "q_volume_shipping",
         "q_market_share",
         // Q9/Q11/Q16 classic shapes
-        "q_product_profit", "q_important_parts", "q_part_supplier_counts")
+        "q_product_profit", "q_important_parts", "q_part_supplier_counts",
+        // round-4: global window rank (the oracle twin of the
+        // distributed two-phase spelling)
+        "q_global_index")
 
   test("ANSI oracle SQL runs on Spark SQL and matches the DataFrame API") {
     Tables.registerAll(spark, sf)
