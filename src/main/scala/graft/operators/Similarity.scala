@@ -25,19 +25,29 @@ object Similarity {
   /** Upcast array<float> → array<double> (exact). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-associated Σ a[i]·b[i] as a higher-order-function fold.
+  /** Left-associated Σ a[i]·b[i] — a NATIVE codegen loop
+    * ([[graft.plans.DotProduct]]).
     *
-    * An unrolled 64-term expression generates a ~40 KB Java method —
-    * past HotSpot's 8 KB JIT limit, so the pair kernel ran
-    * INTERPRETED (~88 µs/pair measured). The zip_with+aggregate form
-    * compiles to a tight loop (~6× faster end-to-end on the pair
-    * queries). Value parity with the oracle's explicit
-    * `a[1]*b[1] + … + a[64]*b[64]` chain holds bit-for-bit: the fold
-    * is the same left-association, and the 0.0 seed is exact
-    * (0.0 + x == x) except when every product is literally -0.0 —
-    * impossible for real embeddings.
+    * History of this kernel: an unrolled 64-term expression generates
+    * a ~40 KB Java method — past HotSpot's 8 KB JIT limit, so the
+    * pair kernel ran INTERPRETED (~88 µs/pair measured). The
+    * zip_with+aggregate fold fixed that (~6× faster end-to-end) but
+    * still allocates an intermediate 64-element array per pair and
+    * dispatches HOF lambdas. The native expression emits one fused
+    * JIT-compilable loop: no allocation, no dispatch. All three
+    * spellings are bit-identical to the oracle's explicit
+    * `a[1]*b[1] + … + a[64]*b[64]` chain: same left association, and
+    * the 0.0 seed is exact (0.0 + x == x) except when every product
+    * is literally -0.0 — impossible for real embeddings.
+    * [[dotFold]] keeps the HOF form as the parity baseline.
     */
   def dot(a: Column, b: Column, dim: Int = Dim): Column =
+    graft.plans.DotProduct(a, b)
+
+  /** The higher-order-function spelling of [[dot]], kept as the
+    * cross-checked baseline (CatalystSpec pins dot ≡ dotFold).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column, dim: Int = Dim): Column = sqrt(dot(a, a, dim))

@@ -33,7 +33,7 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extensions: `haversine_km` as a SQL-registered native
+/** Session extensions: `haversine_km` and `dot_d` as SQL-registered native
   * expression plus the approx-distinct rewrite. Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -50,6 +50,14 @@ object GraftExtensions {
         case Seq(a, b, c, d) => HaversineDistance(a, b, c, d)
         case _ => throw new IllegalArgumentException(
           s"haversine_km expects 4 arguments, got ${children.size}")
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_d",
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"dot_d expects 2 arguments, got ${children.size}")
       },
       "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
@@ -71,6 +79,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b, c, d) => HaversineDistance(a, b, c, d)
         case _ => throw new IllegalArgumentException(
           s"haversine_km expects 4 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_d"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "dot_d"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"dot_d expects 2 arguments, got ${children.size}")
       }))
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)

@@ -43,6 +43,40 @@ class CatalystSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("native DotProduct ≡ the HOF fold, on codegen AND interpreted paths") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+    def run(): Array[(Long, Double, Double)] = emb
+      .select(col("vec_id"),
+        graft.plans.DotProduct(col("v"), col("v")).as("native"),
+        graft.operators.Similarity.dotFold(col("v"), col("v")).as("fold"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val a = run()
+    assert(a.forall { case (_, n, f) => n == f },
+      "native dot diverged from the fold")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val b = run()
+      assert(a.map(x => x._1 -> x._2).toMap == b.map(x => x._1 -> x._2).toMap)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // null semantics match zip_with: length mismatch and null element
+    val odd = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0D, 2.0D), array(1.0D)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))
+        |AS t(a, b)""".stripMargin)
+    val outs = odd.select(graft.plans.DotProduct(col("a"), col("b")))
+      .collect().map(r => r.isNullAt(0))
+    assert(outs.forall(identity), "mismatch/null-element must yield null")
+    // SQL surface: dot_d registered by GraftExtensions
+    graft.plans.GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("haversine_km is SQL-callable and rewrite rule fires only when enabled") {
     val s2 = spark
     GraftExtensions.install(s2)
