@@ -272,6 +272,13 @@ object SparkEntry {
     // sum (the scale-safe twin of q_pack_sequences' global window)
     "q_shard_plan" -> ((s, d) =>
       TextAnalysis.shardPlan(T(s, d)("documents"))),
+    // curriculum ordering: easy-to-hard global rank by quality score
+    // through the distributed two-phase index
+    "q_curriculum" -> ((s, d) =>
+      Layout.globalIndex(
+        TextAnalysis.qualityScore(T(s, d)("documents"))
+          .select("doc_id", "quality"),
+        Seq("quality", "doc_id"), indexCol = "curriculum_rank")),
     // k-anonymity risk probe: quasi-identifier classes smaller than k
     "q_kanon_risk" -> ((s, d) =>
       Quality.kAnonymityRisk(T(s, d)("events"))),

@@ -265,15 +265,18 @@ object Dedup {
     * (explode without distinct).
     */
   def simhash(docs: DataFrame): DataFrame = {
+    // per-token 32-bit mask in ONE native pass over the digest
+    // (graft.plans.HexHighBits) — bit j is the high bit of hex digit
+    // j, i.e. digit >= '8'; previously 32 separate substring
+    // comparisons per token, each allocating a 1-char UTF8String
     val tok = graft.sources.Par.fan(docs).select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    // a hex digit's high bit is set iff it sorts >= '8' ('9' < 'a' and
-    // nothing in between occurs) — one string compare instead of an
-    // 8-way IN, ×32 bits ×every token
+      .withColumn("m",
+        graft.plans.HexHighBits(md5(col("tok")), SimhashBits))
+    // signed per-bit sums from the mask: ((m>>j)&1)*2-1 ∈ {-1, +1} —
+    // the identical classification, so signatures are unchanged
     val bitSums = (0 until SimhashBits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1) >= "8", 1)
-        .otherwise(-1)).as(s"s$j")
+      sum(shiftright(col("m"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
     }
     val sig = (0 until SimhashBits).map(j =>
       when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)

@@ -781,6 +781,11 @@ object DocOracles {
       """SELECT doc_id, n_chars,
         |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_idx
         |FROM documents""".stripMargin,
+    "q_curriculum" ->
+      s"""WITH q AS ($qualitySql)
+         |SELECT doc_id, quality,
+         |  ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS curriculum_rank
+         |FROM q""".stripMargin,
     "q_shard_plan" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

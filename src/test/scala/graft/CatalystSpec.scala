@@ -77,6 +77,24 @@ class CatalystSpec extends AnyFunSuite {
     assert(viaSql == 11.0)
   }
 
+  test("HexHighBits matches the substring spelling on both eval paths") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(md5(col("text")).as("h"))
+    val substrMask = (0 until 32).map(j =>
+      when(substring(col("h"), j + 1, 1) >= "8", 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    def run(): Array[(Long, Long)] = docs.select(
+        graft.plans.HexHighBits(col("h"), 32).as("native"),
+        substrMask.as("composed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = run()
+    assert(a.forall { case (n, c) => n == c })
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run().forall { case (n, c) => n == c })
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("haversine_km is SQL-callable and rewrite rule fires only when enabled") {
     val s2 = spark
     GraftExtensions.install(s2)
