@@ -279,6 +279,14 @@ object SparkEntry {
         TextAnalysis.qualityScore(T(s, d)("documents"))
           .select("doc_id", "quality"),
         Seq("quality", "doc_id"), indexCol = "curriculum_rank")),
+    // tokenize-to-ids: top-256 frequency vocabulary broadcast over a
+    // posexploded token stream, OOV -> 0
+    "q_tokenize_ids" -> ((s, d) =>
+      TextAnalysis.vocabEncode(T(s, d)("documents"))),
+    // dynamic-batching prep: power-of-two length buckets with batch
+    // counts (exact integer log2, never libm)
+    "q_length_buckets" -> ((s, d) =>
+      TextAnalysis.lengthBuckets(T(s, d)("documents"))),
     // k-anonymity risk probe: quasi-identifier classes smaller than k
     "q_kanon_risk" -> ((s, d) =>
       Quality.kAnonymityRisk(T(s, d)("events"))),

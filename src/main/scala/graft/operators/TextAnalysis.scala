@@ -357,6 +357,51 @@ object TextAnalysis {
         col("end_window") - col("start_window") + 1)
   }
 
+  /** VOCABULARY ENCODE — the tokenize-to-ids pass every training run
+    * ends with: build a frequency vocabulary (top `vocabSize` tokens,
+    * count desc / token asc — deterministic), broadcast it, and map
+    * each document's token stream to ids (OOV → 0). The corpus never
+    * shuffles: one explode for the vocab count (partial-agg'd), one
+    * posexplode + broadcast hash join for the encode. Output is long
+    * form (doc_id, pos, token_id) — scalar rows, resumable, and the
+    * shape a sequence-packing pass consumes.
+    */
+  def vocabEncode(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = fan(docs).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("tok"), col("token_id"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+  }
+
+  /** LENGTH-BUCKETED BATCHING PLAN — the dynamic-batching prep step:
+    * bucket documents by token-length power of two, and per bucket
+    * report the document count, token mass, and how many fixed-size
+    * batches the bucket fills. Buckets are exact integer log2 via
+    * bit length (never floor(log2) — libm), one groupBy, output
+    * bounded by the bucket count.
+    */
+  def lengthBuckets(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    // power-of-two bucket = biggest j ≤ 20 with 2^j <= n — an exact
+    // integer when-chain (never floor(log2): libm). Ascending fold so
+    // the OUTERMOST branch tests the largest power first.
+    val bucket = (0 to 20).foldLeft(lit(-1)) { (acc, j) =>
+      when(n >= lit(1L << j), lit(j)).otherwise(acc)
+    }
+    fan(docs).select(bucket.as("len_bucket"), n.as("n_tokens"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        ceil(count(lit(1)).cast("double") / batchSize).as("n_batches"))
+  }
+
   /** SHARD PACKING PLAN — assign documents, in deterministic doc_id
     * order, to fixed-token-budget output shards: shard_id = exclusive
     * running token total DIV budget. Semantically the shard half of

@@ -781,6 +781,34 @@ object DocOracles {
       """SELECT doc_id, n_chars,
         |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_idx
         |FROM documents""".stripMargin,
+    "q_tokenize_ids" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+        |        FROM (SELECT doc_id, ts,
+        |                UNNEST(generate_series(1, len(ts))) AS i
+        |              FROM s)),
+        |v AS (SELECT tok,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+        |          AS INTEGER) AS token_id
+        |      FROM tok GROUP BY tok
+        |      QUALIFY token_id <= 256)
+        |SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS token_id
+        |FROM tok t LEFT JOIN v ON t.tok = v.tok""".stripMargin,
+    "q_length_buckets" -> {
+      val cases = (20 to 0 by -1).map(j =>
+        s"WHEN ntok >= ${1L << j} THEN $j").mkString("\n        |    ")
+      s"""WITH b AS (SELECT
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents)
+         |SELECT CASE
+         |    $cases
+         |    ELSE -1 END AS len_bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |  CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 32) AS BIGINT) AS n_batches
+         |FROM b GROUP BY 1""".stripMargin
+    },
     "q_curriculum" ->
       s"""WITH q AS ($qualitySql)
          |SELECT doc_id, quality,

@@ -330,4 +330,26 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))       // identical text, identical weight
     assert(out(1L) > out(3L))        // en bag scores above de bag
   }
+
+  test("vocabEncode: frequent tokens get small ids, OOV gets 0, positions hold") {
+    val d = Seq((1L, "aa bb aa cc"), (2L, "aa bb zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabEncode(d, vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // counts: aa=3, bb=2, cc=1, zz=1 → vocab {aa→1, bb→2}; cc/zz OOV
+    assert(out((1L, 0)) == 1 && out((1L, 1)) == 2 && out((1L, 2)) == 1)
+    assert(out((1L, 3)) == 0) // cc out of vocab
+    assert(out((2L, 2)) == 0) // zz out of vocab
+  }
+
+  test("lengthBuckets: exact power-of-two bucketing and batch ceil") {
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBuckets(d, batchSize = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(0) == (1L, 1L, 1L))   // 1 token
+    assert(out(1) == (2L, 5L, 1L))   // 2,3 tokens
+    assert(out(2) == (1L, 4L, 1L))   // 4 tokens
+    assert(out(3) == (1L, 8L, 1L))   // 8 tokens
+  }
 }
