@@ -370,10 +370,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = fan(docs).select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
-      .withColumn("token_id", row_number().over(
+    // orderBy+limit BEFORE ranking: Spark plans it as
+    // TakeOrderedAndProject — every partition keeps its local
+    // top-vocabSize and only those merge — where a bare
+    // row_number window would shuffle EVERY distinct token of a
+    // 100 TB corpus into one partition just to discard all but
+    // `vocabSize`. The window then ranks only the kept rows.
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+    val vocab = top.withColumn("token_id", row_number().over(
         Window.orderBy(col("n").desc, col("tok"))))
-      .filter(col("token_id") <= vocabSize)
       .select(col("tok"), col("token_id"))
     tok.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("doc_id"), col("pos"),

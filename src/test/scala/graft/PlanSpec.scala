@@ -276,6 +276,12 @@ class PlanSpec extends AnyFunSuite {
       s"calibration should partial-aggregate map-side:\n$p2")
   }
 
+  test("vocab build is TakeOrderedAndProject — the full vocabulary never funnels to one task") {
+    val plan = explainStr(TextAnalysis.vocabEncode(t("documents")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-vocab selection must be a distributed take-ordered:\n$plan")
+  }
+
   test("runtime bloom filter injects a might_contain prune on the fact side") {
     // the runtime-filter lever that matters at 100 TB: a selective
     // dimension filter becomes a bloom filter applied at the fact scan,
