@@ -221,6 +221,10 @@ object SparkEntry {
     // counted only on MinHash-LSH candidates
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsBanded(T(s, d)("documents"), threshold = 0.5)),
+    // asymmetric containment near-dup (sub-document inclusion):
+    // |A∩B|/|A| or /|B| over the same banded candidates
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(T(s, d)("documents"), threshold = 0.8)),
     // MinHash + LSH banding candidates
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(T(s, d)("documents"))),

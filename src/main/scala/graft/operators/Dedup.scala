@@ -143,6 +143,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric near-dup detector:
+    * containment(A→B) = |A∩B| / |A| is ≈1 when A is embedded inside a
+    * larger B even though their Jaccard is low (the quote/boilerplate/
+    * sub-document case Broder's resemblance-vs-containment distinction
+    * exists for).
+    *
+    * Candidates come from the DIRECT shingle equi-join, NOT the
+    * MinHash bands: resemblance-LSH candidate probability scales with
+    * Jaccard, and a small document inside a large one has Jaccard ≈
+    * |A|/|B| → the very pairs this operator exists for would be the
+    * ones the bands miss (DocOpsSpec pins a concrete case). The
+    * published containment trade-off applies instead: the
+    * doc-frequency cap drops boilerplate shingles, bounding candidate
+    * volume at Σ_shingle df² over the surviving (rare) shingles — the
+    * prefix-filtering cost model. Pair kept when EITHER direction
+    * clears the threshold; integer-ratio divisions, engine-identical.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       maxDocFreq: Long = 1000): DataFrame = {
+    val sh = OperatorCaches.track(shingles(docs, n, maxDocFreq))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("cont_ab", col("inter").cast(DoubleType) / col("na"))
+      .withColumn("cont_ba", col("inter").cast(DoubleType) / col("nb"))
+      .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+      .select("doc_a", "doc_b", "cont_ab", "cont_ba")
+  }
+
   /** MinHash signatures: h_j(doc) = min over shingles of md5("j:"+sh).
     * One aggregation pass computes all hashes (no per-hash shuffle).
     */

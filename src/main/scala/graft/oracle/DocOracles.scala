@@ -48,7 +48,12 @@ object DocOracles {
     * candidate set — and therefore the verified output — is identical
     * across engines by construction.
     */
-  private def jaccardBandedSql: String = {
+  /** Shared banded-candidate CTE chain (shingles → minhash bands →
+    * candidate pairs → exact intersection counts + set sizes) — the
+    * common prefix of the Jaccard and containment oracles, kept single
+    * so the two can never drift from Dedup's band machinery.
+    */
+  private def bandedIntersectionsCte: String = {
     val hashes = (0 until 8).map(j =>
       s"MIN(md5('$j:' || sh)) AS h$j").mkString(", ")
     def band(b: Int) = {
@@ -66,14 +71,38 @@ object DocOracles {
        |p AS (SELECT doc_a, doc_b, COUNT(*) AS inter
        |      FROM cand JOIN e a ON doc_a = a.doc_id
        |                JOIN e b ON doc_b = b.doc_id AND a.sh = b.sh
-       |      GROUP BY 1, 2)
+       |      GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def jaccardBandedSql: String =
+    s"""$bandedIntersectionsCte
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
        |    CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
        |  FROM p JOIN n na ON doc_a = na.doc_id
        |         JOIN n nb ON doc_b = nb.doc_id)
        |WHERE jaccard >= 0.5""".stripMargin
-  }
+
+  /** Mirror of Dedup.containmentPairs: DIRECT shingle-join candidates
+    * (resemblance bands would miss exactly the low-Jaccard contained
+    * pairs), asymmetric |A∩B|/|A| and |A∩B|/|B| ratios,
+    * either-direction threshold.
+    */
+  private def containmentSql: String =
+    s"""$shinglesCte,
+       |n AS (SELECT doc_id, COUNT(*) AS nsh FROM e GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        COUNT(*) AS inter
+       |      FROM e a JOIN e b
+       |        ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, cont_ab, cont_ba FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / na.nsh AS cont_ab,
+       |    CAST(inter AS DOUBLE) / nb.nsh AS cont_ba
+       |  FROM p JOIN n na ON doc_a = na.doc_id
+       |         JOIN n nb ON doc_b = nb.doc_id)
+       |WHERE cont_ab >= 0.8 OR cont_ba >= 0.8""".stripMargin
 
   /** Mirror of Dedup.minhashCandidatesOph: one md5 per shingle,
     * first-nibble bucketing, per-bucket minima, same 2-band join.
@@ -762,6 +791,7 @@ object DocOracles {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardBandedSql,
+    "q_dedup_containment" -> containmentSql,
 
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_oph" -> minhashOphSql,

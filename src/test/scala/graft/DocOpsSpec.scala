@@ -331,6 +331,22 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(1L) > out(3L))        // en bag scores above de bag
   }
 
+  test("containment flags a sub-document the symmetric Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 30).map(i => s"w$i x$i y$i").mkString(" ")
+    val d = Seq((1L, small), (2L, big), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, threshold = 0.8, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of doc 1 appears in doc 2 → containment(1→2) = 1
+    assert(cont.exists { case (a, b, cab) => a == 1L && b == 2L && cab == 1.0 },
+      s"sub-document not flagged: ${cont.mkString(",")}")
+    // but the symmetric Jaccard of the same pair is far below 0.5
+    val jac = Dedup.jaccardPairsBanded(d, threshold = 0.5, maxDocFreq = 10)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("vocabEncode: frequent tokens get small ids, OOV gets 0, positions hold") {
     val d = Seq((1L, "aa bb aa cc"), (2L, "aa bb zz")).toDF("doc_id", "text")
     val out = TextAnalysis.vocabEncode(d, vocabSize = 2)
