@@ -246,11 +246,15 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
-    // embedding-cosine near-dup pairs (sign-band LSH candidates +
-    // exact-cosine verify; oracle mirrors the banding)
+    // embedding-cosine near-dup pairs at the selective AND
+    // high-recall regime: corpus ∪ deterministic perturbed copies
+    // (raw corpus has no pair above cos 0.7), 8-bit × 8-band sign-LSH
+    // candidates (~3% of pairs), exact-cosine verify at t=0.9 where
+    // banding recall is ≥99% (SimilaritySpec asserts it measured)
     "q_emb_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(T(s, d)("embeddings"), threshold = 0.4,
-        bitsPerBand = 8, bands = 8)),
+      Similarity.nearDupPairs(
+        Similarity.perturbedCopies(T(s, d)("embeddings")),
+        threshold = 0.9, bitsPerBand = 8, bands = 8)),
     // kNN label propagation (weak supervision): majority label of the
     // 5 IVF-ANN nearest neighbors per query vector
     "q_knn_label" -> ((s, d) =>
@@ -467,16 +471,16 @@ object SparkEntry {
     // winsorization: per-key exact-percentile clamp, broadcast bounds
     "q_winsorize" -> ((s, d) =>
       FeatureEng.winsorize(T(s, d)("events"))),
-    // deterministic negative sampling: anti-join + salted-hash rank
-    // over the customer-supplier interaction graph
+    // deterministic negative sampling: per-user direct hash draw into
+    // the supplier catalog (O(users·draws) generated rows — never a
+    // users × vocabulary enumeration), anti-join positives, rank
     "q_negative_samples" -> ((s, d) => {
       val t = T(s, d) _
       val interactions = t("orders")
         .join(t("lineitem"),
           org.apache.spark.sql.functions.col("o_orderkey") ===
             org.apache.spark.sql.functions.col("l_orderkey"))
-      FeatureEng.negativeSamples(interactions, "o_custkey", "l_suppkey",
-        pooled = true)
+      FeatureEng.negativeSamples(interactions, "o_custkey", "l_suppkey")
     }),
     // cross-split leakage audit over near-dup clusters
     "q_split_leakage" -> ((s, d) =>

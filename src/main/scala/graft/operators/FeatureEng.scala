@@ -175,46 +175,75 @@ object FeatureEng {
   }
 
   /** Deterministic NEGATIVE SAMPLING — the contrastive-training prep
-    * step: for every user, draw `k` items (event types) the user has
-    * never interacted with, ranked by a salted hash so the draw is
-    * reproducible (no RNG) and uniform-ish per user. The candidate
-    * space is users × vocabulary with the positives anti-joined out;
-    * the vocabulary side is small by definition (it's an item/type
-    * catalog) and broadcasts, so the plan is one distinct pass over
-    * the interactions, one broadcast expansion, one anti join, one
-    * keyed window — no shuffle of the raw events beyond the distinct.
+    * step: for every user, draw up to `k` items (event types) the user
+    * has never interacted with, reproducibly (no RNG — every draw is
+    * md5-derived, so the oracle mirrors it exactly).
+    *
+    * == Scale shape ==
+    * Generation is a PER-USER DIRECT DRAW, never an enumeration of
+    * users × vocabulary: each user explodes into exactly `draws`
+    * candidate rows (`sequence(1, draws)`), and each draw maps to a
+    * catalog item by hash — `md5(user, i)`'s first four nibbles form a
+    * 16-bit integer taken mod |vocab| and joined to the item catalog
+    * on its dense index. End-to-end volume is O(|users|·draws)
+    * regardless of catalog size: with a 10⁶-item catalog and 10⁸
+    * users this generates 10⁹·draws rows, not the 10¹⁴ of the
+    * cross-join spelling (the round-4 form generated users × vocab
+    * and filtered AFTER — bounded output, unbounded generation).
+    *
+    * The catalog index comes from [[Layout.globalIndex]] (two-phase
+    * distributed rank — no single-partition window even for a huge
+    * catalog), and |vocab| enters the modulus as a broadcast 1-row
+    * frame so the whole plan stays lazy. Duplicate draws of the same
+    * item collapse to their first draw position (groupBy min), then
+    * positives are anti-joined out and the first `k` survivors by
+    * draw order win. Semantics are "UP TO k": a user whose draws all
+    * collide with positives yields fewer — the price of never
+    * materializing the complement set, and the standard contract for
+    * sampled negatives.
+    *
+    * The 16-bit index has a uniform-ish modulo bias (≤ 1 part in
+    * 2¹⁶/|vocab|), irrelevant for sampling and identical in the
+    * oracle's arithmetic.
     */
   def negativeSamples(interactions: DataFrame, userCol: String,
                       itemCol: String, k: Int = 2,
-                      pooled: Boolean = false): DataFrame = {
+                      draws: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE distinct pass over the interactions feeds all three
-    // projections — without the cache, users/vocab/positives would
-    // each re-run the (possibly joined) upstream
+    // ONE distinct pass over the interactions feeds both projections —
+    // without the cache, users/vocab/positives would each re-run the
+    // (possibly joined) upstream
     val pos = OperatorCaches.track(
       interactions.select(userCol, itemCol).distinct())
     val users = pos.select(userCol).distinct()
-    val vocab = pos.select(itemCol).distinct()
-    val h = md5(concat(lit("neg:"), col(userCol).cast("string"),
-      lit(":"), col(itemCol).cast("string")))
-    // repartition BEFORE the broadcast expansion: AQE coalesces the
-    // tiny distinct-user frame to a couple of tasks, and the
-    // |users|×|vocab| fan-out then runs nearly serial (measured 74 s
-    // at sf0.1); hash-spreading users across the shuffle width first
-    // keeps the expansion and the window parallel (74 s → ~3 s)
-    val expanded = users.repartition(col(userCol))
-      .crossJoin(broadcast(vocab))
-    // pooled = the scale contract: a 100 TB pipeline never enumerates
-    // users × vocabulary — it samples. The deterministic 1/16 hash
-    // slice (first md5 hex digit = '0') is reproducible, mirrored
-    // exactly by the oracle, and bounds candidate volume at
-    // |users|·|vocab|/16; semantics become "UP TO k negatives" (a
-    // user whose whole slice is positive yields fewer).
-    val candidates =
-      if (pooled) expanded.filter(substring(h, 1, 1) === "0")
-      else expanded
+    // dense 1-based catalog index, distributed two-phase rank
+    val vocab = Layout.globalIndex(
+      pos.select(itemCol).distinct(), Seq(itemCol), "vi")
+    val vocabSize = vocab.agg(count(lit(1)).as("vsz"))
+    val h = md5(concat(lit("negd:"), col(userCol).cast("string"),
+      lit(":"), col("i").cast("string")))
+    // 16-bit draw value from the digest's first four nibbles; mod
+    // |vocab| (+1) lands on the dense catalog index. conv() parses
+    // the four hex chars in ONE expression — the per-nibble
+    // when-chain spelling inlines the md5 into every branch (no CSE
+    // across conditional branches), measured ~20 µs/row vs ~nothing
+    val draw16 = conv(substring(h, 1, 4), 16, 10).cast("long")
+    // repartition BEFORE the explode: AQE coalesces the tiny
+    // distinct-user frame to a couple of tasks and the fan-out then
+    // runs nearly serial (measured in round 4 on the cross-join
+    // form); hash-spreading users first keeps every stage parallel
+    val candidates = users.repartition(col(userCol))
+      .select(col(userCol),
+        explode(sequence(lit(1), lit(draws))).as("i"))
+      .crossJoin(broadcast(vocabSize)) // 1-row frame: |vocab| scalar
+      .select(col(userCol), col("i"),
+        (pmod(draw16, col("vsz")) + 1).as("vi"))
+      // duplicate draws of one item keep their first draw position
+      .groupBy(col(userCol), col("vi"))
+      .agg(min(col("i")).as("draw_i"))
+      .join(broadcast(vocab), "vi")
     val rank = row_number().over(Window.partitionBy(col(userCol))
-      .orderBy(h, col(itemCol)))
+      .orderBy(col("draw_i"), col(itemCol)))
     candidates
       .join(pos, Seq(userCol, itemCol), "left_anti")
       .withColumn("rnk", rank)

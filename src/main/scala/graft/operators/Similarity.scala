@@ -207,22 +207,24 @@ object Similarity {
     * corpus; the crossJoin form lives on only as [[nearDupPairsExact]],
     * the small-data oracle baseline.
     *
-    * The DEFAULT banding (8-bit × 8 bands) is the scale-selective
-    * regime: background (cos≈0) pairs match a band with probability
-    * 2^-8, so candidates ≈ bands/2^bits ≈ 3.1% of all pairs —
-    * measured exactly 3.109% at sf0.01 and 3.084% at sf0.1. That is
-    * the 100 TB shape: candidate volume grows ~0.03·N², not N².
-    * Recall at the benchmarked t=0.4 is partial by design (27%
-    * measured — t=0.4 sits below the LSH-selective threshold for any
-    * banding; the corpus's cosine tail is continuous with NO pair
-    * above 0.7, measured at sf0.01 and sf0.1, so a higher-threshold
-    * benchmark would return the empty set). At a production near-dup
-    * threshold (t ≥ 0.9, sign-flip probability acos(t)/π ≈
-    * 0.10/coordinate) the same 8-bit bands retain ≥ 1-(1-0.43)^8 ≈
-    * 99% recall. The wide-recall alternative (4-bit × 16 bands: 96.6%
-    * recall at t=0.4 but 64.6% of pairs as candidates — Θ(N²), NOT
-    * scale-safe) survives only as the explicitly-parameterized recall
-    * stress test in SimilaritySpec/DocOpsSpec.
+    * The 8-bit × 8-band banding is the scale-selective regime:
+    * background (cos≈0) pairs match a band with probability 2^-8, so
+    * candidates ≈ bands/2^bits ≈ 3.1% of all pairs — measured exactly
+    * 3.109% at sf0.01 and 3.084% at sf0.1. That is the 100 TB shape:
+    * candidate volume grows ~0.03·N², not N². Selectivity and recall
+    * only coexist at a genuinely high threshold: at t = 0.9
+    * (sign-flip probability acos(t)/π ≈ 0.10/coordinate) the same
+    * bands retain ≥ 99% recall, and the benchmarked q_emb_neardup
+    * runs there over [[perturbedCopies]] (the raw corpus has no pair
+    * above cos 0.7, so the benchmark substrate plants one
+    * deterministic near-dup per vector; SimilaritySpec asserts the
+    * measured recall ≥ 95% against the exact-crossJoin baseline).
+    * Low thresholds are NOT LSH-selective territory for any banding —
+    * recall at t=0.4 is ~27% with this scheme, and the wide-recall
+    * alternative (4-bit × 16 bands: 96.6% recall at t=0.4 but 64.6%
+    * of pairs as candidates — Θ(N²), NOT scale-safe) survives only as
+    * the explicitly-parameterized recall stress test in
+    * SimilaritySpec/DocOpsSpec.
     *
     * `bitsPerBand`/`bands` have NO defaults on purpose: the banding
     * regime decides the recall-vs-candidate-volume trade (8×8 =
@@ -230,6 +232,42 @@ object Similarity {
     * and that choice is semantic — callers must pick it consciously
     * at the query site rather than inherit a hidden default.
     */
+  /** Corpus ∪ deterministically perturbed copy of every vector — the
+    * near-dup benchmark substrate. The driver's synthetic embeddings
+    * are unit-norm with a continuous cosine tail and NO pair above
+    * 0.7 (measured at sf0.01 and sf0.1), so a high-threshold near-dup
+    * query over the raw corpus is vacuously empty; this derivation
+    * plants one known near-duplicate per vector, entirely from the
+    * given inputs and mirrored bit-exactly by the oracle.
+    *
+    * Copy i of vector v adds per-coordinate noise
+    * `eps_j = (nibble(md5("pert:" + vec_id + ":" + j)) − 7.5) / 128`
+    * (exact arithmetic: the subtraction is exact on small integers and
+    * /128 is a power of two, so the only rounding is the final add —
+    * identical in both engines). With unit-norm 64-dim vectors
+    * (coordinate std ≈ 1/8) this yields pair cosine ≈ 0.96 and a
+    * per-coordinate sign-flip probability ≈ 5%, so the selective
+    * 8-bit × 8-band LSH retains ≥ 99.9% recall at threshold 0.9 —
+    * the regime where selectivity (≈3% of pairs as candidates) and
+    * recall finally coexist; SimilaritySpec asserts the measured
+    * recall against the exact-crossJoin baseline.
+    */
+  def perturbedCopies(embeddings: DataFrame, idOffset: Long = 1000000L,
+                      dim: Int = Dim): DataFrame = {
+    val orig = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("embedding"))
+    def eps(j: Int): Column =
+      (graft.operators.Dedup.hexNibble(substring(
+        md5(concat(lit("pert:"), col("vec_id").cast("string"),
+          lit(s":$j"))), 1, 1)).cast("double") - lit(7.5)) / lit(128.0)
+    val perturbed = embeddings.select(
+      (col("vec_id") + lit(idOffset)).as("vec_id"),
+      array((1 to dim).map(j =>
+        element_at(col("embedding"), j).cast("double") + eps(j)): _*)
+        .as("embedding"))
+    orig.unionByName(perturbed)
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
                    bitsPerBand: Int, bands: Int,
                    dim: Int = Dim): DataFrame = {

@@ -298,22 +298,43 @@ object DocOracles {
        |    GREATEST(CAST(SUM(actual) AS BIGINT), 1) AS recall
        |FROM p GROUP BY 1""".stripMargin
 
-  /** Mirror of Similarity.nearDupPairs (8-bit × 8 sign-bit bands +
-    * exact-cosine verify — the scale-selective regime, ~3.1% of pairs
-    * as candidates). The band keys are pure sign tests on the
-    * double-cast coordinates, so the candidate SET — and therefore the
-    * verified output — is identical across engines.
+  /** Mirror of Similarity.nearDupPairs over
+    * Similarity.perturbedCopies (8-bit × 8 sign-bit bands +
+    * exact-cosine verify at t=0.9 — the regime where the selective
+    * banding, ~3.1% of pairs as candidates, is simultaneously
+    * ≥99%-recall). The corpus is the raw embeddings plus one
+    * deterministically perturbed copy each: coordinate j gains
+    * (nibble(md5('pert:'||vec_id||':'||j)) − 7.5) / 128 — exact until
+    * the single final add, identically rounded in both engines. The
+    * band keys are pure sign tests on the double coordinates, so the
+    * candidate SET — and therefore the verified output — is identical
+    * across engines.
     */
   private def embNearDupSql: String = {
     val bits = 8
     val bands = 8
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    // single-line terms: a line break inside `||` would be mangled by
+    // the enclosing stripMargin (it strips up to the first `|`)
+    val pertTerms = (1 to 64).map { j =>
+      s"v[$j] + ((CASE substr(md5('pert:' || CAST(vid AS VARCHAR) || " +
+        s"':$j'), 1, 1) $nibble END) - 7.5) / 128.0"
+    }.mkString(",\n  ")
     val bandSel = (0 until bands).map { b =>
       val key = (0 until bits).map(r =>
         s"CASE WHEN v[${b * bits + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
         .mkString(" + ")
       s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM d"
     }.mkString("\n  UNION ALL\n  ")
-    s"""$embCte,
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pert AS (SELECT vid + 1000000 AS vec_id, [
+       |  $pertTerms] AS v
+       |  FROM (SELECT vec_id AS vid, v FROM base)),
+       |d AS (SELECT vec_id, v FROM base
+       |      UNION ALL SELECT vec_id, v FROM pert),
        |bd AS (
        |  $bandSel),
        |cand AS (
@@ -324,7 +345,7 @@ object DocOracles {
        |  SELECT vec_a, vec_b, ${cos("da.v", "db.v")} AS cos
        |  FROM cand JOIN d da ON vec_a = da.vec_id
        |            JOIN d db ON vec_b = db.vec_id)
-       |WHERE cos > 0.4""".stripMargin
+       |WHERE cos > 0.9""".stripMargin
   }
 
   /** Mirror of Similarity.quantizeInt8: per-index error terms with the

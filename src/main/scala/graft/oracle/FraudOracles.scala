@@ -438,6 +438,51 @@ object FraudOracles {
        |FROM g""".stripMargin
   }
 
+  /** Mirror of FeatureEng.negativeSamples' per-user direct draw: 16
+    * draws per user, each mapped to the dense supplier-catalog index
+    * by the first four md5 nibbles mod |vocab|; duplicate draws keep
+    * their first position, positives anti-join out, first k=2
+    * survivors by draw order win. The catalog index here is
+    * ROW_NUMBER() OVER (ORDER BY item) — value-identical to
+    * Layout.globalIndex's two-phase rank on distinct items.
+    */
+  private def negativeSamplesSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    def nib(pos: Int) = s"(CASE substr(h, $pos, 1) $nibble END)"
+    s"""WITH i AS (SELECT o_custkey, l_suppkey FROM orders
+       |           JOIN lineitem ON o_orderkey = l_orderkey),
+       |u AS (SELECT DISTINCT o_custkey FROM i),
+       |pos AS (SELECT DISTINCT o_custkey, l_suppkey FROM i),
+       |v AS (SELECT l_suppkey,
+       |        ROW_NUMBER() OVER (ORDER BY l_suppkey) AS vi
+       |      FROM (SELECT DISTINCT l_suppkey FROM i)),
+       |vc AS (SELECT COUNT(*) AS vsz FROM v),
+       |dh AS (SELECT o_custkey, dr.i,
+       |         md5('negd:' || CAST(o_custkey AS VARCHAR)
+       |           || ':' || CAST(dr.i AS VARCHAR)) AS h
+       |       FROM u CROSS JOIN
+       |         (SELECT UNNEST(generate_series(1, 16)) AS i) dr),
+       |di AS (SELECT o_custkey, i,
+       |         ((${nib(1)} * 4096 + ${nib(2)} * 256
+       |           + ${nib(3)} * 16 + ${nib(4)}) % vsz) + 1 AS vi
+       |       FROM dh CROSS JOIN vc),
+       |cand AS (SELECT d.o_custkey, v.l_suppkey, MIN(d.i) AS draw_i
+       |         FROM (SELECT o_custkey, i, vi FROM di) d
+       |         JOIN v ON d.vi = v.vi
+       |         GROUP BY 1, 2),
+       |neg AS (SELECT o_custkey, l_suppkey, draw_i FROM cand c
+       |        WHERE NOT EXISTS (SELECT 1 FROM pos
+       |          WHERE pos.o_custkey = c.o_custkey
+       |            AND pos.l_suppkey = c.l_suppkey)),
+       |r AS (SELECT o_custkey, l_suppkey,
+       |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |          ORDER BY draw_i, l_suppkey) AS rnk
+       |      FROM neg)
+       |SELECT o_custkey, l_suppkey AS neg_item, CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= 2""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_model_score" -> modelScoreSql,
 
@@ -464,26 +509,7 @@ object FraudOracles {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
-    "q_negative_samples" ->
-      """WITH i AS (SELECT o_custkey, l_suppkey FROM orders
-        |           JOIN lineitem ON o_orderkey = l_orderkey),
-        |u AS (SELECT DISTINCT o_custkey FROM i),
-        |v AS (SELECT DISTINCT l_suppkey FROM i),
-        |pos AS (SELECT DISTINCT o_custkey, l_suppkey FROM i),
-        |cand AS (SELECT u.o_custkey, v.l_suppkey
-        |         FROM u CROSS JOIN v
-        |         WHERE substr(md5('neg:' || CAST(u.o_custkey AS VARCHAR)
-        |             || ':' || CAST(v.l_suppkey AS VARCHAR)), 1, 1) = '0'
-        |           AND NOT EXISTS (SELECT 1 FROM pos
-        |           WHERE pos.o_custkey = u.o_custkey
-        |             AND pos.l_suppkey = v.l_suppkey)),
-        |r AS (SELECT o_custkey, l_suppkey,
-        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |          ORDER BY md5('neg:' || CAST(o_custkey AS VARCHAR)
-        |            || ':' || CAST(l_suppkey AS VARCHAR)), l_suppkey) AS rnk
-        |      FROM cand)
-        |SELECT o_custkey, l_suppkey AS neg_item, CAST(rnk AS INTEGER) AS rnk
-        |FROM r WHERE rnk <= 2""".stripMargin,
+    "q_negative_samples" -> negativeSamplesSql,
     "q_kanon_risk" ->
       """SELECT event_type,
         |  CAST(FLOOR((hour(ts) * 60 + minute(ts)) / 6) AS BIGINT)

@@ -98,6 +98,35 @@ class DocOpsSpec extends AnyFunSuite {
       bitsPerBand = 8, bands = 8).count() > 0)
   }
 
+  test("benchmarked near-dup regime (8x8, t=0.9, perturbed corpus) " +
+       "is selective AND >=95%-recall") {
+    // the q_emb_neardup configuration: corpus ∪ deterministic
+    // perturbed copies, selective 8-bit × 8-band LSH, threshold 0.9 —
+    // the regime where selectivity (~3% of pairs as candidates) and
+    // recall coexist, unlike t=0.4 (recall ~27% with this banding,
+    // pinned by the stress test above)
+    val emb = Similarity.perturbedCopies(
+      graft.sources.Tables(spark, sf, "embeddings"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairsExact(emb, 0.9))
+    val banded = pairs(Similarity.nearDupPairs(emb, 0.9,
+      bitsPerBand = 8, bands = 8))
+    assert(exact.size >= 400,
+      s"perturbed corpus should plant ~500 true pairs, got ${exact.size}")
+    assert(banded.subsetOf(exact), "banded emitted a below-threshold pair")
+    // measured 496/496 at sf0.001 (sign-flip prob ≈5%/coord → band
+    // survives with p≈0.68 → ≥1-of-8 bands ≈ 99.99%)
+    assert(banded.size >= math.ceil(0.95 * exact.size).toInt,
+      s"recall ${banded.size}/${exact.size}")
+    val n = emb.count()
+    val cand = Similarity.nearDupPairs(emb, threshold = -1.0,
+      bitsPerBand = 8, bands = 8).count()
+    assert(cand <= (0.06 * (n * (n - 1) / 2)).toLong,
+      s"candidate ratio ${cand.toDouble / (n * (n - 1) / 2)}")
+  }
+
   test("connected components label transitive chains with the min id") {
     // chain 1-5, 5-9 plus clique {2,7}; singleton 3 keeps itself
     val pairs = Seq((1L, 5L), (5L, 9L), (2L, 7L)).toDF("doc_a", "doc_b")

@@ -200,25 +200,31 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(run().toSeq == out.toSeq)
   }
 
-  test("pooled negative sampling is a hash-slice subset of the full draw") {
+  test("negative sampling is a bounded per-user draw mirroring the " +
+       "hash arithmetic") {
+    // the scale contract: candidate GENERATION is O(users·draws) —
+    // each user yields at most `draws` candidates no matter how large
+    // the catalog, and every candidate reproduces the reference md5
+    // arithmetic (first four nibbles of md5("negd:user:i") mod |vocab|
+    // into the dense sorted catalog index)
     val d = (1L to 40L).flatMap(u => (1L to 10L)
         .filter(i => (u + i) % 3 == 0).map(i => (u, i)))
       .toDF("user_id", "item_id")
-    val full = graft.operators.FeatureEng
+    val out = graft.operators.FeatureEng
       .negativeSamples(d, "user_id", "item_id", k = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pooled = graft.operators.FeatureEng
-      .negativeSamples(d, "user_id", "item_id", k = 100, pooled = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pooled.subsetOf(full))
-    assert(pooled.nonEmpty)
-    // every pooled candidate really is in the '0' hash slice
-    pooled.foreach { case (u, i) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"neg:$u:$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      assert(h.startsWith("0"), s"($u,$i) hash $h escaped the pool")
-    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vocab = (1L to 10L).toVector // dense sorted catalog: vi = item
+    val expected = (1L to 40L).flatMap { u =>
+      val pos = (1L to 10L).filter(i => (u + i) % 3 == 0).toSet
+      (1 to 16).map { i =>
+        val draw16 = Integer.parseInt(md5hex(s"negd:$u:$i").take(4), 16)
+        vocab(draw16 % vocab.size)
+      }.distinct.filterNot(pos).map(it => (u, it))
+    }.toSet
+    assert(out == expected)
+    out.groupBy(_._1).values.foreach(xs => assert(xs.size <= 16))
   }
 
   test("correlation: perfect positive linear feature pair gives r = 1") {

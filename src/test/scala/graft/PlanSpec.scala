@@ -126,12 +126,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup is band-keyed, never a cross product") {
+    // the benchmarked configuration: perturbed corpus, t=0.9, 8x8
     val plan = explainStr(
-      Similarity.nearDupPairs(t("embeddings"), threshold = 0.4,
+      Similarity.nearDupPairs(
+        Similarity.perturbedCopies(t("embeddings")), threshold = 0.9,
         bitsPerBand = 8, bands = 8))
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"),
       s"near-dup degenerated to all-pairs:\n$plan")
+  }
+
+  test("negative sampling plan never enumerates users x vocabulary") {
+    // generation is users·draws via explode(sequence); the only
+    // nested-loop join allowed is the broadcast of the 1-row
+    // |vocab| count frame — assert no join carries the item catalog
+    // as a cross product against users
+    val inter = t("orders").join(t("lineitem"),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"))
+    val plan = explainStr(graft.operators.FeatureEng
+      .negativeSamples(inter, "o_custkey", "l_suppkey"))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      s"expected sequence-explode generation:\n$plan")
   }
 
   test("dedup shingle join is a keyed join, never a cross product") {
