@@ -68,6 +68,12 @@ object SparkEntry {
     // A10 feature-store registry: categorical value counts + share
     "q_feature_valuecounts" -> ((s, d) =>
       graft.functions.FeatureRegistry.valueCounts(T(s, d)("events"))),
+    // A10 feature-store PERSISTENCE: write definitions +
+    // range-laid-out values parquet, then oracle-audit the read-back
+    // (name/type recovered by joining the definitions catalog)
+    "q_feature_store" -> ((s, d) =>
+      graft.functions.FeatureStoreOps.roundTrip(T(s, d)("events"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_fstore_${math.abs(d.hashCode)}")),
     // A1 sliding window: 5 min / 1 min panes
     "q_sliding_window" -> ((s, d) =>
       WindowedAggs.slidingCounts(T(s, d)("events"))),
@@ -222,7 +228,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsBanded(T(s, d)("documents"), threshold = 0.5)),
     // asymmetric containment near-dup (sub-document inclusion):
-    // |A∩B|/|A| or /|B| over the same banded candidates
+    // |A∩B|/|A| or /|B| over direct df-capped shingle-join candidates
+    // (resemblance-LSH bands provably miss contained pairs)
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(T(s, d)("documents"), threshold = 0.8)),
     // MinHash + LSH banding candidates

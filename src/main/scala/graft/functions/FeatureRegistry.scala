@@ -48,7 +48,10 @@ object FeatureRegistry {
     eventFeatures.toDF("feature_name", "kind", "description")
   }
 
-  /** Materialize every registered feature as a column over events. */
+  /** Materialize every registered feature as a column over events
+    * (plus the event time, which the feature-store write surface
+    * persists as `event_ts`).
+    */
   def eventFeatureFrame(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -57,7 +60,8 @@ object FeatureRegistry {
       (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
       hour(col("ts")).cast("double").as("hour_of_day"),
       col("event_type"),
-      Features.periodOfDay(col("ts")).as("period_of_day"))
+      Features.periodOfDay(col("ts")).as("period_of_day"),
+      col("ts"))
   }
 
   private def stackExpr(names: Seq[String]): String =

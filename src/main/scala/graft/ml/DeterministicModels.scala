@@ -38,32 +38,32 @@ object DeterministicModels {
     */
   sealed trait Pred {
     def col(amount: Column, ts: Column): Column
-    def sql(amountSql: String, tsSql: String): String
+    def duckdbSql(amountSql: String, tsSql: String): String
   }
   final case class AmountGt(x: Double) extends Pred {
     def col(a: Column, t: Column): Column = a > lit(x)
-    def sql(a: String, t: String): String = s"$a > CAST($x AS DOUBLE)"
+    def duckdbSql(a: String, t: String): String = s"$a > CAST($x AS DOUBLE)"
   }
   final case class AmountLt(x: Double) extends Pred {
     def col(a: Column, t: Column): Column = a < lit(x)
-    def sql(a: String, t: String): String = s"$a < CAST($x AS DOUBLE)"
+    def duckdbSql(a: String, t: String): String = s"$a < CAST($x AS DOUBLE)"
   }
   case object IsNight extends Pred {
     def col(a: Column, t: Column): Column =
       graft.functions.Features.isNight(t)
-    def sql(a: String, t: String): String =
+    def duckdbSql(a: String, t: String): String =
       s"(hour($t) <= 6 OR hour($t) >= 22)"
   }
   case object IsWeekend extends Pred {
     // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6
     def col(a: Column, t: Column): Column =
       graft.functions.Features.isWeekend(t)
-    def sql(a: String, t: String): String = s"dayofweek($t) IN (0, 6)"
+    def duckdbSql(a: String, t: String): String = s"dayofweek($t) IN (0, 6)"
   }
   final case class RoundAmount(modulus: Double) extends Pred {
     def col(a: Column, t: Column): Column =
       graft.functions.Features.isRoundAmount(a, modulus)
-    def sql(a: String, t: String): String =
+    def duckdbSql(a: String, t: String): String =
       s"fmod($a, CAST($modulus AS DOUBLE)) = CAST(0.0 AS DOUBLE)"
   }
 
@@ -78,13 +78,13 @@ object DeterministicModels {
         .otherwise(render(nn, amount, ts))
   }
 
-  def renderSql(n: Node, amountSql: String, tsSql: String): String =
+  def renderDuckdbSql(n: Node, amountSql: String, tsSql: String): String =
     n match {
       case Leaf(v) => s"CAST($v AS DOUBLE)"
       case Split(p, y, nn) =>
-        s"(CASE WHEN ${p.sql(amountSql, tsSql)} " +
-          s"THEN ${renderSql(y, amountSql, tsSql)} " +
-          s"ELSE ${renderSql(nn, amountSql, tsSql)} END)"
+        s"(CASE WHEN ${p.duckdbSql(amountSql, tsSql)} " +
+          s"THEN ${renderDuckdbSql(y, amountSql, tsSql)} " +
+          s"ELSE ${renderDuckdbSql(nn, amountSql, tsSql)} END)"
     }
 
   // ---- tree ensemble (xgboost analog): 3 frozen depth-2 trees,
@@ -106,8 +106,8 @@ object DeterministicModels {
     FraudTrees.map(render(_, amount, ts)).reduce(_ + _) /
       lit(FraudTrees.size.toDouble)
 
-  def treeEnsembleSql(amountSql: String, tsSql: String): String =
-    FraudTrees.map(renderSql(_, amountSql, tsSql)).mkString("(", " + ", ")") +
+  def treeEnsembleDuckdbSql(amountSql: String, tsSql: String): String =
+    FraudTrees.map(renderDuckdbSql(_, amountSql, tsSql)).mkString("(", " + ", ")") +
       s" / CAST(${FraudTrees.size}.0 AS DOUBLE)"
 
   // ---- isolation forest analog: fixed axis-aligned isolation trees;
@@ -137,8 +137,8 @@ object DeterministicModels {
     (lit(maxSum) - sumDepth) / lit(maxSum - IsoTrees.size)
   }
 
-  def isolationScoreSql(amountSql: String, tsSql: String): String = {
-    val sumDepth = IsoTrees.map(renderSql(_, amountSql, tsSql))
+  def isolationScoreDuckdbSql(amountSql: String, tsSql: String): String = {
+    val sumDepth = IsoTrees.map(renderDuckdbSql(_, amountSql, tsSql))
       .mkString("(", " + ", ")")
     val maxSum = IsoMaxDepth.toDouble * IsoTrees.size
     s"(CAST($maxSum AS DOUBLE) - $sumDepth) " +

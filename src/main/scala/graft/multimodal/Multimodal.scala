@@ -271,6 +271,12 @@ object Multimodal {
     * volume is Σ per-(block,byte) bucket², never N².
     */
   def imageNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // pigeonhole over 8 byte-blocks: a pair within hamming d shares
+    // an identical block only when d <= 7, so recall is total iff
+    // maxHamming <= 7 — reject configs that would silently lose pairs
+    require(maxHamming <= 7,
+      s"imageNearDup: byte-block LSH guarantees full recall only for " +
+        s"maxHamming <= 7 (8 blocks, pigeonhole); got $maxHamming")
     def blockOf(c: Column, b: Int): Column =
       shiftrightunsigned(c, b * 8).bitwiseAND(lit(255L))
     val bd = hashes.select(col("media_id"), col("ahash"),

@@ -157,8 +157,14 @@ object Dedup {
     * published containment trade-off applies instead: the
     * doc-frequency cap drops boilerplate shingles, bounding candidate
     * volume at Σ_shingle df² over the surviving (rare) shingles — the
-    * prefix-filtering cost model. Pair kept when EITHER direction
-    * clears the threshold; integer-ratio divisions, engine-identical.
+    * prefix-filtering cost model. The cap applies ONLY to the
+    * candidate join and the intersection count (which it can only
+    * shrink — capped |A∩B| underestimates); the |A| and |B|
+    * denominators are the FULL n-gram set sizes, so a document
+    * dominated by dropped high-df shingles cannot spuriously clear
+    * the threshold through a shrunken denominator. Pair kept when
+    * EITHER direction clears the threshold; integer-ratio divisions,
+    * engine-identical.
     */
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        maxDocFreq: Long = 1000): DataFrame = {
@@ -167,7 +173,8 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    // sizes over the UNCAPPED n-gram sets (the ratio's contract)
+    val sizes = ngrams(docs, n).groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("nsh", "na"), "doc_a")

@@ -85,12 +85,14 @@ object DocOracles {
 
   /** Mirror of Dedup.containmentPairs: DIRECT shingle-join candidates
     * (resemblance bands would miss exactly the low-Jaccard contained
-    * pairs), asymmetric |A∩B|/|A| and |A∩B|/|B| ratios,
+    * pairs), asymmetric |A∩B|/|A| and |A∩B|/|B| ratios with
+    * denominators over the UNCAPPED n-gram sets (e0 — the df cap
+    * bounds only the candidate join/intersection),
     * either-direction threshold.
     */
   private def containmentSql: String =
     s"""$shinglesCte,
-       |n AS (SELECT doc_id, COUNT(*) AS nsh FROM e GROUP BY 1),
+       |n AS (SELECT doc_id, COUNT(*) AS nsh FROM e0 GROUP BY 1),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        COUNT(*) AS inter
        |      FROM e a JOIN e b

@@ -252,8 +252,8 @@ object FraudOracles {
     */
   private def ensembleMultiSql: String = {
     import graft.ml.DeterministicModels
-    val tree = DeterministicModels.treeEnsembleSql("value", "ts")
-    val iso = DeterministicModels.isolationScoreSql("value", "ts")
+    val tree = DeterministicModels.treeEnsembleDuckdbSql("value", "ts")
+    val iso = DeterministicModels.isolationScoreDuckdbSql("value", "ts")
     val rule = Seq(
       s"value > ${D(1500.0)}" -> 0.5,
       "(hour(ts) <= 6 OR hour(ts) >= 22)" -> 0.25,
@@ -483,8 +483,48 @@ object FraudOracles {
        |FROM r WHERE rnk <= 2""".stripMargin
   }
 
+  /** Mirror of FeatureStoreOps.roundTrip's read-back audit: the same
+    * five registered features in long form (built directly from
+    * events — the parquet round trip is lossless, so the persisted
+    * store aggregates to exactly this), feature_id as the first 8 md5
+    * hex digits, exact scaled-BIGINT sums (NULL for categorical
+    * features in both engines).
+    */
+  private def featureStoreSql: String =
+    """WITH f AS (SELECT event_id, value,
+      |    value - lag(value, 1) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS delta_prev,
+      |    CAST(hour(ts) AS DOUBLE) AS hour_of_day,
+      |    event_type,
+      |    CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'morning'
+      |         WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'afternoon'
+      |         WHEN hour(ts) >= 18 AND hour(ts) < 22 THEN 'evening'
+      |         ELSE 'night' END AS period_of_day
+      |  FROM events),
+      |v AS (
+      |  SELECT 'value' AS feature_name, 'numeric' AS data_type,
+      |    event_id AS entity_id, value AS value_num,
+      |    CAST(NULL AS VARCHAR) AS value_str FROM f
+      |  UNION ALL SELECT 'delta_prev', 'numeric', event_id, delta_prev,
+      |    CAST(NULL AS VARCHAR) FROM f
+      |  UNION ALL SELECT 'hour_of_day', 'numeric', event_id, hour_of_day,
+      |    CAST(NULL AS VARCHAR) FROM f
+      |  UNION ALL SELECT 'event_type', 'categorical', event_id,
+      |    CAST(NULL AS DOUBLE), event_type FROM f
+      |  UNION ALL SELECT 'period_of_day', 'categorical', event_id,
+      |    CAST(NULL AS DOUBLE), period_of_day FROM f)
+      |SELECT substr(md5('feat:' || feature_name), 1, 8) AS feature_id,
+      |  feature_name, data_type,
+      |  COUNT(*) AS n_values,
+      |  COUNT(value_num) + COUNT(value_str) AS n_present,
+      |  COUNT(DISTINCT entity_id) AS n_entities,
+      |  CAST(SUM(CAST(ROUND(value_num * 10000.0, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_scaled
+      |FROM v GROUP BY 1, 2, 3""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_model_score" -> modelScoreSql,
+    "q_feature_store" -> featureStoreSql,
 
     "q_json_props" ->
       """SELECT event_id,

@@ -18,6 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String — with one fused byte loop, on both the codegen and
   * interpreted paths. Bit-for-bit the same classification, so the
   * SimHash signatures (and every oracle built on them) are unchanged.
+  *
+  * TRUNCATION CONTRACT: the loop reads `min(bits, input.length)`
+  * characters — exactly what `substring` past the end of the string
+  * yields ("" → bit unset is replaced here by loop exit). `bits`
+  * beyond the digest length therefore produces a mask of only
+  * `input.length` bits, with NO error: e.g. bits=64 over a 32-char
+  * md5 digest is a 32-bit mask. Callers wanting a hard failure on
+  * short inputs must validate digest length upstream; the expression
+  * mirrors substring's permissive semantics on purpose so its
+  * oracle-SQL twin (per-position substr comparisons) can never
+  * diverge from it on ragged input.
   */
 case class HexHighBits(child: Expression, bits: Int)
     extends UnaryExpression {

@@ -39,4 +39,38 @@ class FeatureRegistrySpec extends AnyFunSuite {
     assert(shares.keySet == FeatureRegistry.categoricalNames.toSet)
     shares.values.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
   }
+
+  test("feature store round trip: persisted values audit back to the " +
+       "source, files own disjoint feature spans") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fstore_spec").toString
+    val audit = graft.functions.FeatureStoreOps.roundTrip(events, dir)
+      .collect().map(r => r.getString(1) -> r).toMap
+    // every registered feature came back, with name/type recovered
+    // through the definitions join (values carry only feature_id)
+    assert(audit.keySet ==
+      (FeatureRegistry.numericNames ++ FeatureRegistry.categoricalNames).toSet)
+    val nEvents = events.count()
+    audit.values.foreach { r =>
+      assert(r.getLong(3) == nEvents)   // n_values: one row per event
+      assert(r.getLong(5) == nEvents)   // n_entities
+    }
+    // numeric features persisted numerically, categorical as strings
+    assert(audit("value").getString(2) == "numeric")
+    assert(audit("event_type").getString(2) == "categorical")
+    assert(!audit("value").isNullAt(6) && audit("event_type").isNullAt(6))
+    // exact sum survives the parquet round trip bit-for-bit
+    val directSum = events.agg(
+      sum(round(col("value") * lit(1.0e4)).cast("long"))).head().getLong(0)
+    assert(audit("value").getLong(6) == directSum)
+    // range layout on feature_id: no two files share a feature
+    val fileFeatures = spark.read
+      .parquet(s"$dir/feature_values")
+      .select(col("feature_id"), input_file_name().as("f"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1))
+    fileFeatures.groupBy(_._1).values
+      .foreach(fs => assert(fs.map(_._2).distinct.size == 1,
+        "a feature's values spread across multiple files"))
+  }
 }
