@@ -173,4 +173,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("real MJPEG-AVI decode: geometry, frame count, fps, and " +
+       "per-frame luminance match the writer formula") {
+    val n = 6
+    val frames = 4
+    val out = Multimodal.decodeVideo(
+        Multimodal.syntheticAviMedia(spark, n, frames = frames,
+          width = 32, height = 24, fps = 10), dim = frames)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.size == n)
+    out.foreach { case (id, f) =>
+      assert(f.decoded, s"video $id did not decode")
+      assert(f.width == 32 && f.height == 24)
+      assert(f.n_frames == frames)
+      assert(math.abs(f.fps - 10.0) < 1e-6)
+      // dim == frames → one luminance window per frame; solid-gray
+      // JPEG frames decode within a small lossy tolerance
+      (0 until frames).foreach { fi =>
+        val expected = Multimodal.grayLevel(id, fi) / 255.0
+        assert(math.abs(f.features(fi) - expected) < 0.02,
+          s"video $id frame $fi: ${f.features(fi)} vs $expected")
+      }
+    }
+  }
+
+  test("undecodable and non-video rows fall back, flagged decoded=false") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(0, 0, 0, 0, "junk")),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](4, 5),
+        Multimodal.MediaMeta(0, 0, 8000, 1, "wav"))).toDS()
+    val out = Multimodal.decodeVideo(rows).collect()
+      .map(f => f.media_id -> f.decoded).toMap
+    assert(out == Map(1L -> false, 2L -> false))
+  }
+
+  test("verified impossible: no inter-frame video codec exists on " +
+       "this image (MJPEG-in-AVI is the real-decode boundary)") {
+    // the ImageIO registry has no H.264/HEVC/VP9 reader, and the usual
+    // JNI codec bridges are absent — pinning why decodeVideo supports
+    // exactly the independent-frame (MJPEG) container case
+    Seq("h264", "hevc", "vp9", "av1").foreach { fmt =>
+      assert(!javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        .hasNext, s"unexpected ImageIO reader for $fmt")
+    }
+    Seq("org.bytedeco.javacv.FFmpegFrameGrabber",
+        "org.jcodec.api.FrameGrab").foreach { cls =>
+      assertThrows[ClassNotFoundException](Class.forName(cls))
+    }
+  }
 }
