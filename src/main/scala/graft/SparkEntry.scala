@@ -298,6 +298,20 @@ object SparkEntry {
     // posexploded token stream, OOV -> 0
     "q_tokenize_ids" -> ((s, d) =>
       TextAnalysis.vocabEncode(T(s, d)("documents"))),
+    // BM25 ranked retrieval: broadcast df/corpus stats, fixed-order
+    // per-term combine, distributed top-k (TakeOrderedAndProject)
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(T(s, d)("documents"),
+        Seq("spark", "join", "window"))),
+    // positional inverted-index build: long-form postings, term
+    // filter dies row-locally at the scan — nothing shuffles
+    "q_inverted_index" -> ((s, d) =>
+      Retrieval.invertedIndex(T(s, d)("documents"),
+        Seq("spark", "join", "window"))),
+    // mixture curation: greedy longest-first selection under a
+    // per-domain token budget (keyed running sum, integer-exact)
+    "q_budget_select" -> ((s, d) =>
+      TextAnalysis.budgetSelect(T(s, d)("documents"))),
     // dynamic-batching prep: power-of-two length buckets with batch
     // counts (exact integer log2, never libm)
     "q_length_buckets" -> ((s, d) =>

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the document corpus — the search/RAG leg of
+  * a training-data platform: an inverted-index build surface and BM25
+  * scoring (Robertson/Spärck Jones; the Lucene-shaped idf variant).
+  *
+  * Scale shape: both operators are a tokenizer projection with the
+  * term filter PUSHED INTO the explode output (rows for non-query
+  * terms die row-locally, never shuffle), followed by keyed
+  * aggregation. Corpus statistics (N, avgdl) and per-term document
+  * frequencies are catalog-sized frames that broadcast; the final
+  * top-k is TakeOrderedAndProject — per-partition heaps, never a
+  * single-partition global sort (the same distributed-top-k shape as
+  * the tokenizer vocab build, PlanSpec-pinned).
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  private def fan(df: DataFrame): DataFrame = graft.sources.Par.fan(df)
+
+  /** Positional postings for `terms` — the long-form inverted index
+    * (term, doc_id, pos), the layout a posting-list store shards by
+    * term ([[Layout.writeRangeLayout]] on `term` gives file-level
+    * pruning per term). Pure map + row-local filter: nothing
+    * shuffles; at 100 TB the cost is the tokenizing scan.
+    */
+  def invertedIndex(docs: DataFrame, terms: Seq[String]): DataFrame =
+    fan(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1) (always-positive Lucene
+    * form). Exactness: idf is the single libm term — rounded at 6 dp
+    * (the standard libm guard here); everything after is same-order
+    * IEEE arithmetic on exact integer-derived doubles, and the
+    * per-term contributions combine through FIXED-ORDER conditional
+    * sums (one column per query term, then a left-to-right `+` chain
+    * — never a data-order-dependent sum of doubles), so the score is
+    * bit-identical across engines. Final ranking on the 6dp-rounded
+    * score with doc_id tiebreak, via orderBy+limit
+    * (TakeOrderedAndProject).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20)
+      : DataFrame = {
+    val tokenized = fan(docs).select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val exploded = tokenized
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    // corpus stats: one broadcast row (N, avgdl — exact long/long division)
+    val stats = tokenized.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    // per-term document frequency: |terms| rows, broadcast
+    val df = exploded.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val tf = exploded.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0)), 6)
+    val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+    // fixed-order combine: one conditional sum per query term (each
+    // sums exactly one value per doc), then a left-to-right + chain
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("c"))).as(s"c_$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -327,6 +327,30 @@ object TextAnalysis {
         col("weight") * col("n_tokens"))
   }
 
+  /** Budget-capped per-domain selection — the mixture-curation step
+    * that turns a target mix into a concrete document list: within
+    * each domain (lang), documents are taken greedily in a
+    * deterministic preference order (longest first, doc_id tiebreak —
+    * any ranking column slots into the window) until the domain's
+    * token budget is exhausted; a document that would overflow the
+    * budget is dropped, as are all after it. One keyed window with a
+    * running token sum — integer-only arithmetic (exact in any
+    * engine), and partitioned BY DOMAIN, so at 100 TB each domain's
+    * selection runs independently; no global sort anywhere.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 2000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fan(docs)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+  }
+
   /** Sequence packing (concat-then-chunk): documents are concatenated
     * in id order into one token stream that is cut into fixed
     * `budget`-token context windows — the standard LLM-pretraining

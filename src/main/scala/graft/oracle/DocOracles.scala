@@ -350,6 +350,45 @@ object DocOracles {
        |WHERE cos > 0.9""".stripMargin
   }
 
+  /** Mirror of Retrieval.bm25TopK: identical constants emitted from
+    * the same Scala doubles (so e.g. k1+1 prints the exact double the
+    * Catalyst literal holds), idf as the single 6dp-rounded libm
+    * term, same left-associated arithmetic, fixed-order per-term
+    * conditional sums, same rounded-score + doc_id ranking.
+    */
+  private def bm25Sql: String = {
+    val terms = Seq("spark", "join", "window")
+    val k1 = graft.operators.Retrieval.K1
+    val b = graft.operators.Retrieval.B
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN c END) AS c_$i" }.mkString(",\n  ")
+    val total = terms.indices.map(i => s"COALESCE(c_$i, 0.0)")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |           FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |         CAST(SUM(CAST(len(ts) AS BIGINT)) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM s),
+       |e AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+       |        UNNEST(ts) AS term FROM s),
+       |e2 AS (SELECT * FROM e WHERE term IN ($inList)),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+       |          FROM (SELECT DISTINCT doc_id, term FROM e2) GROUP BY 1),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM e2 GROUP BY 1, 2, 3),
+       |c AS (SELECT doc_id, term,
+       |        ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |          * (tf * ${k1 + 1.0})
+       |          / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS c
+       |      FROM tf JOIN dfreq USING (term) CROSS JOIN st),
+       |g AS (SELECT doc_id,
+       |  $perTerm
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, ROUND($total, 6) AS bm25
+       |FROM g ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Mirror of Similarity.quantizeInt8: per-index error terms with the
     * identical clamp/round/div shapes, mse as the explicit
     * left-associated 64-term chain (the fold's order), max error via
@@ -827,6 +866,27 @@ object DocOracles {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_emb_neardup" -> embNearDupSql,
+    "q_bm25" -> bm25Sql,
+    "q_inverted_index" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS term
+        |        FROM (SELECT doc_id, ts,
+        |                UNNEST(generate_series(1, len(ts))) AS i
+        |              FROM s))
+        |SELECT term, doc_id, pos FROM tok
+        |WHERE term IN ('spark', 'join', 'window')""".stripMargin,
+    "q_budget_select" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tok, cum_tok FROM (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY n_tok DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM d)
+        |WHERE cum_tok <= 2000""".stripMargin,
     "q_knn_label" -> knnLabelSql,
     "q_calibration" -> calibrationSql,
     "q_eval_pr" -> prSql,

@@ -136,6 +136,34 @@ class PlanSpec extends AnyFunSuite {
       s"near-dup degenerated to all-pairs:\n$plan")
   }
 
+  test("bm25 top-k is TakeOrderedAndProject — no single-partition sort") {
+    val plan = explainStr(Retrieval.bm25TopK(t("documents"),
+      Seq("spark", "join", "window")))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("inverted-index build has no KEYED shuffle: the term filter " +
+       "dies row-locally after the explode") {
+    // the only exchange allowed is Par.fan's round-robin spread of
+    // the single input file — data-volume-neutral; a hash or
+    // single-partition exchange would mean postings shuffled
+    val plan = explainStr(Retrieval.invertedIndex(t("documents"),
+      Seq("spark", "join", "window")))
+    assert(!plan.contains("Exchange hashpartitioning") &&
+           !plan.contains("Exchange SinglePartition"),
+      s"postings build shuffled:\n$plan")
+  }
+
+  test("budget select costs exactly one keyed exchange (the domain " +
+       "window)") {
+    val plan = explainStr(TextAnalysis.budgetSelect(t("documents")))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+  }
+
   test("negative sampling plan never enumerates users x vocabulary") {
     // generation is users·draws via explode(sequence); the only
     // nested-loop join allowed is the broadcast of the 1-row

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, TextAnalysis}
+
+/** Ranked-retrieval + mixture-curation semantics. */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("inverted index: postings recover exact term positions") {
+    val d = docs((1L, "a b a c"), (2L, "c c b"))
+    val idx = Retrieval.invertedIndex(d, Seq("a", "c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(idx == Set(("a", 1L, 0), ("a", 1L, 2), ("c", 1L, 3),
+      ("c", 2L, 0), ("c", 2L, 1)))
+  }
+
+  test("bm25: more matched terms rank higher; saturation bounds tf") {
+    // d1 holds both query terms, d2 one (repeated), d3 none; filler
+    // equalizes lengths so dl-normalization doesn't decide the order
+    val d = docs(
+      (1L, "q1 q2 x x x x"),
+      (2L, "q1 q1 x x x x"),
+      (3L, "x y z w v u"))
+    val out = Retrieval.bm25TopK(d, Seq("q1", "q2"), k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L), "termless doc must not score")
+    // two distinct terms beat one term twice: per-term tf saturates
+    // at k1+1 while a second term adds a fresh idf block
+    assert(out(1L) > out(2L))
+    assert(out(2L) > 0.0)
+  }
+
+  test("bm25 on the corpus: scores positive, k rows, sorted output") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val rows = Retrieval.bm25TopK(d, Seq("spark", "join", "window"), 20)
+      .collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  test("budget select: per-domain budget respected, greedy longest-first") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val budget = 2000L
+    val sel = TextAnalysis.budgetSelect(d, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = sel.groupBy(_._2)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      assert(total <= budget, s"$lang exceeded budget: $total")
+      assert(rows.map(_._4).max == total) // cum_tok is the running sum
+      // greedy: every selected doc is at least as long as any
+      // unselected doc of the same lang OR adding the longest
+      // unselected would break the budget
+      val selectedIds = rows.map(_._1).toSet
+      val unselected = d.filter(col("lang") === lang)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filterNot(x => selectedIds(x._1))
+      unselected.headOption.foreach { _ =>
+        val maxUnsel = unselected.map(_._2).max
+        val minSel = rows.map(_._3).min
+        assert(minSel >= maxUnsel || total + maxUnsel > budget)
+      }
+    }
+  }
+}
