@@ -312,6 +312,18 @@ object SparkEntry {
     // per-domain token budget (keyed running sum, integer-exact)
     "q_budget_select" -> ((s, d) =>
       TextAnalysis.budgetSelect(T(s, d)("documents"))),
+    // vocabulary coverage truncation (95% token mass) via the
+    // distributed prefix sum — never a whole-vocab window
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(T(s, d)("documents"))),
+    // ordered conversion funnel view -> click -> purchase: per-user
+    // conditional-min passes, |users|-sized frames after the first agg
+    "q_funnel" -> ((s, d) =>
+      FraudQueries.funnel(T(s, d)("events"))),
+    // MAD robust outlier profile: median / median-absolute-deviation
+    // per type, outliers beyond 3 robust sigmas
+    "q_mad_outliers" -> ((s, d) =>
+      graft.operators.Quality.madOutliers(T(s, d)("events"))),
     // dynamic-batching prep: power-of-two length buckets with batch
     // counts (exact integer log2, never libm)
     "q_length_buckets" -> ((s, d) =>

@@ -257,4 +257,39 @@ object FraudQueries {
         when(col("p_model_r") >= 0.5, "REVIEW").otherwise("APPROVE")
           .as("model_decision"))
   }
+
+  /** Ordered conversion FUNNEL (view → click → purchase): a user
+    * clears stage k when an event of stage k's type exists STRICTLY
+    * after their stage-(k−1) clearing time. Three conditional-min
+    * aggregation passes per user with the per-user stage times
+    * carried forward by keyed joins — every pass is partial+final on
+    * user_id, nothing but |users|-sized frames after the first agg,
+    * so the funnel scales with distinct users, not events. Output is
+    * one row of stage counts + integer-ratio conversion rates.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val stage1 = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val stage2 = events.filter(col("event_type") === "click")
+      .join(stage1, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_click"))
+    val stage3 = events.filter(col("event_type") === "purchase")
+      .join(stage2, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_purchase"))
+    val n1 = stage1.agg(count(lit(1)).as("n_view"))
+    val n2 = stage2.agg(count(lit(1)).as("n_click"))
+    val n3 = stage3.agg(count(lit(1)).as("n_purchase"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        // try_divide: an empty stage yields a NULL rate (DuckDB's
+        // divide-by-zero convention), not an ANSI error
+        try_divide(col("n_click").cast("double"), col("n_view"))
+          .as("view_to_click"),
+        try_divide(col("n_purchase").cast("double"), col("n_click"))
+          .as("click_to_purchase"))
+  }
 }

@@ -156,4 +156,40 @@ object Quality {
     counts.orderBy(col("n_rows").desc, col(key)).limit(k)
       .crossJoin(broadcast(summary))
   }
+
+  /** MAD robust outlier profile — the outlier detector that survives
+    * the outliers it hunts (a handful of extreme values moves a
+    * std-based z-score; the median absolute deviation barely moves):
+    * per key, med = median(x), mad = median(|x − med|), and the count
+    * of rows beyond `nSigmas` robust sigmas (MAD · 1.4826, the
+    * normal-consistency constant). Two keyed aggregation passes with
+    * the |keys|-row medians frame broadcast between them — no row
+    * ever shuffles twice, output is |keys| rows. Exact: Spark
+    * `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition, and everything downstream is
+    * same-order IEEE arithmetic (the consistency constant is emitted
+    * into the oracle from this same Scala double).
+    */
+  val MadConsistency = 1.4826
+
+  def madOutliers(events: DataFrame, nSigmas: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type").as("mt"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    // cached: the deviation frame feeds both the MAD aggregation and
+    // the outlier count; released via OperatorCaches
+    val dev = OperatorCaches.track(
+      events.join(broadcast(med), col("event_type") === col("mt"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("adev")))
+    val mad = dev.groupBy(col("event_type").as("kt"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    dev.join(broadcast(mad), col("event_type") === col("kt"))
+      .groupBy(col("event_type"), col("med"), col("mad"), col("n"))
+      .agg(sum(when(col("adev") >
+          lit(nSigmas) * (lit(MadConsistency) * col("mad")), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("med"), col("mad"),
+        col("n"), col("n_outliers"))
+  }
 }

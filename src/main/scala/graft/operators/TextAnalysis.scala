@@ -351,6 +351,35 @@ object TextAnalysis {
       .filter(col("cum_tok") <= budgetTokens)
   }
 
+  /** Vocabulary coverage truncation — the BPE-style "smallest vocab
+    * covering p of the token mass" cut: tokens in frequency order
+    * (ties by token) are kept while the RUNNING mass stays within
+    * `coverNum/coverDen` of the total (95% default). The running
+    * total is [[Layout.prefixSum]] — the distributed two-phase rank,
+    * NEVER a single-partition window over the whole vocabulary (a
+    * 10⁷-type vocab would funnel to one task under the window
+    * spelling; same trap the tokenizer vocab build avoids). The
+    * coverage test is pure integer cross-multiplication
+    * (den·cum ≤ num·total) — exact in any engine; the reported share
+    * is the long/long double division, also exact.
+    */
+  def vocabCoverage(docs: DataFrame, coverNum: Long = 19L,
+                    coverDen: Long = 20L): DataFrame = {
+    val counts = fan(docs)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      // ascending sort key = descending frequency (prefixSum sorts asc)
+      .withColumn("neg_n", -col("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    graft.operators.Layout
+      .prefixSum(counts, Seq("neg_n", "tok"), "n", outCol = "cum_n")
+      .crossJoin(broadcast(total))
+      .filter(col("cum_n") * lit(coverDen) <= col("total") * lit(coverNum))
+      .select(col("tok"), col("n"), col("cum_n"),
+        (col("cum_n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("cum_share"))
+  }
+
   /** Sequence packing (concat-then-chunk): documents are concatenated
     * in id order into one token stream that is cut into fixed
     * `budget`-token context windows — the standard LLM-pretraining

@@ -876,6 +876,19 @@ object DocOracles {
         |              FROM s))
         |SELECT term, doc_id, pos FROM tok
         |WHERE term IN ('spark', 'join', 'window')""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT tok, n,
+        |        CAST(SUM(n) OVER (ORDER BY n DESC, tok
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |      FROM c)
+        |SELECT tok, n, cum_n,
+        |  CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r CROSS JOIN tt
+        |WHERE cum_n * 20 <= total * 19""".stripMargin,
     "q_budget_select" ->
       """WITH d AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -522,9 +522,55 @@ object FraudOracles {
       |    AS sum_scaled
       |FROM v GROUP BY 1, 2, 3""".stripMargin
 
+  /** Mirror of FraudQueries.funnel: same strict-after stage joins,
+    * integer-ratio conversion rates.
+    */
+  private val funnelSql =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      |       GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+      |  (SELECT COUNT(*) FROM s2) AS n_click,
+      |  (SELECT COUNT(*) FROM s3) AS n_purchase,
+      |  CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM s1) AS view_to_click,
+      |  CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM s2) AS click_to_purchase""".stripMargin
+
+  /** Mirror of Quality.madOutliers: shared interpolated-median
+    * definition (quantile_cont ≡ Spark percentile), consistency
+    * constant emitted from the same Scala double, parenthesization
+    * matching the Catalyst expression order.
+    */
+  private def madOutliersSql: String = {
+    val c = graft.operators.Quality.MadConsistency
+    s"""WITH med AS (SELECT event_type AS mt,
+       |         quantile_cont(value, 0.5) AS med
+       |       FROM events GROUP BY 1),
+       |dev AS (SELECT event_type, med, ABS(value - med) AS adev
+       |        FROM events JOIN med ON event_type = mt),
+       |mad AS (SELECT event_type AS kt,
+       |          quantile_cont(adev, 0.5) AS mad, COUNT(*) AS n
+       |        FROM dev GROUP BY 1)
+       |SELECT event_type, med, mad, n,
+       |  CAST(SUM(CASE WHEN adev > 3.0 * ($c * mad) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dev JOIN mad ON event_type = kt
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_model_score" -> modelScoreSql,
     "q_feature_store" -> featureStoreSql,
+    "q_funnel" -> funnelSql,
+    "q_mad_outliers" -> madOutliersSql,
 
     "q_json_props" ->
       """SELECT event_id,

@@ -327,6 +327,36 @@ class PlanSpec extends AnyFunSuite {
       s"top-vocab selection must be a distributed take-ordered:\n$plan")
   }
 
+  test("vocab coverage rides the distributed prefix sum — no whole-vocab window") {
+    val plan = explainStr(TextAnalysis.vocabCoverage(t("documents")))
+    // the running mass must come from prefixSum's two-phase rank, not a
+    // Window over the whole vocabulary sorted into one task
+    assert(!plan.contains("Window"),
+      s"running token mass must never be a whole-vocab window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // the only SinglePartition exchange allowed is the 1-row global
+    // total, fed by a map-side partial sum
+    if (plan.contains("Exchange SinglePartition"))
+      assert(plan.contains("partial_sum"),
+        s"SinglePartition without a partial agg means data funneled:\n$plan")
+  }
+
+  test("funnel: stage frames join keyed, counts partial-aggregate") {
+    val plan = explainStr(FraudQueries.funnel(t("events")))
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast 1-row count frames may cross:\n$plan")
+    assert(plan.contains("partial"),
+      s"stage mins must partial-aggregate map-side:\n$plan")
+  }
+
+  test("madOutliers: median frames broadcast back; rows shuffle once per pass") {
+    val plan = explainStr(Quality.madOutliers(t("events")))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |keys|-row medians frame must broadcast, not shuffle the rows:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no row-side shuffle join:\n$plan")
+  }
+
   test("runtime bloom filter injects a might_contain prune on the fact side") {
     // the runtime-filter lever that matters at 100 TB: a selective
     // dimension filter becomes a bloom filter applied at the fact scan,
