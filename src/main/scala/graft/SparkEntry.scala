@@ -324,6 +324,25 @@ object SparkEntry {
     // per type, outliers beyond 3 robust sigmas
     "q_mad_outliers" -> ((s, d) =>
       graft.operators.Quality.madOutliers(T(s, d)("events"))),
+    // weekly cohort retention matrix (trunc-of-min cohort, distinct
+    // user-week activity, broadcast cohort sizes)
+    "q_cohort_retention" -> ((s, d) =>
+      Behavior.cohortRetention(T(s, d)("events"))),
+    // first-order Markov transition matrix over per-user sequences
+    "q_event_transitions" -> ((s, d) =>
+      Behavior.eventTransitions(T(s, d)("events"))),
+    // bookend (first/last-touch) purchase attribution with exact revenue
+    "q_attribution" -> ((s, d) =>
+      Behavior.attribution(T(s, d)("events"))),
+    // triangle count over the >=2-shared-parts co-supply graph via
+    // degree-ordered orientation (wedge volume O(m*sqrt(m)))
+    "q_triangles" -> ((s, d) =>
+      Joins.triangleCount(Joins.coOccurrenceDense(
+        T(s, d)("lineitem"), "l_suppkey", "l_partkey", minShared = 2L))),
+    // seasonal hour-of-day baseline vs eval-period drift flags
+    // (integer cross-multiplied tolerance test)
+    "q_seasonal_anomaly" -> ((s, d) =>
+      graft.operators.Quality.seasonalAnomaly(T(s, d)("events"))),
     // dynamic-batching prep: power-of-two length buckets with batch
     // counts (exact integer log2, never libm)
     "q_length_buckets" -> ((s, d) =>

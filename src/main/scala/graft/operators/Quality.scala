@@ -192,4 +192,43 @@ object Quality {
       .select(col("event_type"), col("med"), col("mad"),
         col("n"), col("n_outliers"))
   }
+
+  /** Seasonal-baseline anomaly screen: per (event_type, hour-of-day)
+    * the value profile of a baseline period vs the evaluation period
+    * after `splitAt`, flagged where the eval mean drifts more than
+    * `tolNum/tolDen` (20% default) off the baseline mean. The flag is
+    * INTEGER cross-multiplication over scaled-BIGINT sums —
+    * |eval·n_b − base·n_e| · den > tol·base·n_e — so it is exact in
+    * any engine; the two reported means are single IEEE divisions of
+    * those same longs. Sums stay < 2⁴⁰ at 10⁴ scale, far from long
+    * overflow even with the cross-product.
+    *
+    * One partial+final aggregation over the events onto a
+    * |types·24|-row frame; both periods aggregate in the same pass
+    * (conditional sums), so the events are read and shuffled once.
+    */
+  def seasonalAnomaly(events: DataFrame,
+                      splitAt: String = "2024-01-22 00:00:00",
+                      tolNum: Long = 1L, tolDen: Long = 5L): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf(splitAt))
+    val scaled = round(col("value") * lit(1.0e4)).cast("long")
+    val base = col("ts") < cut
+    events
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(
+        sum(when(base, 1L).otherwise(0L)).as("n_base"),
+        sum(when(base, scaled).otherwise(0L)).as("base_scaled"),
+        sum(when(!base, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(!base, scaled).otherwise(0L)).as("eval_scaled"))
+      .filter(col("n_base") > 0 && col("n_eval") > 0)
+      .select(col("event_type"), col("hod"), col("n_base"), col("n_eval"),
+        (col("base_scaled").cast("double") / lit(1.0e4) / col("n_base"))
+          .as("base_mean"),
+        (col("eval_scaled").cast("double") / lit(1.0e4) / col("n_eval"))
+          .as("eval_mean"),
+        (abs(col("eval_scaled") * col("n_base") -
+             col("base_scaled") * col("n_eval")) * lit(tolDen) >
+          lit(tolNum) * col("base_scaled") * col("n_eval"))
+          .as("anomaly"))
+  }
 }

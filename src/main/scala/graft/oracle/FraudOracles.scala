@@ -566,11 +566,119 @@ object FraudOracles {
        |GROUP BY 1, 2, 3, 4""".stripMargin
   }
 
+  /** Mirror of Behavior.cohortRetention: trunc-of-min cohort week,
+    * distinct (user, week) activity, offset in exact weeks (the day
+    * difference between truncated Mondays is always a multiple of 7,
+    * so the division and the rounding DuckDB cast are both exact).
+    */
+  private val cohortRetentionSql =
+    """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |           FROM events GROUP BY 1),
+      |s AS (SELECT cohort_week AS sw, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      |      FROM events),
+      |m AS (SELECT f.cohort_week,
+      |        CAST(date_diff('day', f.cohort_week, a.activity_week) / 7
+      |             AS INTEGER) AS week_offset,
+      |        COUNT(DISTINCT a.user_id) AS n_active
+      |      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, cohort_size, n_active,
+      |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+      |FROM m JOIN s ON cohort_week = sw""".stripMargin
+
+  /** Mirror of Behavior.eventTransitions: LEAD over (ts, event_id) —
+    * the id tiebreak totally orders ties identically in both engines.
+    */
+  private val eventTransitionsSql =
+    """WITH t AS (SELECT user_id, event_type,
+      |             LEAD(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS to_type
+      |           FROM events),
+      |c AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type AS ft, SUM(n) AS row_total FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, CAST(n AS DOUBLE) / row_total AS p
+      |FROM c JOIN tot ON from_type = ft""".stripMargin
+
+  /** Mirror of Behavior.attribution: bookend IGNORE-NULLS window
+    * scans over the strictly-preceding frame.
+    */
+  private def attributionSql: String = {
+    val touch =
+      "CASE WHEN event_type IN ('view','click','signup') THEN event_type END"
+    val frame = """OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    s"""WITH w AS (SELECT event_type, value,
+       |    LAST_VALUE($touch IGNORE NULLS) $frame AS lt,
+       |    FIRST_VALUE($touch IGNORE NULLS) $frame AS ft
+       |  FROM events)
+       |SELECT COALESCE(lt, 'direct') AS last_touch,
+       |  COALESCE(ft, 'direct') AS first_touch,
+       |  COUNT(*) AS n_purchases,
+       |  ${dsum("value")} AS revenue
+       |FROM w WHERE event_type = 'purchase'
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirror of Joins.triangleCount over the ≥2-shared-parts co-supply
+    * graph: same (degree, id) edge orientation, same out-list wedge
+    * enumeration, triangles as wedges closed by an edge.
+    */
+  private val trianglesSql =
+    """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS v FROM lineitem),
+      |p AS (SELECT a.s AS a, b.s AS b FROM e a JOIN e b
+      |      ON a.v = b.v AND a.s < b.s
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |d AS (SELECT node, COUNT(*) AS deg FROM (
+      |        SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p)
+      |      GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.deg < db.deg
+      |                    OR (da.deg = db.deg AND p.a < p.b)
+      |                  THEN p.a ELSE p.b END AS lo,
+      |             CASE WHEN da.deg < db.deg
+      |                    OR (da.deg = db.deg AND p.a < p.b)
+      |                  THEN p.b ELSE p.a END AS hi
+      |      FROM p JOIN d da ON p.a = da.node JOIN d db ON p.b = db.node),
+      |w AS (SELECT o1.hi AS wa, o2.hi AS wb FROM o o1 JOIN o o2
+      |      ON o1.lo = o2.lo AND o1.hi < o2.hi)
+      |SELECT (SELECT COUNT(*) FROM p) AS n_edges,
+      |       (SELECT COUNT(*) FROM w) AS n_wedges,
+      |       (SELECT COUNT(*) FROM w JOIN p ON wa = p.a AND wb = p.b)
+      |         AS n_triangles""".stripMargin
+
+  /** Mirror of Quality.seasonalAnomaly: scaled-BIGINT conditional
+    * sums in one grouped pass; the anomaly flag is pure integer
+    * cross-multiplication, the means the same single divisions.
+    */
+  private val seasonalAnomalySql = {
+    val cut = "TIMESTAMP '2024-01-22 00:00:00'"
+    val scaled = "CAST(ROUND(value * 1.0e4, 0) AS BIGINT)"
+    s"""WITH g AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+       |    CAST(SUM(CASE WHEN ts < $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN ts < $cut THEN $scaled ELSE 0 END) AS BIGINT)
+       |      AS base_scaled,
+       |    CAST(SUM(CASE WHEN ts >= $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       |    CAST(SUM(CASE WHEN ts >= $cut THEN $scaled ELSE 0 END) AS BIGINT)
+       |      AS eval_scaled
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, hod, n_base, n_eval,
+       |  CAST(base_scaled AS DOUBLE) / 1.0e4 / n_base AS base_mean,
+       |  CAST(eval_scaled AS DOUBLE) / 1.0e4 / n_eval AS eval_mean,
+       |  ABS(eval_scaled * n_base - base_scaled * n_eval) * 5
+       |    > 1 * (base_scaled * n_eval) AS anomaly
+       |FROM g WHERE n_base > 0 AND n_eval > 0""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_model_score" -> modelScoreSql,
     "q_feature_store" -> featureStoreSql,
     "q_funnel" -> funnelSql,
     "q_mad_outliers" -> madOutliersSql,
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_event_transitions" -> eventTransitionsSql,
+    "q_attribution" -> attributionSql,
+    "q_triangles" -> trianglesSql,
+    "q_seasonal_anomaly" -> seasonalAnomalySql,
 
     "q_json_props" ->
       """SELECT event_id,

@@ -349,6 +349,36 @@ class PlanSpec extends AnyFunSuite {
       s"stage mins must partial-aggregate map-side:\n$plan")
   }
 
+  test("cohortRetention: cohort sizes broadcast; no cartesian anywhere") {
+    val plan = explainStr(Behavior.cohortRetention(t("events")))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("transitions + attribution windows stay user-keyed (no global sort)") {
+    val p1 = explainStr(Behavior.eventTransitions(t("events")))
+    val p2 = explainStr(Behavior.attribution(t("events")))
+    Seq(p1, p2).foreach { p =>
+      assert(!p.contains("Exchange SinglePartition") || p.contains("partial"),
+        s"per-user window funneled to one task:\n$p")
+      assert(p.contains("hashpartitioning(user_id"),
+        s"window must partition by user:\n$p")
+    }
+  }
+
+  test("triangleCount: every join is keyed (degree/apex/closing equi-joins)") {
+    val plan = explainStr(Joins.triangleCount(Joins.coOccurrenceDense(
+      t("lineitem"), "l_suppkey", "l_partkey", minShared = 2L)))
+    assert(!plan.contains("CartesianProduct"),
+      s"only the final 1-row audit frames may cross:\n$plan")
+  }
+
+  test("seasonalAnomaly: single partial+final pass, no join") {
+    val plan = explainStr(Quality.seasonalAnomaly(t("events")))
+    assert(!plan.contains("Join"), s"both periods must aggregate in one pass:\n$plan")
+    assert(plan.contains("partial"), s"plan:\n$plan")
+  }
+
   test("madOutliers: median frames broadcast back; rows shuffle once per pass") {
     val plan = explainStr(Quality.madOutliers(t("events")))
     assert(plan.contains("BroadcastHashJoin"),
