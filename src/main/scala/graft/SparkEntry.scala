@@ -343,6 +343,14 @@ object SparkEntry {
     // (integer cross-multiplied tolerance test)
     "q_seasonal_anomaly" -> ((s, d) =>
       graft.operators.Quality.seasonalAnomaly(T(s, d)("events"))),
+    // minority-class rebalance profile: integer cross-multiplied
+    // 16-bit hash draw, no FP in the keep decision
+    "q_rebalance" -> ((s, d) =>
+      FeatureEng.rebalanceProfile(T(s, d)("events"))),
+    // bigram-LM surprisal (context-conditioned KenLM-filter analog);
+    // bigrams form row-locally from the token array
+    "q_bigram_surprisal" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(T(s, d)("documents"))),
     // dynamic-batching prep: power-of-two length buckets with batch
     // counts (exact integer log2, never libm)
     "q_length_buckets" -> ((s, d) =>

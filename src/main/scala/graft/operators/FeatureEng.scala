@@ -262,4 +262,38 @@ object FeatureEng {
     tok.groupBy(col("doc_id"), bucket.as("bucket"))
       .agg(sum(sign).as("weight"))
   }
+
+  /** Class-rebalancing downsample to the minority-class size: every
+    * class keeps rows with probability min_count/count_c, decided by
+    * a 16-bit md5 draw per row against the class's threshold via
+    * INTEGER cross-multiplication (d16 · count_c < min_count · 2¹⁶) —
+    * no FP in the keep decision, stable under reprocessing and row
+    * order, no shuffle of the data itself (class counts and the
+    * minimum broadcast back; the filter is row-local). The 16-bit
+    * draw keeps the cross-product inside int64 up to ~10¹⁴-row
+    * classes; granularity ±2⁻¹⁶ of the target rate.
+    */
+  def rebalanceClasses(df: DataFrame, cls: String = "event_type",
+                       key: String = "event_id"): DataFrame = {
+    val counts = df.groupBy(col(cls)).agg(count(lit(1)).as("cnt"))
+    val minc = counts.agg(min(col("cnt")).as("minc"))
+    val d16 = conv(substring(
+      md5(concat(lit("bal:"), col(key).cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), cls)
+      .crossJoin(broadcast(minc))
+      .filter(d16 * col("cnt") < col("minc") * lit(65536L))
+  }
+
+  /** Oracle-facing profile of [[rebalanceClasses]]: per class the
+    * original and kept counts with the achieved rate (int/int single
+    * division, exact).
+    */
+  def rebalanceProfile(df: DataFrame, cls: String = "event_type",
+                       key: String = "event_id"): DataFrame =
+    rebalanceClasses(df, cls, key)
+      .groupBy(col(cls)).agg(count(lit(1)).as("n_kept"),
+        first(col("cnt")).as("n_before"))
+      .select(col(cls), col("n_before"), col("n_kept"),
+        (col("n_kept").cast(DoubleType) / col("n_before")).as("kept_rate"))
 }

@@ -303,6 +303,40 @@ object TextAnalysis {
         col("surprisal_sum") / col("n_tokens"))
   }
 
+  /** Bigram-LM surprisal per document — the second-order upgrade of
+    * [[unigramSurprisal]] (a KenLM-style filter conditions on
+    * context; a unigram model can't tell shuffled text from prose):
+    * score(doc) = mean over bigrams of −ln p(w2|w1) with add-one
+    * smoothing, p = (c12+1)/(c1+V). Bigrams form ROW-LOCALLY by
+    * zipping the token array with its own tail — no shuffle until
+    * the count aggregations. Cross-engine exactness: the ln of an
+    * exact integer ratio is rounded at 6dp before the quantized
+    * order-independent per-doc sum — the [[unigramSurprisal]]
+    * contract. Shuffles: bigram counts, predecessor counts, the two
+    * keyed count joins, final doc agg; V is a broadcast scalar.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    val big = fan(docs).select(col("doc_id"),
+      explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val un = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vsz = un.agg(count(lit(1)).as("v"))
+    val term = round(log((col("c1") + col("v")).cast(DoubleType) /
+      (col("c12") + lit(1L)).cast(DoubleType)), 6)
+    val scaledSum = sum(round(term * lit(1.0e6)).cast("long"))
+      .cast(DoubleType) / lit(1.0e6)
+    big.join(bi, Seq("w1", "w2")).join(un, "w1")
+      .crossJoin(broadcast(vsz))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), scaledSum.as("surprisal_sum"))
+      .withColumn("avg_surprisal",
+        col("surprisal_sum") / col("n_bigrams"))
+  }
+
   /** Static domain-mixture reweighting (the Pile / DoReMi-style
     * mixture step): given the labeled domain (language here) shares
     * of the corpus, the per-domain sampling weight that hits a

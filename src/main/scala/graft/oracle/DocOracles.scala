@@ -455,6 +455,29 @@ object DocOracles {
       |    / 1.0e6) / COUNT(*) AS avg_surprisal
       |FROM t GROUP BY 1""".stripMargin
 
+  /** Mirror of TextAnalysis.bigramSurprisal: positional bigrams from
+    * the token list, add-one-smoothed conditional surprisal, the
+    * 6dp-rounded-ln + BIGINT-quantized-sum contract of surprisalSql.
+    */
+  private def bigramSurprisalSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      |       FROM (SELECT doc_id, ts,
+      |               UNNEST(generate_series(1, len(ts) - 1)) AS i FROM s)),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |un AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |vz AS (SELECT COUNT(*) AS v FROM un),
+      |t AS (SELECT doc_id,
+      |        ROUND(LN(CAST((c1 + v) AS DOUBLE)
+      |          / CAST((c12 + 1) AS DOUBLE)), 6) AS term
+      |      FROM bg JOIN bi USING (w1, w2) JOIN un USING (w1), vz)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(ROUND(term * 1.0e6, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1.0e6 AS surprisal_sum,
+      |  (CAST(SUM(CAST(ROUND(term * 1.0e6, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1.0e6) / COUNT(*) AS avg_surprisal
+      |FROM t GROUP BY 1""".stripMargin
+
   /** Mirror of TextAnalysis.chunkPlan (size 128, overlap 16, stride
     * 112): per-row integer chunk arithmetic.
     */
@@ -830,6 +853,7 @@ object DocOracles {
     "q_emb_quantize" -> quantizeSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_surprisal" -> surprisalSql,
+    "q_bigram_surprisal" -> bigramSurprisalSql,
     "q_chunk_docs" -> chunkPlanSql,
     "q_domain_mix" ->
       """WITH pd AS (SELECT lang, COUNT(*) AS n_docs,

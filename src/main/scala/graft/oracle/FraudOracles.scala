@@ -646,6 +646,28 @@ object FraudOracles {
       |       (SELECT COUNT(*) FROM w JOIN p ON wa = p.a AND wb = p.b)
       |         AS n_triangles""".stripMargin
 
+  /** Mirror of FeatureEng.rebalanceClasses/-Profile: same md5 16-bit
+    * draw (nibble-CASE hex parse), same integer cross-multiplied
+    * keep decision, per-class kept profile.
+    */
+  private def rebalanceSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    def nib(pos: Int) = s"(CASE substr(h, $pos, 1) $nibble END)"
+    s"""WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+       |m AS (SELECT MIN(cnt) AS minc FROM c),
+       |e2 AS (SELECT event_type,
+       |         md5('bal:' || CAST(event_id AS VARCHAR)) AS h FROM events),
+       |k AS (SELECT e2.event_type
+       |      FROM e2 JOIN c USING (event_type) CROSS JOIN m
+       |      WHERE (${nib(1)} * 4096 + ${nib(2)} * 256
+       |             + ${nib(3)} * 16 + ${nib(4)}) * cnt < minc * 65536),
+       |g AS (SELECT event_type, COUNT(*) AS n_kept FROM k GROUP BY 1)
+       |SELECT event_type, cnt AS n_before, n_kept,
+       |  CAST(n_kept AS DOUBLE) / cnt AS kept_rate
+       |FROM g JOIN c USING (event_type)""".stripMargin
+  }
+
   /** Mirror of Quality.seasonalAnomaly: scaled-BIGINT conditional
     * sums in one grouped pass; the anomaly flag is pure integer
     * cross-multiplication, the means the same single divisions.
@@ -679,6 +701,7 @@ object FraudOracles {
     "q_attribution" -> attributionSql,
     "q_triangles" -> trianglesSql,
     "q_seasonal_anomaly" -> seasonalAnomalySql,
+    "q_rebalance" -> rebalanceSql,
 
     "q_json_props" ->
       """SELECT event_id,

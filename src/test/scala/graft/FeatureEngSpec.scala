@@ -227,6 +227,27 @@ class FeatureEngSpec extends AnyFunSuite {
     out.groupBy(_._1).values.foreach(xs => assert(xs.size <= 16))
   }
 
+  test("rebalance: minority class keeps everything, majority shrinks to ~min") {
+    val d = (1L to 1000L).map(i => (i, if (i <= 900) "big" else "small"))
+      .toDF("event_id", "event_type")
+    val prof = graft.operators.FeatureEng.rebalanceProfile(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // minority threshold is minc*65536/minc = the full draw space
+    assert(prof("small") == ((100L, 100L, 1.0)))
+    val (nb, nk, _) = prof("big")
+    assert(nb == 900L)
+    // expected keep 100 of 900; the 16-bit hash draw concentrates
+    // tightly (binomial sd ~9.4) — accept ±5 sd
+    assert(math.abs(nk - 100L) <= 47, s"kept $nk of 900, expected ~100")
+    // exact mirror of the draw: the kept set is the md5 predicate
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectBig = (1L to 900L).count(i =>
+      Integer.parseInt(md5hex(s"bal:$i").take(4), 16) * 900L < 100L * 65536L)
+    assert(nk == expectBig)
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)

@@ -373,6 +373,21 @@ class PlanSpec extends AnyFunSuite {
       s"only the final 1-row audit frames may cross:\n$plan")
   }
 
+  test("rebalance: class counts broadcast back; the filter is row-local") {
+    val plan = explainStr(FeatureEng.rebalanceProfile(t("events")))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the |classes|-row frames must broadcast, never shuffle the rows:\n$plan")
+  }
+
+  test("bigram surprisal: bigrams form row-locally, joins stay keyed") {
+    val plan = explainStr(TextAnalysis.bigramSurprisal(t("documents")))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // the V scalar rides a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"plan:\n$plan")
+  }
+
   test("seasonalAnomaly: single partial+final pass, no join") {
     val plan = explainStr(Quality.seasonalAnomaly(t("events")))
     assert(!plan.contains("Join"), s"both periods must aggregate in one pass:\n$plan")

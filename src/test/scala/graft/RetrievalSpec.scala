@@ -73,4 +73,23 @@ class RetrievalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bigram surprisal: add-one model computed by hand on a toy corpus") {
+    val d = docs((1L, "a b a b"), (2L, "a b"))
+    // bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b)
+    // c12(a,b)=3, c12(b,a)=1; c1(a)=3, c1(b)=1; V=2
+    val out = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def term(c1: Long, c12: Long) =
+      math.rint(math.log((c1 + 2).toDouble / (c12 + 1).toDouble) * 1e6) / 1e6
+    val tAB = term(3, 3) // ln(5/4)
+    val tBA = term(1, 1) // ln(3/2)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * tAB + tBA)) < 1e-9)
+    assert(out(2L) == ((1L, tAB)))
+    // context sensitivity: the unigram model cannot separate these
+    // two docs' token bags per position — the bigram model scores
+    // the rarer (b,a) continuation strictly higher
+    assert(tBA > tAB)
+  }
 }
