@@ -347,6 +347,26 @@ object SparkEntry {
     // 16-bit hash draw, no FP in the keep decision
     "q_rebalance" -> ((s, d) =>
       FeatureEng.rebalanceProfile(T(s, d)("events"))),
+    // top event-type paths per 30-min session (lag-gap sessionize,
+    // ordered path render, distributed top-k)
+    "q_session_paths" -> ((s, d) =>
+      Behavior.sessionPaths(T(s, d)("events"))),
+    // snapshot diff / CDC audit: added/removed/changed/unchanged from
+    // one co-partitioned full-outer join (eval snapshot perturbs the
+    // error rows so 'changed' is exercised)
+    "q_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, when}
+      val ev = T(s, d)("events")
+      val oldSnap = ev.filter(
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00")))
+      val newSnap = ev.filter(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-06 00:00:00")))
+        .withColumn("value", when(
+          col("event_type") === "error", col("value") * 2)
+          .otherwise(col("value")))
+      graft.operators.Quality.snapshotDiff(oldSnap, newSnap,
+        "event_id", "value")
+    }),
     // bigram-LM surprisal (context-conditioned KenLM-filter analog);
     // bigrams form row-locally from the token array
     "q_bigram_surprisal" -> ((s, d) =>

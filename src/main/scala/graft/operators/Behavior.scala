@@ -84,6 +84,43 @@ object Behavior {
         (col("n").cast("double") / col("row_total")).as("p"))
   }
 
+  /** Top event paths per 30-minute session — the path-analysis view
+    * behind every "how do users reach purchase" question: events
+    * sessionize by the lag-gap trick (a row opens a session when the
+    * gap to its predecessor exceeds `gapMinutes`; running sum of
+    * openers = session id), each session renders its ordered
+    * event-type path, and the top-K paths rank by frequency.
+    * Ordering inside a path is (ts, event_id) — totally ordered, so
+    * the collected path string is engine-independent. Gap seconds
+    * compare as integers (timestamp cast truncates µs in Spark; the
+    * oracle floor-divides epoch_us).
+    *
+    * Scale: one per-user window pass (keyed shuffle), one
+    * (user, session) agg whose collect_list is bounded by session
+    * length — a 30-minute human session is tens of events, not
+    * data-scale — then a path-keyed count and a distributed
+    * TakeOrdered top-K. No global sort of the data.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sec = col("ts").cast("long")
+    val gap = sec - lag(sec, 1).over(w)
+    val opens = when(gap.isNull || gap > lit(gapMinutes * 60L), 1L)
+      .otherwise(0L)
+    val sid = sum(opens)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    events.withColumn("sid", sid)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topK)
+  }
+
   /** Touch attribution: each purchase credits the LAST and the FIRST
     * preceding marketing touch (view / click / signup) of that user
     * — the two bookend models of multi-touch attribution. Purchases

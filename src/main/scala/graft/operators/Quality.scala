@@ -207,6 +207,27 @@ object Quality {
     * |types·24|-row frame; both periods aggregate in the same pass
     * (conditional sums), so the events are read and shuffled once.
     */
+  /** Snapshot diff (CDC audit): key-level reconciliation of two
+    * table snapshots — added / removed / changed / unchanged counts
+    * from ONE co-partitioned full-outer join on the key. The value
+    * comparison is raw stored-double equality (both sides read the
+    * same parquet encoding, so bit-equality is the right test; a
+    * tolerance belongs to the caller's projection). This is the audit
+    * every incremental-ingest pipeline runs between loads; at 100 TB
+    * both sides shuffle once on the key and nothing else moves.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                   valueCol: String): DataFrame = {
+    val o = oldDf.select(col(key).as("k"), col(valueCol).as("v_old"))
+    val n = newDf.select(col(key).as("k"), col(valueCol).as("v_new"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(when(col("v_old").isNull, "added")
+        .when(col("v_new").isNull, "removed")
+        .when(col("v_old") === col("v_new"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+  }
+
   def seasonalAnomaly(events: DataFrame,
                       splitAt: String = "2024-01-22 00:00:00",
                       tolNum: Long = 1L, tolDen: Long = 5L): DataFrame = {

@@ -646,6 +646,46 @@ object FraudOracles {
       |       (SELECT COUNT(*) FROM w JOIN p ON wa = p.a AND wb = p.b)
       |         AS n_triangles""".stripMargin
 
+  /** Mirror of Behavior.sessionPaths: lag-gap sessionize on integer
+    * seconds, ordered string_agg path, same top-k order.
+    */
+  private def sessionPathsSql: String =
+    s"""WITH o AS (SELECT user_id, event_id, event_type, ts,
+       |             $sec AS sec FROM events),
+       |g AS (SELECT user_id, event_id, event_type, ts, sec,
+       |        CASE WHEN lag(sec) OVER w IS NULL
+       |               OR sec - lag(sec) OVER w > 1800
+       |             THEN 1 ELSE 0 END AS opens
+       |      FROM o
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, event_id, event_type, ts,
+       |        SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM g),
+       |p AS (SELECT user_id, sid,
+       |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |      FROM s GROUP BY 1, 2),
+       |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+       |SELECT path, n_sessions FROM c
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  /** Mirror of Quality.snapshotDiff on the two derived event
+    * snapshots (eval side doubles the error rows' values).
+    */
+  private val snapshotDiffSql =
+    """WITH o AS (SELECT event_id AS k, value AS v_old FROM events
+      |           WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+      |n AS (SELECT event_id AS k,
+      |        CASE WHEN event_type = 'error' THEN value * 2
+      |             ELSE value END AS v_new
+      |      FROM events WHERE ts >= TIMESTAMP '2024-01-06 00:00:00'),
+      |j AS (SELECT CASE WHEN v_old IS NULL THEN 'added'
+      |                  WHEN v_new IS NULL THEN 'removed'
+      |                  WHEN v_old = v_new THEN 'unchanged'
+      |                  ELSE 'changed' END AS status
+      |      FROM o FULL OUTER JOIN n USING (k))
+      |SELECT status, COUNT(*) AS n_rows FROM j GROUP BY 1""".stripMargin
+
   /** Mirror of FeatureEng.rebalanceClasses/-Profile: same md5 16-bit
     * draw (nibble-CASE hex parse), same integer cross-multiplied
     * keep decision, per-class kept profile.
@@ -702,6 +742,8 @@ object FraudOracles {
     "q_triangles" -> trianglesSql,
     "q_seasonal_anomaly" -> seasonalAnomalySql,
     "q_rebalance" -> rebalanceSql,
+    "q_session_paths" -> sessionPathsSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
 
     "q_json_props" ->
       """SELECT event_id,

@@ -72,6 +72,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("sessionPaths: gap splits sessions; paths order by ts then id") {
+    val e = Seq(
+      (1L, 1L, "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2L, "click", Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, 3L, "purchase", Timestamp.valueOf("2024-01-01 00:20:00")),
+      (1L, 4L, "error", Timestamp.valueOf("2024-01-01 02:00:00")),
+      (2L, 5L, "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 6L, "view", Timestamp.valueOf("2024-01-01 00:40:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Behavior.sessionPaths(e).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out.head == (("view", 2L)), "u2's two singleton view sessions")
+    assert(out.toSet == Set(("view", 2L), ("view>click>purchase", 1L),
+      ("error", 1L)))
+  }
+
+  test("sessionPaths: exactly-30-minute gap does NOT split") {
+    val e = Seq(
+      (1L, 1L, "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2L, "click", Timestamp.valueOf("2024-01-01 00:30:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Behavior.sessionPaths(e).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("view>click", 1L)))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged partition the keys") {
+    val o = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("event_id", "value")
+    val n = Seq((2L, 2.0), (3L, 30.0), (4L, 4.0)).toDF("event_id", "value")
+    val out = Quality.snapshotDiff(o, n, "event_id", "value").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
+
   private def edges(rows: (Long, Long)*) = rows.toDF("src_a", "src_b")
 
   test("triangleCount: K4 has 4 wedges under orientation, all closed") {

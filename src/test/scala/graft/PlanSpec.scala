@@ -388,6 +388,23 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), s"plan:\n$plan")
   }
 
+  test("sessionPaths: top-k is TakeOrdered, window stays user-keyed") {
+    val plan = explainStr(Behavior.sessionPaths(t("events")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"path top-k must not globally sort:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), s"plan:\n$plan")
+  }
+
+  test("snapshotDiff: one co-partitioned full-outer join, no broadcast NLJ") {
+    val ev = t("events")
+    val plan = explainStr(Quality.snapshotDiff(
+      ev, ev.withColumnRenamed("value", "v").withColumnRenamed("v", "value"),
+      "event_id", "value"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("FullOuter"), s"plan:\n$plan")
+  }
+
   test("seasonalAnomaly: single partial+final pass, no join") {
     val plan = explainStr(Quality.seasonalAnomaly(t("events")))
     assert(!plan.contains("Join"), s"both periods must aggregate in one pass:\n$plan")
