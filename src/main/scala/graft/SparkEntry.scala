@@ -351,6 +351,14 @@ object SparkEntry {
     // ordered path render, distributed top-k)
     "q_session_paths" -> ((s, d) =>
       Behavior.sessionPaths(T(s, d)("events"))),
+    // RLHF-style preference pairs: best/worst per user via opposing
+    // deterministic windows (no engine-unspecified arg_max ties)
+    "q_preference_pairs" -> ((s, d) =>
+      ModelEval.preferencePairs(T(s, d)("events"))),
+    // hour-bucket burst flags vs the trailing-24h rate (integer
+    // cross-multiplied decision, RANGE window so silent hours count)
+    "q_burst_detect" -> ((s, d) =>
+      WindowedAggs.burstDetect(T(s, d)("events"))),
     // snapshot diff / CDC audit: added/removed/changed/unchanged from
     // one co-partitioned full-outer join (eval snapshot perturbs the
     // error rows so 'changed' is exercised)

@@ -99,4 +99,34 @@ object ModelEval {
         (sum(col("pred") * col("actual")).cast("double") /
           greatest(sum(col("actual")), lit(1L))).as("recall"))
   }
+
+  /** Preference-pair mining — the chosen/rejected extraction behind
+    * RLHF/DPO data prep: per group (the "prompt"), the best- and
+    * worst-scoring members with their margin. Selection is two
+    * opposing row_number windows over ONE keyed shuffle (same
+    * partitioning, Spark plans both in a single exchange); the
+    * opposite id tiebreaks guarantee a user whose scores all tie
+    * still yields two DISTINCT rows, and single-row groups
+    * self-pair and are dropped. No max_by/arg_max: their tie choice
+    * is engine-unspecified; the window spelling is deterministic
+    * everywhere.
+    */
+  def preferencePairs(events: DataFrame, key: String = "user_id",
+                      score: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(score).desc, col("event_id").desc)
+    val ww = Window.partitionBy(col(key))
+      .orderBy(col(score).asc, col("event_id").asc)
+    val r = events
+      .withColumn("rb", row_number().over(wb))
+      .withColumn("rw", row_number().over(ww))
+    val best = r.filter(col("rb") === 1).select(col(key),
+      col("event_id").as("best_event"), col(score).as("best_value"))
+    val worst = r.filter(col("rw") === 1).select(col(key),
+      col("event_id").as("worst_event"), col(score).as("worst_value"))
+    best.join(worst, key)
+      .filter(col("best_event") =!= col("worst_event"))
+      .withColumn("margin", col("best_value") - col("worst_value"))
+  }
 }

@@ -172,6 +172,35 @@ object WindowedAggs {
            min(col("ts")).as("session_start"))
       .drop("session_window")
 
+  /** Burst detection (Kleinberg-lite): per event type, an hour
+    * bucket bursts when its count exceeds `factor`× the trailing
+    * 24-hour PER-HOUR rate. The trailing sum comes from a keyed
+    * RANGE window (24 PRECEDING .. 1 PRECEDING on the integer hour
+    * bucket) — RANGE, not ROWS, so silent hours naturally contribute
+    * zero without a densify — and the rate divides by the fixed 24,
+    * making the flag the integer cross-multiplication
+    * n·24 > factor·sum: no FP in the decision. `trail_cnt` (observed
+    * buckets in the window) rides along as the sparsity audit. One
+    * grouped count, one keyed window: two shuffles on |types·hours|
+    * rows, never on the events.
+    */
+  def burstDetect(events: DataFrame, factor: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hb = (col("ts").cast("long") / lit(3600L)).cast("long")
+    val hourly = events.groupBy(col("event_type"), hb.as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_bucket")).rangeBetween(-24, -1)
+    hourly
+      .withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("trail_cnt", count(col("n")).over(w))
+      .filter(col("trail_cnt") > 0)
+      .select(col("event_type"), col("hour_bucket"), col("n"),
+        col("trail_sum"), col("trail_cnt"),
+        (col("n") * lit(24L) > lit(factor) * col("trail_sum"))
+          .as("burst"))
+  }
+
   /** Hourly gap-fill + dormancy profile per user: densify each user's
     * [first, last] activity range to an hourly spine (sequence +
     * explode — rows exist for silent hours too, the resample shape),

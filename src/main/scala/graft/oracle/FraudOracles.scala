@@ -669,6 +669,43 @@ object FraudOracles {
        |SELECT path, n_sessions FROM c
        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** Mirror of ModelEval.preferencePairs: the same two opposing
+    * ROW_NUMBER windows with opposite id tiebreaks.
+    */
+  private val preferencePairsSql =
+    """WITH r AS (SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id DESC) AS rb,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY value ASC, event_id ASC) AS rw
+      |  FROM events),
+      |b AS (SELECT user_id, event_id AS best_event, value AS best_value
+      |      FROM r WHERE rb = 1),
+      |w AS (SELECT user_id, event_id AS worst_event, value AS worst_value
+      |      FROM r WHERE rw = 1)
+      |SELECT user_id, best_event, best_value, worst_event, worst_value,
+      |  best_value - worst_value AS margin
+      |FROM b JOIN w USING (user_id)
+      |WHERE best_event <> worst_event""".stripMargin
+
+  /** Mirror of WindowedAggs.burstDetect: integer hour buckets, RANGE
+    * trailing window, n·24 > 2·sum integer decision.
+    */
+  private val burstDetectSql =
+    s"""WITH h AS (SELECT event_type, ($sec) // 3600 AS hour_bucket,
+       |             COUNT(*) AS n
+       |           FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, hour_bucket, n,
+       |        SUM(n) OVER w AS trail_sum,
+       |        COUNT(n) OVER w AS trail_cnt
+       |      FROM h
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+       |        RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour_bucket, n,
+       |  CAST(trail_sum AS BIGINT) AS trail_sum, trail_cnt,
+       |  n * 24 > 2 * trail_sum AS burst
+       |FROM t WHERE trail_cnt > 0""".stripMargin
+
   /** Mirror of Quality.snapshotDiff on the two derived event
     * snapshots (eval side doubles the error rows' values).
     */
@@ -744,6 +781,8 @@ object FraudOracles {
     "q_rebalance" -> rebalanceSql,
     "q_session_paths" -> sessionPathsSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_preference_pairs" -> preferencePairsSql,
+    "q_burst_detect" -> burstDetectSql,
 
     "q_json_props" ->
       """SELECT event_id,

@@ -129,6 +129,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L && r.getLong(2) == 1L)
   }
 
+  test("burstDetect: 10x hour flags; RANGE window sees distant buckets") {
+    def at(hour: Long, i: Int) = new Timestamp(hour * 3600000L + i * 1000L)
+    val rows =
+      (0 until 24).flatMap(h => Seq(("a", at(h, 0)))) ++ // 1/hour baseline
+        (0 until 10).map(i => ("a", at(24, i))) ++       // 10x spike
+        Seq(("a", at(25, 0))) ++                          // back to normal
+        (0 until 4).map(i => ("b", at(0, i))) ++          // sparse type
+        Seq(("b", at(20, 0)))
+    val out = graft.operators.WindowedAggs
+      .burstDetect(rows.toDF("event_type", "ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // spike hour: 10 events vs trailing sum 24 -> 10*24 > 2*24
+    assert(out(("a", 24L)) == ((10L, 24L, 24L, true)))
+    // next hour: trailing sum 23*1+10=33 -> 1*24 < 66
+    assert(out(("a", 25L)) == ((1L, 33L, 24L, false)))
+    // sparse type: hour 0 is 20 buckets back but within RANGE 24;
+    // rate vs trailing-24h: 1*24 > 2*4
+    assert(out(("b", 20L)) == ((1L, 4L, 1L, true)))
+    // hours with an empty trailing window never report
+    assert(!out.contains(("a", 0L)) && !out.contains(("b", 0L)))
+  }
+
   test("seasonalAnomaly: flags a drifted hour, passes a stable one") {
     // type 'a' hour 0: baseline mean 10, eval mean 20 (100% drift) ->
     // anomaly; type 'b' hour 0: stable at 10 -> clean

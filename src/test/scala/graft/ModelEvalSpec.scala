@@ -83,4 +83,19 @@ class ModelEvalSpec extends AnyFunSuite {
     val byT = out.sortBy(_.getDouble(0)).map(_.getDouble(5))
     assert(byT.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("preferencePairs: best/worst per group, ties split, singletons drop") {
+    val e = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 9.0), (1L, 3L, 1.0),
+      (2L, 4L, 3.0), // singleton: self-pairs, must drop
+      (3L, 5L, 7.0), (3L, 6L, 7.0) // all-tied group still yields a pair
+    ).toDF("user_id", "event_id", "value")
+    val out = graft.operators.ModelEval.preferencePairs(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((2L, 9.0, 3L, 1.0, 8.0)))
+    assert(out(3L) == ((6L, 7.0, 5L, 7.0, 0.0)),
+      "opposite id tiebreaks must pick distinct events on a full tie")
+    assert(!out.contains(2L))
+  }
 }

@@ -405,6 +405,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"plan:\n$plan")
   }
 
+  test("preferencePairs: both windows share one user-keyed exchange") {
+    val plan = explainStr(ModelEval.preferencePairs(t("events")))
+    val exchanges = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(plan).length
+    assert(exchanges <= 2, // best/worst branches of the self-join
+      s"opposing windows must not multiply exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+  }
+
+  test("burstDetect: window runs on hourly rollup rows, not events") {
+    val plan = explainStr(WindowedAggs.burstDetect(t("events")))
+    assert(plan.contains("partial_count"),
+      s"hourly counts must partial-aggregate before the window:\n$plan")
+    // plans print top-down: the Window line must precede (sit above)
+    // the rollup's HashAggregate
+    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"),
+      s"the window must sit above the rollup:\n$plan")
+  }
+
   test("seasonalAnomaly: single partial+final pass, no join") {
     val plan = explainStr(Quality.seasonalAnomaly(t("events")))
     assert(!plan.contains("Join"), s"both periods must aggregate in one pass:\n$plan")
