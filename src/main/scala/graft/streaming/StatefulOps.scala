@@ -262,6 +262,43 @@ object StatefulOps {
         })
   }
 
+  // ---- Markov transition stream (Behavior.eventTransitions twin) ----
+
+  final case class SeqEvent(key: String, eventId: Long, eventType: String,
+                            ts: Timestamp)
+  final case class TransitionOut(key: String, from_type: String,
+                                 to_type: String)
+  final case class LastState(tsMs: Long, eventId: Long, eventType: String)
+
+  /** Streaming twin of `Behavior.eventTransitions`: per-key state is
+    * ONE (last event) record — O(|keys|) total, the minimal possible
+    * state for a first-order chain — and each arriving event emits
+    * its (from, to) pair. Within a micro-batch events sort by
+    * (ts, eventId), the batch operator's exact tiebreak, so
+    * single-batch input reproduces the batch transition multiset
+    * row-for-row (StreamingSpec pins it). Cross-batch LATE arrivals
+    * chain in ARRIVAL order — the same documented divergence as
+    * [[sequenceScore]]: an event-time re-sort would need unbounded
+    * state, which is the trade this family refuses by design.
+    */
+  def transitions(events: Dataset[SeqEvent]): Dataset[TransitionOut] = {
+    implicit val se = Encoders.product[LastState]
+    implicit val oe = Encoders.product[TransitionOut]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[SeqEvent], st: GroupState[LastState]) => {
+          var last = st.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+            last.foreach(l => out += TransitionOut(key, l.eventType, e.eventType))
+            last = Some(LastState(e.ts.getTime, e.eventId, e.eventType))
+          }
+          last.foreach(st.update)
+          out.iterator
+        })
+  }
+
   // ---- S8: recent-N ring buffer ----
 
   final case class RecentN(key: String, ts: Timestamp, recent: Seq[Double])

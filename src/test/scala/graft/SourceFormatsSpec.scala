@@ -92,4 +92,27 @@ class SourceFormatsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("kafka"))
   }
+
+  test("parquet schema evolution: mergeSchema unifies, old files null-fill") {
+    // the ingest reality at 100 TB: files written months apart carry
+    // different schema versions; the reader must union them without a
+    // rewrite. v1 files lack the later `score` column.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve")
+      .toFile.getAbsolutePath
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .write.parquet(s"$root/p=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "tag", "score")
+      .write.parquet(s"$root/p=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(df.columns.toSet == Set("id", "tag", "score", "p"))
+    val byId = df.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[Any]("score"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty, "v1 rows null-fill")
+    assert(byId(3L).contains(0.5) && byId(4L).contains(0.9))
+    // and column pruning still reaches the scan across both versions
+    val scan = df.select("id").queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<id:bigint>"), scan)
+  }
 }

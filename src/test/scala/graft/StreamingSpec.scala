@@ -108,6 +108,48 @@ class StreamingSpec extends AnyFunSuite {
     def toMap2: Map[A, (B, C)] = xs.map { case (a, b, c) => a -> (b, c) }.toMap
   }
 
+  test("streaming transitions match batch eventTransitions on one batch") {
+    import graft.streaming.StatefulOps.SeqEvent
+    val rows = Seq(
+      SeqEvent("u1", 1L, "view", t(0)), SeqEvent("u1", 2L, "click", t(1)),
+      SeqEvent("u1", 3L, "purchase", t(2)),
+      // same-ts pair: the eventId tiebreak must order 4 before 5
+      SeqEvent("u2", 4L, "view", t(0)), SeqEvent("u2", 5L, "click", t(0)))
+    val in = MemoryStream[SeqEvent](spark)
+    in.addData(rows: _*)
+    val streamed = runToMemory(StatefulOps.transitions(in.toDS()).toDF())
+      .groupBy($"from_type", $"to_type").count()
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.operators.Behavior.eventTransitions(
+      rows.toDF("user_id", "event_id", "event_type", "ts"))
+      .select($"from_type", $"to_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(("view", "click", 2L), ("click", "purchase", 1L)))
+  }
+
+  test("streaming transitions chain cross-batch; late events in ARRIVAL order") {
+    import graft.streaming.StatefulOps.SeqEvent
+    val in = MemoryStream[SeqEvent](spark)
+    qn += 1
+    val name = s"out$qn"
+    val q = StatefulOps.transitions(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(SeqEvent("u1", 1L, "view", t(0)))
+    q.processAllAvailable()
+    // batch 2: a normal successor plus a LATE event (earlier ts) —
+    // the late row chains from the last ARRIVED state, not by event time
+    in.addData(SeqEvent("u1", 3L, "purchase", t(5)))
+    q.processAllAvailable()
+    in.addData(SeqEvent("u1", 2L, "click", t(1)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name)
+      .select($"from_type", $"to_type").as[(String, String)].collect().toList
+    assert(out == List(("view", "purchase"), ("purchase", "click")))
+  }
+
   test("streaming ingest dedups against a static corpus (anti-join)") {
     // the streaming face of Dedup.incrementalDedup's exact-hash stage:
     // a stream-static LEFT ANTI join on md5(text) — corpus hashes are
