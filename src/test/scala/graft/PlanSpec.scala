@@ -438,6 +438,41 @@ class PlanSpec extends AnyFunSuite {
       s"no row-side shuffle join:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime half of the skew story (the authored half is the
+    // salted co-occurrence path): one hot key dominating a shuffle
+    // partition must be split by OptimizeSkewedJoin, not ride one
+    // task. Thresholds shrunk to fixture scale; broadcast disabled so
+    // the join actually shuffles.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = (1 to 30000).map(i => (0L, s"payload_left_$i")) ++
+        (1 to 300).map(i => (i.toLong, "cold"))
+      val dim = (0 to 300).map(i => (i.toLong, s"right_$i"))
+      val joined = hot.toDF("k", "l").join(dim.toDF("k", "r"), "k")
+      // collect() on the SAME frame so ITS QueryExecution runs and the
+      // adaptive plan finalizes (count() would execute a sibling plan)
+      assert(joined.collect().length == 30300)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"hot key must trigger OptimizeSkewedJoin:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter injects a might_contain prune on the fact side") {
     // the runtime-filter lever that matters at 100 TB: a selective
     // dimension filter becomes a bloom filter applied at the fact scan,
