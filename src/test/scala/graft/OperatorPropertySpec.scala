@@ -244,4 +244,48 @@ class OperatorPropertySpec extends AnyFunSuite {
         neg.forall { case (_, it) => rows.exists(_._2 == it) }
     })
   }
+
+  private val genGraph = for {
+    n <- Gen.choose(2, 10)
+    edges <- Gen.listOf(for {
+      a <- Gen.choose(1L, n.toLong)
+      b <- Gen.choose(1L, n.toLong)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  test("triangleCount equals the brute-force triple count on random graphs") {
+    check(Prop.forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        val e = edges.toSet
+        val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        val brute = nodes.combinations(3).count { case Seq(a, b, c) =>
+          e((a, b)) && e((b, c)) && e((a, c)) }
+        val got = Joins.triangleCount(edges.toDF("src_a", "src_b"))
+          .collect().head
+        got.getLong(0) == edges.size.toLong &&
+          got.getLong(2) == brute.toLong
+      }
+    })
+  }
+
+  test("eventTransitions: row totals and counts match the brute chain") {
+    check(Prop.forAll(genEvents) { rows =>
+      // unique (key, ts) per user so the chain order is unambiguous
+      // without relying on the event_id tiebreak (tested separately)
+      val uniq = rows.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), vs) => (k, t, vs.head._3) }.toSeq
+      val df = uniq.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, i.toLong, if (v < 500) "a" else "b", new Timestamp(t * 1000)) }
+      val out = graft.operators.Behavior.eventTransitions(
+          df.toDF("user_id", "event_id", "event_type", "ts"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val brute = df.groupBy(_._1).values.flatMap { evs =>
+        evs.sortBy(e => (e._4.getTime, e._2)).map(_._3)
+          .sliding(2).filter(_.size == 2).map(p => (p(0), p(1)))
+      }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      out == brute
+    })
+  }
 }
