@@ -334,11 +334,16 @@ object SparkEntry {
     // bookend (first/last-touch) purchase attribution with exact revenue
     "q_attribution" -> ((s, d) =>
       Behavior.attribution(T(s, d)("events"))),
-    // triangle count over the >=2-shared-parts co-supply graph via
-    // degree-ordered orientation (wedge volume O(m*sqrt(m)))
+    // triangle count over the top-10-per-node SPARSIFIED co-supply
+    // graph (kNN-graph clustering structure). The raw >=2-shared
+    // graph is complete on TPC-H data — C(n,2) edges — and triangle
+    // counting on a complete graph is Theta(n^3) in ANY engine; the
+    // top-k sparsifier is the standard dense-regime move and keeps
+    // edges at O(10n), wedges bounded, at every scale
     "q_triangles" -> ((s, d) =>
       Joins.triangleCount(Joins.coOccurrenceDense(
-        T(s, d)("lineitem"), "l_suppkey", "l_partkey", minShared = 2L))),
+        T(s, d)("lineitem"), "l_suppkey", "l_partkey",
+        minShared = 2L, topNPerSrc = 10))),
     // seasonal hour-of-day baseline vs eval-period drift flags
     // (integer cross-multiplied tolerance test)
     "q_seasonal_anomaly" -> ((s, d) =>
@@ -500,6 +505,18 @@ object SparkEntry {
         .groupBy("user_id", "ts")
         .agg(org.apache.spark.sql.functions.max("value").as("profile_value"))
       Joins.asOfJoin(
+        ev.select("event_id", "user_id", "ts", "value"),
+        updates, "user_id", "ts", "profile_value")
+    }),
+    // the same point-in-time lookup through the NATIVE sort-merge
+    // as-of operator (custom LogicalPlan + Strategy + BinaryExecNode);
+    // oracle-identical to q_asof_join by construction
+    "q_asof_native" -> ((s, d) => {
+      val ev = T(s, d)("events")
+      val updates = ev.filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(org.apache.spark.sql.functions.max("value").as("profile_value"))
+      Joins.asOfJoinNative(
         ev.select("event_id", "user_id", "ts", "value"),
         updates, "user_id", "ts", "profile_value")
     }),

@@ -82,6 +82,30 @@ object Joins {
       .drop("_is_l")
   }
 
+  /** Native sort-merge AS-OF join (graft.plans.AsOfJoinNode): same
+    * rows as [[asOfJoin]] (property-pinned), but as the single-pass
+    * two-iterator merge a native engine runs — no union stream, no
+    * window state carrying every left payload column, O(1) held
+    * state per partition. The key exchanges and (key, ts) sorts come
+    * from the exec's required distribution/ordering, so
+    * EnsureRequirements plans it exactly like a shuffled equi-join.
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, valueCol: String): DataFrame = {
+    require(!left.columns.contains(valueCol),
+      s"asOfJoinNative would duplicate left column '$valueCol'")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val l = left.queryExecution.analyzed
+    val r = right.select(col(key), col(ts), col(valueCol))
+      .queryExecution.analyzed
+    org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark,
+      graft.plans.AsOfJoinNode(l, r, key, ts, Seq(valueCol)))
+  }
+
   /** J5-style banded join: both sides keyed by a derived amount band,
     * pre-aggregated per band BEFORE the join so the join cardinality
     * is |bands|, not |rows|² — the scale-safe form of the reference's

@@ -626,9 +626,14 @@ object FraudOracles {
     */
   private val trianglesSql =
     """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS v FROM lineitem),
-      |p AS (SELECT a.s AS a, b.s AS b FROM e a JOIN e b
-      |      ON a.v = b.v AND a.s < b.s
-      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |pr AS (SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS shared
+      |       FROM e a JOIN e b ON a.v = b.v AND a.s < b.s
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |p AS (SELECT src_a AS a, src_b AS b FROM (
+      |        SELECT src_a, src_b,
+      |          ROW_NUMBER() OVER (PARTITION BY src_a
+      |            ORDER BY shared DESC, src_b) AS rn
+      |        FROM pr) WHERE rn <= 10),
       |d AS (SELECT node, COUNT(*) AS deg FROM (
       |        SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p)
       |      GROUP BY 1),
@@ -861,6 +866,13 @@ object FraudOracles {
     // implementation (Joins.asOfJoin); >= makes same-instant updates
     // visible, matching the (ts, right-before-left) sort order.
     "q_asof_join" ->
+      """WITH upd AS (SELECT user_id, ts, MAX(value) AS profile_value
+        |             FROM events WHERE event_type = 'signup'
+        |             GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, u.profile_value
+        |FROM events e ASOF LEFT JOIN upd u
+        |  ON e.user_id = u.user_id AND e.ts >= u.ts""".stripMargin,
+    "q_asof_native" ->
       """WITH upd AS (SELECT user_id, ts, MAX(value) AS profile_value
         |             FROM events WHERE event_type = 'signup'
         |             GROUP BY user_id, ts)

@@ -245,6 +245,25 @@ class OperatorPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("asOfJoinNative emits the same rows as the window asOfJoin") {
+    check(Prop.forAll(genEvents, genEvents) { (lrows, rrows0) =>
+      val rrows = rrows0.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+      val left = lrows.zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, new Timestamp(t * 1000), v) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val right = rrows
+        .map { case (k, t, v) => (k, new Timestamp(t * 1000), v) }
+        .toDF("user_id", "ts", "profile_value")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getDouble(3), Option(r.get(4)))).toSet
+      rows(Joins.asOfJoinNative(left, right,
+          "user_id", "ts", "profile_value")) ==
+        rows(Joins.asOfJoin(left, right, "user_id", "ts", "profile_value"))
+    })
+  }
+
   private val genGraph = for {
     n <- Gen.choose(2, 10)
     edges <- Gen.listOf(for {

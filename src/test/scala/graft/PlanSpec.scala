@@ -438,6 +438,22 @@ class PlanSpec extends AnyFunSuite {
       s"no row-side shuffle join:\n$plan")
   }
 
+  test("native as-of join: merge exec over keyed exchanges, no Window") {
+    val ev = t("events")
+    val updates = ev.filter(org.apache.spark.sql.functions
+        .col("event_type") === "signup")
+      .groupBy("user_id", "ts")
+      .agg(org.apache.spark.sql.functions.max("value").as("pv"))
+    val plan = explainStr(Joins.asOfJoinNative(
+      ev.select("event_id", "user_id", "ts", "value"),
+      updates, "user_id", "ts", "pv"))
+    assert(plan.contains("AsOfJoin"), s"plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the native form must not fall back to the union+window:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"both sides must co-partition on the key:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // the runtime half of the skew story (the authored half is the
     // salted co-occurrence path): one hot key dominating a shuffle
