@@ -364,6 +364,13 @@ object SparkEntry {
     // cross-multiplied decision, RANGE window so silent hours count)
     "q_burst_detect" -> ((s, d) =>
       WindowedAggs.burstDetect(T(s, d)("events"))),
+    // group-aware k-fold CV assignment profile (user-keyed folds, no
+    // group leakage by construction; exact per-fold balance audit)
+    "q_kfold" -> ((s, d) =>
+      FeatureEng.kfoldProfile(T(s, d)("events"))),
+    // equi-width value histogram (FLOOR in FP before any cast)
+    "q_histogram" -> ((s, d) =>
+      FeatureEng.valueHistogram(T(s, d)("events"))),
     // snapshot diff / CDC audit: added/removed/changed/unchanged from
     // one co-partitioned full-outer join (eval snapshot perturbs the
     // error rows so 'changed' is exercised)

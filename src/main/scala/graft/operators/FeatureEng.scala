@@ -285,6 +285,35 @@ object FeatureEng {
       .filter(d16 * col("cnt") < col("minc") * lit(65536L))
   }
 
+  /** Group-aware k-fold assignment profile — cross-validation folds
+    * keyed by the GROUP (user), not the row, so no user's data
+    * straddles folds (the group-leakage mistake row-hashed folds
+    * make when rows within a user correlate). Fold = 16-bit md5 draw
+    * of the user id mod k; the profile reports per-fold row/user
+    * volume and the exact mean value, the balance audit run before
+    * trusting a CV estimate. Row-local fold math, one partial+final
+    * agg — nothing shuffles but the |k|-row profile.
+    */
+  def kfoldProfile(events: DataFrame, k: Int = 5): DataFrame = {
+    val fold = pmod(conv(substring(
+      md5(concat(lit("fold:"), col("user_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long"), lit(k.toLong))
+    events.groupBy(fold.as("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        davg(col("value")).as("avg_value"))
+  }
+
+  /** Equi-width value histogram per event type: bin = floor(v/width)
+    * (FLOOR before any cast — DuckDB's double→BIGINT cast rounds
+    * where Spark truncates, so the floor must happen in FP in both
+    * engines). One partial+final agg; output is |types·bins| rows.
+    */
+  def valueHistogram(events: DataFrame, width: Double = 50.0): DataFrame =
+    events.groupBy(col("event_type"),
+        floor(col("value") / lit(width)).as("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("bin_sum"))
+
   /** Oracle-facing profile of [[rebalanceClasses]]: per class the
     * original and kept counts with the achieved rate (int/int single
     * division, exact).

@@ -750,6 +750,33 @@ object FraudOracles {
        |FROM g JOIN c USING (event_type)""".stripMargin
   }
 
+  /** Mirror of FeatureEng.kfoldProfile: same nibble-horner 16-bit
+    * draw on the user id, mod 5, exact davg.
+    */
+  private def kfoldSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    def nib(pos: Int) = s"(CASE substr(h, $pos, 1) $nibble END)"
+    s"""WITH e2 AS (SELECT value, user_id,
+       |    md5('fold:' || CAST(user_id AS VARCHAR)) AS h FROM events),
+       |f AS (SELECT value, user_id,
+       |        CAST((${nib(1)} * 4096 + ${nib(2)} * 256
+       |          + ${nib(3)} * 16 + ${nib(4)}) % 5 AS BIGINT) AS fold
+       |      FROM e2)
+       |SELECT fold, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${davg("value")} AS avg_value
+       |FROM f GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of FeatureEng.valueHistogram: FLOOR in FP before the
+    * BIGINT cast (DuckDB's double cast rounds; Spark truncates).
+    */
+  private val histogramSql =
+    s"""SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+       |  COUNT(*) AS n, ${dsum("value")} AS bin_sum
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Mirror of Quality.seasonalAnomaly: scaled-BIGINT conditional
     * sums in one grouped pass; the anomaly flag is pure integer
     * cross-multiplication, the means the same single divisions.
@@ -788,6 +815,8 @@ object FraudOracles {
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_preference_pairs" -> preferencePairsSql,
     "q_burst_detect" -> burstDetectSql,
+    "q_kfold" -> kfoldSql,
+    "q_histogram" -> histogramSql,
 
     "q_json_props" ->
       """SELECT event_id,

@@ -248,6 +248,28 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(nk == expectBig)
   }
 
+  test("kfold: user-keyed folds — no user straddles folds") {
+    val d = (1L to 300L).map(i => (i % 40, i, 1.0 * i))
+      .toDF("user_id", "event_id", "value")
+    val prof = graft.operators.FeatureEng.kfoldProfile(d).collect()
+    // group-aware: per-fold user counts partition the user set exactly
+    assert(prof.map(_.getLong(2)).sum == 40L)
+    assert(prof.map(_.getLong(1)).sum == 300L)
+    // direct check: each user's rows carry one fold
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fold0 = Integer.parseInt(md5hex("fold:0").take(4), 16) % 5
+    assert(prof.exists(r => r.getLong(0) == fold0))
+  }
+
+  test("histogram: floor-before-cast bin boundaries are exact") {
+    val d = Seq(("a", 0.0), ("a", 49.999), ("a", 50.0), ("a", 99.9),
+      ("a", 100.0)).toDF("event_type", "value")
+    val out = graft.operators.FeatureEng.valueHistogram(d).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("correlation: perfect positive linear feature pair gives r = 1") {
     // value = 10 * hour  →  r must be exactly 1 within the exact-agg
     // quantization (scaled sums are exact, so r lands within 1e-9)
