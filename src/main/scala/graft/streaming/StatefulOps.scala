@@ -299,6 +299,59 @@ object StatefulOps {
         })
   }
 
+  // ---- burst detection stream (WindowedAggs.burstDetect twin) ----
+
+  final case class Tick(key: String, ts: Timestamp)
+  final case class BurstOut(key: String, hourBucket: Long, n: Long,
+                            trailSum: Long, trailCnt: Long, burst: Boolean)
+  final case class BurstState(buckets: Map[Long, Long])
+
+  /** Streaming twin of `WindowedAggs.burstDetect`: per-key state is
+    * the trailing 25 hour-bucket counts (pruned against the max seen
+    * bucket — bounded at 25 longs per key, the RANGE-window frame
+    * made explicit). Each micro-batch folds its events into the
+    * bucket counts and emits one row per TOUCHED bucket with the
+    * trailing-24h stats and the same integer n·24 > factor·sum
+    * decision. Single-batch input reproduces the batch operator's
+    * rows exactly (StreamingSpec pins it); across batches, a
+    * bucket's row re-emits with updated counts as late events land
+    * (update-style output), and buckets older than the kept frame
+    * stop updating — the explicit staleness bound.
+    */
+  def burstStream(events: Dataset[Tick], factor: Long = 2L)
+      : Dataset[BurstOut] = {
+    implicit val se = Encoders.product[BurstState]
+    implicit val oe = Encoders.product[BurstOut]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[Tick], st: GroupState[BurstState]) => {
+          var buckets = st.getOption.map(_.buckets).getOrElse(Map.empty)
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          it.foreach { e =>
+            val b = e.ts.getTime / 3600000L
+            buckets = buckets.updated(b, buckets.getOrElse(b, 0L) + 1L)
+            touched += b
+          }
+          if (buckets.nonEmpty) {
+            val maxB = buckets.keysIterator.max
+            buckets = buckets.filter { case (b, _) => b >= maxB - 25 }
+          }
+          st.update(BurstState(buckets))
+          touched.iterator.flatMap { b =>
+            val trail = buckets.filter { case (tb, _) =>
+              tb >= b - 24 && tb <= b - 1 }
+            val tSum = trail.valuesIterator.sum
+            val tCnt = trail.size.toLong
+            if (tCnt > 0) {
+              val n = buckets(b)
+              Some(BurstOut(key, b, n, tSum, tCnt,
+                n * 24L > factor * tSum))
+            } else None
+          }.toSeq.iterator
+        })
+  }
+
   // ---- S8: recent-N ring buffer ----
 
   final case class RecentN(key: String, ts: Timestamp, recent: Seq[Double])

@@ -128,6 +128,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set(("view", "click", 2L), ("click", "purchase", 1L)))
   }
 
+  test("streaming burst detection matches batch burstDetect on one batch") {
+    import graft.streaming.StatefulOps.Tick
+    def at(hour: Long, i: Int) = new Timestamp(hour * 3600000L + i * 1000L)
+    val rows =
+      (0 until 24).map(h => Tick("a", at(h.toLong, 0))) ++
+        (0 until 10).map(i => Tick("a", at(24, i))) ++
+        Seq(Tick("a", at(25, 0))) ++
+        (0 until 4).map(i => Tick("b", at(0, i))) ++ Seq(Tick("b", at(20, 0)))
+    val in = MemoryStream[Tick](spark)
+    in.addData(rows: _*)
+    val streamed = runToMemory(StatefulOps.burstStream(in.toDS()).toDF())
+      .select($"key", $"hourBucket", $"n", $"trailSum", $"trailCnt", $"burst")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    val batch = graft.operators.WindowedAggs.burstDetect(
+      rows.map(t => (t.key, t.ts)).toDF("event_type", "ts"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (k, b, _, _, _, f) => k == "a" && b == 24 && f })
+  }
+
   test("streaming transitions chain cross-batch; late events in ARRIVAL order") {
     import graft.streaming.StatefulOps.SeqEvent
     val in = MemoryStream[SeqEvent](spark)
