@@ -919,9 +919,9 @@ object DocOracles {
         |  FROM documents)
         |SELECT doc_id, lang, n_tok, cum_tok FROM (
         |  SELECT doc_id, lang, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY lang
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
         |      ORDER BY n_tok DESC, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         |  FROM d)
         |WHERE cum_tok <= 2000""".stripMargin,
     "q_knn_label" -> knnLabelSql,

@@ -95,6 +95,33 @@ class CatalystSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("HexHighBits truncation contract: bits beyond input length read only input.length digits") {
+    val s2 = spark
+    import s2.implicits._
+    val digests = Seq("ffffffffffffffffffffffffffffffff", // 32 chars, all-high
+                      "00000000ffffffff",                 // 16 chars
+                      "f",                                // 1 char
+                      "").toDF("h")                       // empty -> mask 0
+    val rows = digests.select(
+        graft.plans.HexHighBits(col("h"), 64).as("m64"),
+        graft.plans.HexHighBits(col("h"), 32).as("m32"),
+        length(col("h")).as("len"))
+      .collect()
+    rows.foreach { r =>
+      val (m64, m32, len) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      // bits=64 over a <=32-char input is capped at input length: identical
+      // to the bits=32 mask, never garbage past the end
+      assert(m64 == m32, s"len=$len: m64=$m64 m32=$m32")
+      // no bit at or above position len can be set
+      if (len < 64) assert((m64 >>> len) == 0L, s"bits past input set: len=$len m=$m64")
+    }
+    assert(rows.find(_.getInt(2) == 0).get.getLong(0) == 0L)
+    // bits outside 1..64 is rejected at analysis, not silently truncated
+    intercept[Exception] {
+      digests.select(graft.plans.HexHighBits(col("h"), 65)).collect()
+    }
+  }
+
   test("haversine_km is SQL-callable and rewrite rule fires only when enabled") {
     val s2 = spark
     GraftExtensions.install(s2)

@@ -376,6 +376,48 @@ class DocOpsSpec extends AnyFunSuite {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("containment prefix filter is lossless vs the direct self-join and audits candidates") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    // direct (pre-r6) form: full capped shingle self-join
+    val sh = Dedup.shingles(docs, 3, 1000)
+    val interDirect = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val nDirectPairs = interDirect.count()
+    val obs = org.apache.spark.sql.Observation("containment_audit")
+    val fast = Dedup.containmentPairs(docs, threshold = 0.8, audit = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // equivalence against the direct form's final output; an unbounded
+    // df cap makes shingles() yield exactly the uncapped n-gram sets
+    val direct = {
+      val full = Dedup.shingles(docs, 3, Long.MaxValue)
+        .groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      interDirect
+        .join(full.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("nsh", "na"), "doc_a")
+        .join(full.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("cont_ab", col("inter").cast("double") / col("na"))
+        .withColumn("cont_ba", col("inter").cast("double") / col("nb"))
+        .filter(col("cont_ab") >= 0.8 || col("cont_ba") >= 0.8)
+        .select("doc_a", "doc_b", "cont_ab", "cont_ba")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+    }
+    assert(fast == direct,
+      s"prefix filter changed output: only-fast=${(fast -- direct).take(3)} " +
+        s"only-direct=${(direct -- fast).take(3)}")
+    // the audit observed, and the prefix join examined FEWER candidate
+    // pairs than the direct self-join materializes
+    val m = obs.get
+    val nCand = m("n_candidates").asInstanceOf[Long]
+    assert(nCand > 0 && nCand <= nDirectPairs,
+      s"candidates $nCand vs direct pairs $nDirectPairs")
+    assert(m("n_join_rows").asInstanceOf[Long] >= nCand)
+  }
+
   test("vocabEncode: frequent tokens get small ids, OOV gets 0, positions hold") {
     val d = Seq((1L, "aa bb aa cc"), (2L, "aa bb zz")).toDF("doc_id", "text")
     val out = TextAnalysis.vocabEncode(d, vocabSize = 2)

@@ -6,7 +6,14 @@ DuckDB over the same parquet tables and compares against the Spark
 parquet dumps. Flags both hard mismatches and floats that are close but
 not bit-identical (the driver hash-compares, so we aim for bit-equal).
 
-Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-run] [--only q1,q2]
+Strict dtype checking is ON by default: Arrow schema types of the Spark
+dump and the DuckDB oracle result are compared after a width-normalizing
+map (int8..int64 -> int, timestamps unit-normalized) that still keeps
+DuckDB HUGEINT (decimal128) distinct from BIGINT — the exact class the
+driver's type-sensitive hash rejects while str()-comparison passes.
+Pass --lax to skip the dtype gate.
+
+Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-run] [--only q1,q2] [--lax]
 """
 import json
 import math
@@ -17,6 +24,48 @@ from pathlib import Path
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+
+def norm_type(t) -> str:
+    """Collapse representation-level width differences the driver
+    tolerates, keep semantic type family differences it rejects."""
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # the driver compares through pandas, where date32 and
+        # timestamp both land as datetime64 — driver-green queries
+        # legitimately mix them (e.g. date_trunc vs DuckDB DATE)
+        return "timestamp"
+    if pa.types.is_integer(t):
+        return "int"          # int8..int64, signed/unsigned widths collapse
+    if pa.types.is_floating(t):
+        return "float"        # float32/float64 collapse
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"  # HUGEINT shows up here
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{norm_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def dtype_issues(spark_schema, oracle_schema):
+    s = {f.name: norm_type(f.type) for f in spark_schema}
+    o = {f.name: norm_type(f.type) for f in oracle_schema}
+    out = []
+    for c in sorted(set(s) & set(o)):
+        # an all-NULL oracle column (e.g. CAST(NULL AS ...) edge) is fine
+        if s[c] != o[c] and "null" not in (s[c], o[c]):
+            out.append(f"DTYPE MISMATCH col={c}: spark={s[c]} oracle={o[c]}")
+    return out
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -89,6 +138,7 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    strict = "--lax" not in sys.argv
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -96,14 +146,20 @@ def main():
             continue
         spark_glob = f"{outdir}/{name}/*.parquet"
         try:
-            sdf = con.sql(f"SELECT * FROM '{spark_glob}'").df()
+            srel = con.sql(f"SELECT * FROM '{spark_glob}'")
+            sarrow = srel.arrow()
+            sdf = sarrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
         try:
-            odf = con.sql(sql).df()
+            orel = con.sql(sql)
+            oarrow = orel.arrow()
+            odf = oarrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         issues = compare(name, sdf, odf)
+        if strict:
+            issues += dtype_issues(sarrow.schema, oarrow.schema)
         if issues:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} rows)")
