@@ -27,7 +27,15 @@ import scala.collection.mutable.ArrayBuffer
   *     >5x the reference, up to two spaced retry runs attempt a clean
   *     reading (contamination only ever inflates, so taking the min of
   *     retries is sound); a query that stays >5x after retries is
-  *     listed in `"suspect"` with its reference value alongside.
+  *     listed in `"suspect"` with its reference value alongside;
+  *  5. a RUN-level gate catches the uniform drift the per-query
+  *     threshold cannot see (observed: every query ~1.35x slow under
+  *     ambient load, zero suspects): if the suspect-substituted total
+  *     exceeds 1.25x the reference total, one full extra pass
+  *     re-measures every query (min is sound — contention only
+  *     inflates), and a run still over the gate is stamped
+  *     `"run_suspect": true` so no contended artifact can present
+  *     itself as clean again.
   *
   * Query failures are NOT folded into the timings: a query that fails
   * every attempt is reported under `"errors"` and excluded from
@@ -82,16 +90,17 @@ object Bench {
     // amortized away at scale); run 2 is the steady-state per-query
     // time a cluster run would see. Measured: q_ann_lsh 5.5s cold vs
     // 0.93s steady on identical data.
-    val timings = Seq.newBuilder[(String, Double)]
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = Seq.newBuilder[(String, String)]
-    val allRuns = Seq.newBuilder[(String, Seq[Double])]
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[Double]]()
     val loads = Seq.newBuilder[(String, (Double, Double))]
     val suspects = Seq.newBuilder[(String, Double, Double)] // name, value, ref
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val benchQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    benchQueries
       .foreach { case (name, fn) =>
         def once(): Either[String, Double] = {
           val t0 = System.nanoTime()
@@ -133,10 +142,10 @@ object Bench {
         }
         val lAfter = load1()
         if (ok.nonEmpty) {
-          timings += name -> value
+          timings(name) = value
           if (bad.nonEmpty) errors += name -> s"flaky (${bad.size} failed attempt(s)): ${bad.head}"
         } else errors += name -> bad.head
-        allRuns += name -> ok.toSeq
+        allRuns(name) = ok
         loads += name -> (lBefore, lAfter)
         // operators cache internal views (signatures, prepared vectors);
         // drop them between queries so the ~120x2 runs don't accumulate
@@ -145,9 +154,52 @@ object Bench {
         graft.operators.OperatorCaches.releaseAll()
         spark.catalog.clearCache()
       }
-    val results = timings.result()
     val failed = errors.result()
+    // == Run-level drift gate (round-6 verdict item 1) ==
+    // The per-query 5x suspect threshold is blind to UNIFORM ambient
+    // drift: observed round 6, every query ~1.35x slow under ~6 cores
+    // of ambient load, one suspect flagged, artifact presented as
+    // clean. Judge the RUN against the committed reference: over
+    // queries both sides know, effective-total / reference-total
+    // (per-query suspects substituted, same rule as clean_total). If
+    // the ratio exceeds 1.25x, ONE full extra pass re-measures every
+    // query (contention only inflates, so min is sound); a run still
+    // above the gate after that pass is stamped "run_suspect": true —
+    // the loadavg evidence is already in "load"/"load_start".
+    val refJoint = timings.keys.filter(reference.contains).toSeq
+    val refJointTotal = refJoint.map(reference).sum
+    def effective(k: String): Double = {
+      val v = timings(k); val r = reference(k)
+      if (v > 5 * r) r else v
+    }
+    def driftNow(): Double =
+      if (refJoint.isEmpty || refJointTotal <= 0) 1.0
+      else refJoint.map(effective).sum / refJointTotal
+    var runRetried = false
+    if (driftNow() > 1.25) {
+      runRetried = true
+      benchQueries.foreach { case (name, fn) =>
+        if (timings.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            allRuns(name) += t
+            if (t < timings(name)) timings(name) = t
+          } catch { case _: Throwable => () } // keep the surviving reading
+          graft.operators.OperatorCaches.releaseAll()
+          spark.catalog.clearCache()
+        }
+      }
+    }
+    val runDrift = driftNow()
+    val runSuspect = runRetried && runDrift > 1.25
+    // recompute per-query suspects from FINAL values: the drift-gate
+    // pass may have produced a clean reading for a flagged query
     val suspectList = suspects.result()
+      .map { case (k, _, ref) => (k, timings(k), ref) }
+      .filter { case (_, v, ref) => v > 5 * ref }
+    val results = timings.toSeq
     val loadEnd = load1()
     def esc(s: String): String =
       s.flatMap {
@@ -159,7 +211,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = failed.map { case (k, m) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")
-    val runsJson = allRuns.result()
+    val runsJson = allRuns.toSeq
       .map { case (k, rs) => "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val loadJson = loads.result()
@@ -174,7 +226,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"run_drift":${r3(runDrift)},"run_retried":$runRetried,"run_suspect":$runSuspect,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries, one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
@@ -190,7 +242,7 @@ object Bench {
       val susp = suspectList.take(n)
         .map { case (k, v, ref) => "\"" + k + s"""\":{"value":${r3(v)},"ref":$ref}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"run_drift":${r3(runDrift)},"run_suspect":$runSuspect,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
     }
     // hard guarantee the line fits the driver's capture window even if
     // query names grow: shrink the slowest-N list until it does

@@ -24,13 +24,16 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Dedup {
 
-  /** Test observability hook: number of driver-coordinated rounds the
-    * last [[connectedComponents]] call took (seed round excluded).
-    * Pointer jumping makes this O(log diameter); DedupSpec pins the
-    * bound on a worst-case chain so a regression to hop-only
-    * propagation (linear rounds) fails a test, not a 100-TB job.
+  /** Per-call audit sink for [[connectedComponents]]: receives the
+    * number of driver-coordinated rounds the call took (seed round
+    * excluded). A caller-owned sink, not a global, so concurrent
+    * calls (parallel test suites in one JVM) cannot clobber each
+    * other's counts. Pointer jumping makes the count O(log diameter);
+    * DedupSpec pins the bound on worst-case chain shapes so a
+    * regression to hop-only propagation (linear rounds) fails a
+    * test, not a 100-TB job.
     */
-  private[graft] val LastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+  final class CcAudit { @volatile var rounds: Int = -1 }
 
   /** Exact dedup: hash-groupBy on the full text. Output one row per
     * distinct text with its multiplicity and the id to keep.
@@ -191,36 +194,70 @@ object Dedup {
     * (pre-dedup prefix-join volume) — the 100-TB safety gauge the
     * round-5 verdict asked for; retrieve with `obs.get` after the
     * first action.
+    *
+    * `prefixFilter`: Some(true/false) forces the prefix-filtered or
+    * direct form; None (default) auto-selects by corpus size against
+    * [[ContainmentPrefixMinDocs]] — the prefix prelude is measured
+    * overhead on small corpora while its candidate reduction is what
+    * keeps the join volume bounded on large ones. Both forms produce
+    * identical output (DocOpsSpec pins it).
     */
+  /** Corpus size (docs) above which [[containmentPairs]] switches
+    * from the direct df-capped shingle self-join to the
+    * prefix-filtered form. The prefix prelude is three extra keyed
+    * passes over the shingle frame (df counts, a per-doc rank window,
+    * the prefix joins) — pure constant-factor overhead whose payoff,
+    * a candidate-join volume of Σ df_prefix·df instead of Σ df²,
+    * grows with corpus size while the prelude stays linear. Measured
+    * at sf0.1 (5k docs) the prelude dominates (see COVERAGE.md), so
+    * small corpora take the direct path; output is identical either
+    * way (DocOpsSpec pins equivalence).
+    */
+  val ContainmentPrefixMinDocs: Long = 100000L
+
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        maxDocFreq: Long = 1000,
-                       audit: Option[Observation] = None): DataFrame = {
+                       audit: Option[Observation] = None,
+                       prefixFilter: Option[Boolean] = None): DataFrame = {
     val sh = OperatorCaches.track(shingles(docs, n, maxDocFreq))
     // sizes over the UNCAPPED n-gram sets (the ratio's contract)
     val sizes = ngrams(docs, n).groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "sh")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-    val plen = sh.groupBy("doc_id").agg(count(lit(1)).as("msh"))
-      .join(sizes, "doc_id")
-      .select(col("doc_id"),
-        (col("msh") - floor(lit(threshold) * col("nsh")) + 1).as("plen"))
-    val prefix = ranked.join(plen, "doc_id")
-      .filter(col("rnk") <= col("plen")).select("doc_id", "sh")
-    val candGrouped = prefix.as("p").join(sh.as("f"),
-        col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id"))
-      .groupBy(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
-        greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
-      .agg(count(lit(1)).as("n_hits"))
-    val cand = audit.fold(candGrouped)(o => candGrouped.observe(o,
-        count(lit(1)).as("n_candidates"), sum("n_hits").as("n_join_rows")))
-      .select("doc_a", "doc_b")
-    val inter = cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val usePrefix = prefixFilter.getOrElse(
+      docs.count() >= ContainmentPrefixMinDocs)
+    val inter = if (usePrefix) {
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val ranked = sh.join(dfreq, "sh")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      val plen = sh.groupBy("doc_id").agg(count(lit(1)).as("msh"))
+        .join(sizes, "doc_id")
+        .select(col("doc_id"),
+          (col("msh") - floor(lit(threshold) * col("nsh")) + 1).as("plen"))
+      val prefix = ranked.join(plen, "doc_id")
+        .filter(col("rnk") <= col("plen")).select("doc_id", "sh")
+      val candGrouped = prefix.as("p").join(sh.as("f"),
+          col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id"))
+        .groupBy(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
+          greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      val cand = audit.fold(candGrouped)(o => candGrouped.observe(o,
+          count(lit(1)).as("n_candidates"), sum("n_hits").as("n_join_rows")))
+        .select("doc_a", "doc_b")
+      cand
+        .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sh.as("b"),
+          col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    } else {
+      // direct form: the self-join IS the intersection count — no
+      // separate candidate stage, so the shingle frame is joined once
+      val grouped = sh.as("p").join(sh.as("f"),
+          col("p.sh") === col("f.sh") && col("p.doc_id") < col("f.doc_id"))
+        .groupBy(col("p.doc_id").as("doc_a"), col("f.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      audit.fold(grouped)(o => grouped.observe(o,
+        count(lit(1)).as("n_candidates"), sum("inter").as("n_join_rows")))
+    }
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("nsh", "na"), "doc_a")
@@ -253,8 +290,8 @@ object Dedup {
     * (h0..h{n-1} columns) — the probe structure shared by the pair
     * self-join and the incremental (batch-vs-corpus) semi-join.
     */
-  private def bandKeys(sigs: DataFrame, numHashes: Int,
-                       bands: Int): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame, numHashes: Int,
+                              bands: Int): DataFrame = {
     val rows = numHashes / bands
     (0 until bands).map { b =>
       val key = md5(concat_ws("|",
@@ -447,7 +484,8 @@ object Dedup {
     * and exists only on the small-SF oracle side).
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id",
+                          audit: Option[CcAudit] = None): DataFrame = {
     // symmetrize with a row-local explode, NOT a union of two
     // projections: materializing a union's cache evaluates the pair
     // frame once per branch — for an upstream like simhashPairs that
@@ -531,7 +569,7 @@ object Dedup {
       prev = sig
       labels = rooted
     }
-    LastCcRounds.set(rounds)
+    audit.foreach(_.rounds = rounds)
     // singletons re-enter with identity labels
     nodes.select(col(idCol).as("node"))
       .join(labels, Seq("node"), "left")

@@ -386,7 +386,10 @@ class DocOpsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("inter"))
     val nDirectPairs = interDirect.count()
     val obs = org.apache.spark.sql.Observation("containment_audit")
-    val fast = Dedup.containmentPairs(docs, threshold = 0.8, audit = Some(obs))
+    // prefixFilter forced on: the size gate would pick the direct
+    // path at fixture scale, and this test pins the PREFIX form
+    val fast = Dedup.containmentPairs(docs, threshold = 0.8,
+        audit = Some(obs), prefixFilter = Some(true))
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getDouble(3))).toSet
     // equivalence against the direct form's final output; an unbounded
@@ -416,6 +419,12 @@ class DocOpsSpec extends AnyFunSuite {
     assert(nCand > 0 && nCand <= nDirectPairs,
       s"candidates $nCand vs direct pairs $nDirectPairs")
     assert(m("n_join_rows").asInstanceOf[Long] >= nCand)
+    // the size-gated default (small corpus -> direct path) and the
+    // forced direct path both match the prefix form bit-for-bit
+    val viaGate = Dedup.containmentPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(viaGate == fast, "size-gated path diverged from prefix path")
   }
 
   test("vocabEncode: frequent tokens get small ids, OOV gets 0, positions hold") {

@@ -185,6 +185,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.collect().map(_.getLong(0)).toSet == Set(11L))
   }
 
+  test("streaming band-key dedup matches batch incrementalDedup (single batch)") {
+    import graft.streaming.StreamDedup
+    // corpus: a 30-word doc and an unrelated one; batch: an exact
+    // copy, a near-dup (one word swapped), fresh content, and a
+    // too-short-to-shingle doc (exercises the null-band-key guard)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val fresh = (100 to 130).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, "solo text here")).toDF("doc_id", "text")
+    val batchRows = Seq((10L, base), (11L, near), (12L, fresh), (13L, "xy"))
+    val exactIdx = StreamDedup.exactIndex(corpus)
+    val bandIdx = StreamDedup.bandIndex(corpus)
+    val in = MemoryStream[(Long, String)](spark)
+    in.addData(batchRows: _*)
+    val streamed = runToMemory(StreamDedup.dedupStream(
+        in.toDF().toDF("doc_id", "text"), exactIdx, bandIdx))
+      .as[(Long, String)].collect().toSet
+    // batch twin: same docs through incrementalDedup's one-pass form
+    val all = corpus.union(batchRows.toDF("doc_id", "text"))
+    val batch = graft.operators.Dedup.incrementalDedup(all, $"doc_id" >= 10L)
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    val byId = streamed.toMap
+    assert(byId(10L) == "dup_exact" && byId(12L) == "new" && byId(13L) == "new")
+  }
+
   test("state-API-v2 sequence score (transformWithState) matches v1") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption(
