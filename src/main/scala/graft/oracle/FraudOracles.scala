@@ -32,9 +32,9 @@ object FraudOracles {
 
   private val intervalJoinSql =
     """SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
-      |  CASE WHEN b.event_type = 'error' THEN 0.3
-      |       WHEN b.event_type = 'login' THEN 0.2
-      |       ELSE 0.0 END AS pair_risk
+      |  CASE WHEN b.event_type = 'error' THEN 0.3e0
+      |       WHEN b.event_type = 'login' THEN 0.2e0
+      |       ELSE 0.0e0 END AS pair_risk
       |FROM events a JOIN events b
       |  ON a.user_id = b.user_id
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'""".stripMargin
