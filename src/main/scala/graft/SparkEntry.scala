@@ -597,6 +597,12 @@ object SparkEntry {
     // cross-split leakage audit over near-dup clusters
     "q_split_leakage" -> ((s, d) =>
       TextAnalysis.splitLeakage(T(s, d)("documents"))),
+    // leakage-free remediation: split hash applied to the cluster id
+    "q_cluster_split" -> ((s, d) =>
+      TextAnalysis.clusterAwareSplit(T(s, d)("documents"))),
+    // cross-source near-dup overlap matrix (dedup-planning view)
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(T(s, d)("documents"))),
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",

@@ -604,6 +604,32 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** Cross-source near-dup overlap matrix — which corpus sources
+    * duplicate into which (the dedup-planning view: a crawl snapshot
+    * vs a curated set, two snapshots of the same crawl, etc.):
+    * [[simhashPairs]] near-dup pairs joined to each side's `source`
+    * label, counted per unordered source pair. The diagonal is
+    * within-source duplication; off-diagonal cells say which source
+    * pairs share content — the number that decides whether a new
+    * source is worth ingesting before any doc-level work runs.
+    *
+    * Scale: rides the banded pair join (never all-pairs); the two
+    * label joins are keyed on doc id, and the result is bounded by
+    * |sources|², a broadcast-sized matrix at any corpus size.
+    */
+  def sourceOverlap(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    simhashPairs(docs, maxHamming)
+      .select("doc_a", "doc_b")
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Substring-level duplication profile — the exact-substring-dedup
     * family (suffix-array dedup à la "Deduplicating Training Data
     * Makes Language Models Better"): instead of a doc-level verdict,

@@ -88,12 +88,14 @@ object TextAnalysis {
   /** Deterministic salted-hash split assignment (~80/10/10) — shared
     * by [[datasetSplit]] and [[splitLeakage]].
     */
-  private def splitOf: Column = {
-    val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+  private def splitHash(key: Column): Column = {
+    val h = md5(concat(lit("split:"), key.cast("string")))
     when(substring(h, 1, 2) < "cc", "train")
       .when(substring(h, 1, 2) < "e6", "val")
       .otherwise("test")
   }
+
+  private def splitOf: Column = splitHash(col("doc_id"))
 
   def datasetSplit(docs: DataFrame): DataFrame = {
     import graft.functions.ExactAgg.davg
@@ -127,6 +129,23 @@ object TextAnalysis {
         array_join(sort_array(collect_set(col("split"))), ",").as("splits"))
       .filter(col("n_docs") >= 2)
       .withColumn("leaky", col("n_splits") >= 2)
+
+  /** Cluster-aware split assignment — the REMEDIATION for the leakage
+    * [[splitLeakage]] audits: the salted split hash is applied to the
+    * near-dup CLUSTER id instead of the doc id, so every cluster
+    * lands wholly in one split and cross-split leakage is impossible
+    * BY CONSTRUCTION (the published dedup-then-split order, expressed
+    * as an assignment rule). A singleton's cluster id is its own doc
+    * id, so the unclustered bulk of the corpus keeps the plain
+    * per-doc assignment and the ~80/10/10 proportions hold.
+    *
+    * Scale: the cluster pass dominates; the assignment itself is
+    * row-local on the O(corpus) label frame.
+    */
+  def clusterAwareSplit(docs: DataFrame): DataFrame =
+    Dedup.simhashClusters(docs)
+      .select(col("doc_id"), col("cluster_id"),
+        splitHash(col("cluster_id")).as("split"))
 
   /** End-to-end corpus curation — the composed cleaning pipeline a
     * pretraining corpus goes through: keep a document iff it is the

@@ -840,7 +840,36 @@ object DocOracles {
        |WHERE NOT is_eval""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.clusterAwareSplit: recursive-closure
+    * clusters + the salted-md5 split rule applied to the CLUSTER id
+    * (leakage-free by construction).
+    */
+  private def clusterAwareSplitSql: String =
+    s"""WITH cl AS (SELECT * FROM ($simhashClustersSql))
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+       |         THEN 'train'
+       |       WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cl""".stripMargin
+
+  /** Mirror of Dedup.sourceOverlap: simhash near-dup pairs labeled by
+    * each side's source, counted per unordered source pair.
+    */
+  private def sourceOverlapSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+       |j AS (SELECT da.source AS src_a, db.source AS src_b
+       |      FROM p JOIN documents da ON p.doc_a = da.doc_id
+       |             JOIN documents db ON p.doc_b = db.doc_id)
+       |SELECT LEAST(src_a, src_b) AS source_a,
+       |       GREATEST(src_a, src_b) AS source_b,
+       |       COUNT(*) AS n_pairs
+       |FROM j GROUP BY 1, 2""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_cluster_split" -> clusterAwareSplitSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_decontaminate" -> decontaminateSql,
     "q_semdedup" -> semDedupSql,
     "q_dsir_weights" -> dsirSql,

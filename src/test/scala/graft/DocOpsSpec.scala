@@ -360,6 +360,30 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(1L) > out(3L))        // en bag scores above de bag
   }
 
+  test("cluster-aware split keeps every near-dup cluster in one split") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val out = TextAnalysis.clusterAwareSplit(docs)
+    assert(out.count() == docs.count()) // every doc assigned once
+    // leakage impossible by construction: no cluster spans splits
+    val spread = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") >= 2).count()
+    assert(spread == 0L)
+    // and the assignment still spreads across splits overall
+    assert(out.select("split").distinct().count() >= 2)
+  }
+
+  test("source overlap matrix counts within- and cross-source dup pairs") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val u = (100 to 120).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, t, "a"), (2L, t, "b"), (3L, t, "a"), (4L, u, "b"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // docs 1,2,3 identical: pairs (1,2) a-b, (1,3) a-a, (2,3) a-b
+    assert(m == Map(("a", "b") -> 2L, ("a", "a") -> 1L))
+  }
+
   test("containment flags a sub-document the symmetric Jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta"
     val big = small + " " + (1 to 30).map(i => s"w$i x$i y$i").mkString(" ")

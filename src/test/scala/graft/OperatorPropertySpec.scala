@@ -187,6 +187,36 @@ class OperatorPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("StreamDedup plan equals incrementalDedup on random corpora") {
+    // the streaming twin's plan is pure DataFrame ops — run it in
+    // batch over random doc sets and pin status-for-status parity
+    // with the one-pass batch operator (the StreamingSpec
+    // single-example parity, generalized: random corpus/batch splits
+    // hit exact dups, band-key near-dups, fresh docs, and
+    // too-short-to-shingle docs in the same trial)
+    val genDocs = for {
+      nCorpus <- Gen.choose(1, 8)
+      nBatch <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(nCorpus + nBatch, for {
+        n <- Gen.choose(1, 12) // < 3 tokens => no shingles
+        ws <- Gen.listOfN(n, Gen.choose(1, 9).map(i => s"w$i"))
+      } yield ws.mkString(" "))
+    } yield (nCorpus, texts)
+    check(Prop.forAll(genDocs) { case (nCorpus, texts) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val corpus = rows.take(nCorpus).toDF("doc_id", "text")
+      val stream = rows.drop(nCorpus).toDF("doc_id", "text")
+      val twin = graft.streaming.StreamDedup.dedupStream(stream,
+          graft.streaming.StreamDedup.exactIndex(corpus),
+          graft.streaming.StreamDedup.bandIndex(corpus))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Dedup.incrementalDedup(
+          rows.toDF("doc_id", "text"), col("doc_id") > nCorpus.toLong)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      twin == batch
+    })
+  }
+
   test("zorderKey round-trips: deinterleaving the key recovers (x, y)") {
     // driver-side property over the whole 5-bit grid per trial is
     // overkill — random points, full bit width

@@ -536,7 +536,9 @@ class PlanSpec extends AnyFunSuite {
         explainStr(Dedup.containmentPairs(docs, threshold = 0.8,
           prefixFilter = Some(false))),
       "q_dedup_clusters" -> explainStr(Dedup.simhashClusters(docs)),
-      "q_split_leakage" -> explainStr(TextAnalysis.splitLeakage(docs)))
+      "q_split_leakage" -> explainStr(TextAnalysis.splitLeakage(docs)),
+      "q_cluster_split" -> explainStr(TextAnalysis.clusterAwareSplit(docs)),
+      "q_source_overlap" -> explainStr(Dedup.sourceOverlap(docs)))
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
         s"$name degenerated to a cartesian:\n$plan")
