@@ -73,9 +73,13 @@ object Bench {
       var i = 0
       while (i < 400000) { b = md.digest(b); i += 1 }
     }
-    work() // JIT warm-up
-    val t1 = System.nanoTime(); work()
-    val single = (System.nanoTime() - t1) / 1e9
+    work(); work() // JIT warm-up (two passes: C2 kicks in late)
+    // min of 3: single measured readings vary ~20% from JIT/alloc
+    // noise, which would leak straight into the gate's host factor
+    val single = (1 to 3).map { _ =>
+      val t1 = System.nanoTime(); work()
+      (System.nanoTime() - t1) / 1e9
+    }.min
     val threads = (1 to cpus).map(_ => new Thread(() => work()))
     val t2 = System.nanoTime()
     threads.foreach(_.start()); threads.foreach(_.join())
@@ -117,12 +121,11 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
     val reference = loadReference(refPath)
-    // calibrate BEFORE the Spark session exists — cleanest CPU picture
-    val (cpu1t, cpuMt) = cpuCalibration(cpus.toInt)
+    // first calibration sample before the Spark session exists; a
+    // second runs after the queries (see below) — early samples read
+    // up to ~20% slow while the JIT compiler storm shares cores
+    val (cpu1tStart, cpuMt) = cpuCalibration(cpus.toInt)
     val refCpu1t = loadRefCpu1t(refPath)
-    // a slower host inflates every query by ~the single-thread ratio;
-    // never scale BELOW 1 (a faster host must not excuse a regression)
-    val hostFactor = refCpu1t.map(r => math.max(1.0, cpu1t / r)).getOrElse(1.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -214,6 +217,12 @@ object Bench {
     // query (contention only inflates, so min is sound); a run still
     // above the gate after that pass is stamped "run_suspect": true —
     // the loadavg evidence is already in "load"/"load_start".
+    // end-of-run calibration sample: the JVM is fully warm and idle
+    // between queries, so min(start, end) is the host's real speed
+    val cpu1t = math.min(cpu1tStart, cpuCalibration(cpus.toInt)._1)
+    // a slower host inflates every query by ~the single-thread ratio;
+    // never scale BELOW 1 (a faster host must not excuse a regression)
+    val hostFactor = refCpu1t.map(r => math.max(1.0, cpu1t / r)).getOrElse(1.0)
     val refJoint = timings.keys.filter(reference.contains).toSeq
     val refJointTotal = refJoint.map(reference).sum
     def effective(k: String): Double = {
