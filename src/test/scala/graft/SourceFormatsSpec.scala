@@ -62,10 +62,11 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(names == events.schema.fieldNames.toSeq)
   }
 
-  test("JDBC driver absence is verified, not assumed (S9 stays parquet-mirrored)") {
-    // spark.read.jdbc plumbing is config-complete, but the image ships
-    // no Postgres driver — pin that so S9's parquet-mirror status is
-    // evidence-backed (the spec flips if a driver jar ever appears)
+  test("Postgres driver absence is verified, not assumed (S9 runs on embedded Derby)") {
+    // the image ships no Postgres driver — pin that. The JDBC catalog
+    // path itself is REAL: JdbcCatalogSpec drives write + partitioned
+    // pushdown reads against Spark's own embedded Derby; only the
+    // production database behind the URL is absent here.
     assertThrows[ClassNotFoundException] {
       Class.forName("org.postgresql.Driver")
     }
