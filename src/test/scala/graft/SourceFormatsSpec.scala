@@ -62,6 +62,56 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(names == events.schema.fieldNames.toSeq)
   }
 
+  test("Protobuf wire format round-trips events incl. timestamps and nulls") {
+    import graft.sources.ProtoWire
+    val events = Tables(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("maybe_null",
+        when(col("event_id") % 3 === 0, col("event_type")))
+    val wire = ProtoWire.encode(events)
+    assert(wire.schema.fields.map(f =>
+      (f.name, f.dataType.typeName)).toSeq == Seq(("value", "binary")))
+    val back = ProtoWire.decode(wire, events.schema)
+    assert(back.count() == events.count())
+    def sig(df: org.apache.spark.sql.DataFrame): Long = df.agg(
+      sum(crc32(concat_ws("|", col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("long"), col("value"),
+        coalesce(col("maybe_null"), lit("<null>")))))).head().getLong(0)
+    assert(sig(back) == sig(events))
+  }
+
+  test("Protobuf wire bytes match the published spec's golden examples") {
+    import graft.sources.ProtoWire
+    import org.apache.spark.sql.types._
+    // protobuf.dev encoding guide: field 1 (varint) = 150 -> 08 96 01;
+    // field 2 (string) = "testing" -> 12 07 74 65 73 74 69 6e 67
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(150L, "testing")), schema)
+    val bytes = ProtoWire.encode(df).head().getAs[Array[Byte]](0)
+    val golden = Array(0x08, 0x96, 0x01, 0x12, 0x07).map(_.toByte) ++
+      "testing".getBytes("UTF-8")
+    assert(bytes.toSeq == golden.toSeq,
+      s"wire bytes ${bytes.map("%02x".format(_)).mkString(" ")}")
+    // unknown-field skipping (spec-required forward compatibility):
+    // append field 99 varint 1 (tag = 99<<3 | 0 -> varint 792) and a
+    // field 100 length-delimited blob; decode must ignore both
+    val extra = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(bytes); bos.write(0x98); bos.write(0x06); bos.write(0x01)
+      bos.write(0xA2); bos.write(0x06); bos.write(0x02)
+      bos.write(0xFF); bos.write(0xFE)
+      bos.toByteArray
+    }
+    val back = ProtoWire.decode(
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(extra)),
+        StructType(Seq(StructField("value", BinaryType)))), schema)
+      .head()
+    assert(back.getLong(0) == 150L && back.getString(1) == "testing")
+  }
+
   test("Postgres driver absence is verified, not assumed (S9 runs on embedded Derby)") {
     // the image ships no Postgres driver — pin that. The JDBC catalog
     // path itself is REAL: JdbcCatalogSpec drives write + partitioned
