@@ -112,6 +112,42 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(back.getLong(0) == 150L && back.getString(1) == "testing")
   }
 
+  test("Protobuf lane covers every type incl. negative ints (10-byte varints)") {
+    import graft.sources.ProtoWire
+    import org.apache.spark.sql.types._
+    // negative int32/int64 are the trap: the spec sign-extends them to
+    // 64 bits before varint encoding, always 10 bytes on the wire
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("raw", BinaryType)))
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(true, -1, Long.MinValue, -0.5f,
+        Double.MaxValue, "", Array[Byte](0, -1, 127)),
+      org.apache.spark.sql.Row(false, Int.MinValue, 0L, Float.NaN,
+        -0.0, "héllo wörld", Array.empty[Byte]),
+      org.apache.spark.sql.Row(null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows, schema)
+    val back = ProtoWire.decode(ProtoWire.encode(df), schema)
+      .collect().sortBy(r => if (r.isNullAt(2)) Long.MaxValue else r.getLong(2))
+    assert(back.length == 3)
+    val r0 = back.find(r => !r.isNullAt(1) && r.getInt(1) == -1).get
+    assert(r0.getBoolean(0) && r0.getLong(2) == Long.MinValue &&
+      r0.getFloat(3) == -0.5f && r0.getDouble(4) == Double.MaxValue &&
+      r0.getString(5) == "" &&
+      r0.getAs[Array[Byte]](6).toSeq == Seq[Byte](0, -1, 127))
+    val r1 = back.find(r => !r.isNullAt(1) && r.getInt(1) == Int.MinValue).get
+    assert(!r1.getBoolean(0) && r1.getLong(2) == 0L &&
+      r1.getFloat(3).isNaN && // NaN bit pattern survives fixed32
+      java.lang.Double.doubleToLongBits(r1.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(-0.0) &&
+      r1.getString(5) == "héllo wörld" &&
+      r1.getAs[Array[Byte]](6).length == 0)
+    val r2 = back.find(_.isNullAt(1)).get
+    assert((0 until 7).forall(r2.isNullAt)) // all-null row -> empty payload
+  }
+
   test("Postgres driver absence is verified, not assumed (S9 runs on embedded Derby)") {
     // the image ships no Postgres driver — pin that. The JDBC catalog
     // path itself is REAL: JdbcCatalogSpec drives write + partitioned
