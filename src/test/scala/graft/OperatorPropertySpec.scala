@@ -217,6 +217,33 @@ class OperatorPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("containmentPairs: prefix and direct paths agree on random corpora") {
+    // the prefix filter's losslessness argument is the subtlest math
+    // in the dedup family (rarest-first prefix of length msh−⌊t·na⌋+1
+    // over CAPPED shingle sets against UNCAPPED size denominators);
+    // pin it on random corpora across thresholds AND df caps — the
+    // cap interplay is where a wrong prefix length would lose pairs
+    val genCase = for {
+      nDocs <- Gen.choose(4, 12)
+      cap <- Gen.oneOf(3L, 5L, 1000L)
+      t <- Gen.oneOf(0.5, 0.7, 0.9)
+      texts <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(3, 25)
+        ws <- Gen.listOfN(n, Gen.choose(1, 12).map(i => s"w$i"))
+      } yield ws.mkString(" "))
+    } yield (cap, t, texts)
+    check(Prop.forAll(genCase) { case (cap, t, texts) =>
+      val docs = texts.zipWithIndex
+        .map { case (s, i) => ((i + 1).toLong, s) }.toDF("doc_id", "text")
+      def run(prefix: Boolean) = graft.operators.Dedup
+        .containmentPairs(docs, threshold = t, maxDocFreq = cap,
+          prefixFilter = Some(prefix))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      run(true) == run(false)
+    })
+  }
+
   test("zorderKey round-trips: deinterleaving the key recovers (x, y)") {
     // driver-side property over the whole 5-bit grid per trial is
     // overkill — random points, full bit width
