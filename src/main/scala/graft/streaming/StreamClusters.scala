@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental connected-component maintenance — the continuous-ingest
+  * face of [[graft.operators.Dedup.connectedComponents]]: a stream of
+  * near-dup edge batches keeps cluster labels current WITHOUT ever
+  * recomputing the corpus-wide fixpoint.
+  *
+  * Per batch, only the components TOUCHED by a new edge are rebuilt:
+  * the endpoints of the incoming edges name their current components,
+  * the stored edges of exactly those components plus the new edges
+  * form a subgraph, the batch fixpoint runs on that subgraph alone,
+  * and its labels replace the touched slice of the store. Components
+  * no new edge reaches are untouched rows — per-batch cost is
+  * O(|batch| + |touched components|), independent of corpus size,
+  * the same contract as [[graft.operators.Dedup.incrementalDedup]]
+  * for pair classification.
+  *
+  * Correctness: merging only ever happens THROUGH a new edge, so a
+  * component untouched by the batch is bit-identical under full
+  * recompute, and the subgraph fixpoint's min-label is the merged
+  * component's global min (every stored node is an endpoint of some
+  * stored edge, so touched components enter the subgraph whole).
+  * StreamingSpec pins label parity against the batch operator after
+  * every ingest, including the cross-batch merge case, and pins the
+  * incrementality itself via the audit (an untouched-corpus batch
+  * must not drag old components into the subgraph).
+  *
+  * At scale the two state frames are tables (edge log + label store,
+  * e.g. Delta); here they are localCheckpointed DataFrames — the
+  * lineage cut per ingest is what keeps a long-lived stream's plans
+  * from growing without bound, exactly like the CC loop's own rounds.
+  */
+object StreamClusters {
+
+  /** Label/edge store carried across batches. `labels` covers every
+    * PAIRED node (singletons are identity-labeled by [[labelsFor]]).
+    */
+  final case class ClusterState(edges: DataFrame, labels: DataFrame)
+
+  /** Per-ingest observability: subgraph size actually recomputed. */
+  final class IngestAudit {
+    @volatile var subgraphEdges: Long = -1L
+    @volatile var touchedComponents: Long = -1L
+  }
+
+  def emptyState(spark: org.apache.spark.sql.SparkSession): ClusterState = {
+    import spark.implicits._
+    ClusterState(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      Seq.empty[(Long, Long)].toDF("node", "cluster_id"))
+  }
+
+  /** Fold one batch of (doc_a, doc_b) edges into the state. */
+  def ingest(state: ClusterState, newPairs: DataFrame,
+             audit: Option[IngestAudit] = None): ClusterState = {
+    val pairs = newPairs.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val ends = pairs.select(col("doc_a").as("node"))
+      .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
+    val touched = state.labels.join(ends, Seq("node"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(true)
+    // every edge of a touched component (both endpoints share the
+    // component label, so keying on doc_a's label is total)
+    val oldSub = state.edges
+      .join(state.labels.withColumnRenamed("node", "doc_a")
+        .withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(touched.withColumnRenamed("cluster_id", "ca"),
+        Seq("ca"), "left_semi")
+      .select("doc_a", "doc_b")
+    val sub = oldSub.unionAll(pairs).localCheckpoint(true)
+    audit.foreach { a =>
+      a.subgraphEdges = sub.count()
+      a.touchedComponents = touched.count()
+    }
+    val subNodes = sub.select(col("doc_a").as("node"))
+      .unionAll(sub.select(col("doc_b").as("node"))).distinct()
+      .withColumnRenamed("node", "doc_id")
+    val subLabels = Dedup.connectedComponents(sub, subNodes)
+      .withColumnRenamed("doc_id", "node")
+    val untouched = state.labels
+      .join(touched, Seq("cluster_id"), "left_anti")
+      .select("node", "cluster_id")
+    ClusterState(
+      state.edges.unionAll(pairs).localCheckpoint(true),
+      untouched.unionAll(subLabels.select("node", "cluster_id"))
+        .localCheckpoint(true))
+  }
+
+  /** Full label view over a docs frame: paired nodes from the store,
+    * singletons identity-labeled — same output contract as the batch
+    * clusters operator.
+    */
+  def labelsFor(state: ClusterState, docs: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("node"))
+      .join(state.labels, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+
+  /** Streaming wiring: foreachBatch folds each micro-batch of edges
+    * into the state via [[ingest]] — the caller reads `state()` for
+    * the current labels between/after batches.
+    */
+  final class Maintainer(spark: org.apache.spark.sql.SparkSession) {
+    @volatile private var st: ClusterState = emptyState(spark)
+    def state(): ClusterState = st
+    def sink(batch: DataFrame, batchId: Long): Unit =
+      st = ingest(st, batch)
+  }
+}

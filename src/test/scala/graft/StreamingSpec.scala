@@ -211,6 +211,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(10L) == "dup_exact" && byId(12L) == "new" && byId(13L) == "new")
   }
 
+  test("incremental cluster maintenance matches batch CC; untouched components stay out") {
+    import graft.streaming.StreamClusters
+    import graft.streaming.StreamClusters.IngestAudit
+    // batch 1: two separate clusters; batch 2: an unrelated cluster
+    // (must NOT drag components 1/3 into the subgraph); batch 3: an
+    // edge MERGING the two original clusters across batches
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L)),
+      Seq((5L, 6L)),
+      Seq((2L, 3L)))
+    var st = StreamClusters.emptyState(spark)
+    val allEdges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val audits = batches.map { b =>
+      val a = new IngestAudit
+      st = StreamClusters.ingest(st, b.toDF("doc_a", "doc_b"), Some(a))
+      allEdges ++= b
+      // parity with the batch fixpoint over everything seen so far
+      val nodes = allEdges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+      val expect = graft.operators.Dedup.connectedComponents(
+          allEdges.toSeq.toDF("doc_a", "doc_b"), nodes.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = StreamClusters.labelsFor(st, nodes.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"batch parity failed: $got vs $expect")
+      a
+    }
+    // incrementality: batch 2 touches no existing component, so its
+    // subgraph is exactly its own single edge
+    assert(audits(1).touchedComponents == 0L && audits(1).subgraphEdges == 1L)
+    // the merge batch pulls in both touched components' edges + its own
+    assert(audits(2).touchedComponents == 2L && audits(2).subgraphEdges == 3L)
+    // final labels: {1,2,3,4} merged under 1, {5,6} under 5
+    val fin = StreamClusters.labelsFor(st,
+        (1L to 6L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("incremental clusters run as a streaming query (foreachBatch)") {
+    import graft.streaming.StreamClusters
+    val in = MemoryStream[(Long, Long)](spark)
+    val m = new StreamClusters.Maintainer(spark)
+    val q = in.toDF().toDF("doc_a", "doc_b")
+      .writeStream.foreachBatch(m.sink _).start()
+    in.addData((10L, 11L), (12L, 13L))
+    q.processAllAvailable()
+    in.addData((11L, 12L)) // cross-batch merge
+    q.processAllAvailable(); q.stop()
+    val got = StreamClusters.labelsFor(m.state(),
+        Seq(10L, 11L, 12L, 13L, 99L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      99L -> 99L)) // 99 was never paired: identity label
+  }
+
   test("state-API-v2 sequence score (transformWithState) matches v1") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption(
