@@ -267,6 +267,52 @@ class StreamingSpec extends AnyFunSuite {
       99L -> 99L)) // 99 was never paired: identity label
   }
 
+  test("curation loop: statuses match incrementalDedup and labels match full-corpus CC per batch") {
+    import graft.streaming.CurationLoop
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    // batch 2 contains a batch-INTERNAL dup pair (21, 22) and a near
+    // dup of batch 1's doc; batch 3 is an exact dup of batch 1's doc
+    val batches = Seq(
+      Seq((1L, base), (2L, other)),
+      Seq((21L, near), (22L, near), (23L, "short text")),
+      Seq((31L, base)))
+    var st = CurationLoop.emptyState(spark)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    batches.foreach { b =>
+      val (statuses, next) = CurationLoop.ingest(st, b.toDF("doc_id", "text"))
+      st = next
+      val gotStatus = statuses.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // status parity: one-pass batch operator over corpus ∪ batch
+      val batchIds = b.map(_._1).toSet
+      val all = (seen ++ b).toSeq.toDF("doc_id", "text")
+      val expectStatus = graft.operators.Dedup.incrementalDedup(all,
+          col("doc_id").isInCollection(batchIds))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotStatus == expectStatus, s"status parity: $gotStatus")
+      seen ++= b
+      // label parity: cumulative edges == full-corpus band candidates
+      val corpus = seen.toSeq.toDF("doc_id", "text")
+      val expectLabels = graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.minhashCandidates(corpus),
+          corpus.select("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotLabels = graft.streaming.StreamClusters
+        .labelsFor(st.clusters, corpus.select("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLabels == expectLabels, s"label parity: $gotLabels")
+    }
+    // spot checks: the batch-internal dups clustered with doc 1's
+    // family iff banded together; doc 31 (exact dup) shares 1's label
+    val labels = graft.streaming.StreamClusters
+      .labelsFor(st.clusters, seen.toSeq.toDF("doc_id", "text").select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(31L) == labels(1L))
+    assert(labels(21L) == labels(22L))
+  }
+
   test("state-API-v2 sequence score (transformWithState) matches v1") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption(
