@@ -90,6 +90,24 @@ object StreamClusters {
         .localCheckpoint(true))
   }
 
+  /** Compact the edge log to a star forest: each component's edges
+    * are replaced by (cluster_id, node) spokes from the labels. A
+    * spanning structure preserves exactly the connectivity future
+    * merges need — a later edge touching any member still pulls the
+    * WHOLE component into the rebuild subgraph through its spokes —
+    * while the store shrinks from O(edges ever ingested) to
+    * O(paired nodes − components), the bound that keeps a long-lived
+    * stream's state from growing with ingest volume instead of
+    * corpus size. Labels are unchanged; run periodically (every N
+    * batches or on a size trigger) like any log compaction.
+    */
+  def compact(state: ClusterState): ClusterState =
+    ClusterState(
+      state.labels.filter(col("node") =!= col("cluster_id"))
+        .select(col("cluster_id").as("doc_a"), col("node").as("doc_b"))
+        .localCheckpoint(true),
+      state.labels)
+
   /** Full label view over a docs frame: paired nodes from the store,
     * singletons identity-labeled — same output contract as the batch
     * clusters operator.

@@ -267,6 +267,26 @@ class StreamingSpec extends AnyFunSuite {
       99L -> 99L)) // 99 was never paired: identity label
   }
 
+  test("cluster edge-log compaction preserves future merges; store shrinks to star forest") {
+    import graft.streaming.StreamClusters
+    // build two chains (redundant multi-edge components), compact,
+    // then merge them with a later edge — connectivity must survive
+    // compaction and the store must be bounded by nodes − components
+    var st = StreamClusters.emptyState(spark)
+    st = StreamClusters.ingest(st,
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), // cycle: redundant edge
+        (10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b"))
+    val before = st.edges.count()
+    st = StreamClusters.compact(st)
+    val after = st.edges.count()
+    assert(after < before && after == 5L) // 7 paired nodes − 2 components
+    st = StreamClusters.ingest(st, Seq((4L, 10L)).toDF("doc_a", "doc_b"))
+    val got = StreamClusters.labelsFor(st,
+        Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), s"merge after compaction broke: $got")
+  }
+
   test("curation loop: statuses match incrementalDedup and labels match full-corpus CC per batch") {
     import graft.streaming.CurationLoop
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
