@@ -244,6 +244,45 @@ class OperatorPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("incremental clusters match batch CC under random batches and compaction") {
+    // the streaming cluster maintainer's exactness claim, stressed:
+    // random edge batches over a small node universe (collisions,
+    // merges, re-ingested duplicate edges every few trials), with
+    // compaction randomly interleaved — final labels must equal the
+    // batch fixpoint over everything ingested
+    val genRun = for {
+      nBatches <- Gen.choose(2, 4)
+      batches <- Gen.listOfN(nBatches, for {
+        n <- Gen.choose(0, 6)
+        edges <- Gen.listOfN(n, for {
+          a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+        } yield (a, b))
+        doCompact <- Gen.oneOf(true, false)
+      } yield (edges.filter(e => e._1 != e._2), doCompact))
+    } yield batches
+    check(Prop.forAll(genRun) { batches =>
+      import graft.streaming.StreamClusters
+      var st = StreamClusters.emptyState(spark)
+      val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      batches.foreach { case (edges, doCompact) =>
+        if (doCompact) st = StreamClusters.compact(st)
+        val df = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+                 else edges.toDF("doc_a", "doc_b")
+        st = StreamClusters.ingest(st, df)
+        all ++= edges
+      }
+      val nodes = (1L to 12L).toList
+      val pairsDf = if (all.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+                    else all.toSeq.toDF("doc_a", "doc_b")
+      val expect = graft.operators.Dedup
+        .connectedComponents(pairsDf, nodes.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = StreamClusters.labelsFor(st, nodes.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    })
+  }
+
   test("zorderKey round-trips: deinterleaving the key recovers (x, y)") {
     // driver-side property over the whole 5-bit grid per trial is
     // overkill — random points, full bit width
