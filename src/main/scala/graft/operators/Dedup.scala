@@ -199,8 +199,11 @@ object Dedup {
     * direct form; None (default) auto-selects by corpus size against
     * [[ContainmentPrefixMinDocs]] — the prefix prelude is measured
     * overhead on small corpora while its candidate reduction is what
-    * keeps the join volume bounded on large ones. Both forms produce
-    * identical output (DocOpsSpec pins it).
+    * keeps the join volume bounded on large ones. The size comes from
+    * `sizeHint` when the caller knows it, else from the logical
+    * plan's statistics ([[estimatedDocs]]) — never from an eager
+    * count (PlanSpec asserts constructing the operator launches no
+    * job). Both forms produce identical output (DocOpsSpec pins it).
     */
   /** Corpus size (docs) above which [[containmentPairs]] switches
     * from the direct df-capped shingle self-join to the
@@ -215,15 +218,38 @@ object Dedup {
     */
   val ContainmentPrefixMinDocs: Long = 100000L
 
+  /** Planning-time corpus-size estimate with NO Spark action: the
+    * optimized plan's row-count statistic when the source carries one,
+    * else its size-in-bytes over a conservative ~100 bytes/document.
+    * Misestimation only flips WHICH of two output-identical join
+    * forms [[containmentPairs]] runs (DocOpsSpec pins the
+    * equivalence), so an estimate is safe where the previous eager
+    * docs.count() was a full upstream pass executed as a side effect
+    * of *planning* — and an UNKNOWN size (leaf-default Long.MaxValue
+    * sizeInBytes) deliberately lands on the prefix path, the form
+    * that is robust at scale.
+    */
+  private def estimatedDocs(docs: DataFrame): Long = {
+    val st = docs.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      val est = st.sizeInBytes / 100
+      if (est >= BigInt(Long.MaxValue)) Long.MaxValue else est.toLong
+    }
+  }
+
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        maxDocFreq: Long = 1000,
                        audit: Option[Observation] = None,
-                       prefixFilter: Option[Boolean] = None): DataFrame = {
+                       prefixFilter: Option[Boolean] = None,
+                       sizeHint: Option[Long] = None): DataFrame = {
     val sh = OperatorCaches.track(shingles(docs, n, maxDocFreq))
     // sizes over the UNCAPPED n-gram sets (the ratio's contract)
     val sizes = ngrams(docs, n).groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    // plan choice runs NO job: explicit override > caller-known row
+    // count > plan-statistics estimate (never an eager count — an
+    // operator must not execute its input as a planning side effect)
     val usePrefix = prefixFilter.getOrElse(
-      docs.count() >= ContainmentPrefixMinDocs)
+      sizeHint.getOrElse(estimatedDocs(docs)) >= ContainmentPrefixMinDocs)
     val inter = if (usePrefix) {
       val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       val ranked = sh.join(dfreq, "sh")
@@ -271,10 +297,14 @@ object Dedup {
 
   /** MinHash signatures: h_j(doc) = min over shingles of md5("j:"+sh).
     * One aggregation pass computes all hashes (no per-hash shuffle).
+    * `n` is the shingle width — threaded, not hardcoded, so an index
+    * built here and a probe side built elsewhere (e.g. the streaming
+    * twin's row-local keys) must AGREE on it explicitly instead of
+    * silently probing k-gram keys against a 3-gram index.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8,
-                        maxDocFreq: Long = 1000): DataFrame =
-    signaturesFrom(shingles(docs, 3, maxDocFreq), numHashes)
+                        maxDocFreq: Long = 1000, n: Int = 3): DataFrame =
+    signaturesFrom(shingles(docs, n, maxDocFreq), numHashes)
 
   /** Signature aggregation over an existing (doc_id, sh) frame — lets
     * callers that already materialized shingles (e.g. the banded
@@ -342,8 +372,8 @@ object Dedup {
     * docs, like these, never hit it).
     */
   def minhashSignaturesOph(docs: DataFrame, numHashes: Int = 8,
-                           maxDocFreq: Long = 1000): DataFrame = {
-    val sh = shingles(docs, 3, maxDocFreq)
+                           maxDocFreq: Long = 1000, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n, maxDocFreq)
     val withHash = sh.select(col("doc_id"), md5(col("sh")).as("h"))
       .withColumn("b", pmod(hexNibble(substring(col("h"), 1, 1)),
         lit(numHashes)))
@@ -540,12 +570,16 @@ object Dedup {
           col("y.cluster_id").as("cluster_id"))
         .observe(obs, coalesce(sum(col("cluster_id")), lit(0L)).as("sig"))
         .localCheckpoint(true)
+      // TIMED wait on the observation's own (public) future: only the
+      // calling thread blocks, and a timeout falls back to the one-job
+      // aggregate — unlike the previous Future(obs.get) wrapper, which
+      // on timeout stranded one global-pool thread in the indefinite
+      // obs.get park (plus its listener) per timed-out round
       val sig =
         try {
-          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.Await
           import scala.concurrent.duration.DurationInt
-          Await.result(Future(obs.get)(ExecutionContext.global), 30.seconds)
-            .apply("sig").asInstanceOf[Long]
+          Await.result(obs.future, 30.seconds).getAs[Long]("sig")
         } catch { case _: scala.concurrent.TimeoutException => sigOf(j) }
       (j, sig)
     }

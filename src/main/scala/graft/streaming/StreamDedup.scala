@@ -50,11 +50,17 @@ object StreamDedup {
   /** Static near-dup probe: distinct (band, bkey) LSH buckets of the
     * corpus MinHash signatures — built by the SAME batch code the
     * global and incremental operators use, so stream and batch agree
-    * bucket-for-bucket.
+    * bucket-for-bucket. The shingle width `n` is threaded into the
+    * batch signature builder: the stream side ([[dedupStream]]) MUST
+    * be called with the same `n`, and since both sides now take the
+    * parameter explicitly a mismatch is a visible call-site bug, not
+    * a silent every-doc-is-"new" misclassification (the round-7
+    * ADVICE finding: bandIndex hardcoded 3-gram shingles while
+    * dedupStream accepted any n).
     */
   def bandIndex(corpus: DataFrame, numHashes: Int = 8, bands: Int = 2,
-                maxDocFreq: Long = 1000): DataFrame =
-    Dedup.bandKeys(Dedup.minhashSignatures(corpus, numHashes, maxDocFreq),
+                maxDocFreq: Long = 1000, n: Int = 3): DataFrame =
+    Dedup.bandKeys(Dedup.minhashSignatures(corpus, numHashes, maxDocFreq, n),
         numHashes, bands)
       .select("band", "bkey").distinct()
 

@@ -556,6 +556,46 @@ class PlanSpec extends AnyFunSuite {
       s"prefix rank must partition by doc:\n${plans("q_dedup_containment")}")
   }
 
+  test("containmentPairs plan choice launches no job (no eager count)") {
+    // round-7 verdict item 4: the operator used to run docs.count() as
+    // a side effect of PLANNING — a full upstream pass, paid again when
+    // the result is consumed. The size now comes from a caller hint or
+    // plan statistics; constructing the frame must start zero jobs.
+    // Counted via a job-group-scoped listener (this thread's jobs
+    // only, so parallel suites can't pollute the count), with one
+    // deliberate marker job after construction: the listener bus is
+    // FIFO, so once the marker arrives any job the operator had
+    // started would already have been counted.
+    val group = "containment-plan-check"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    // source read hoisted OUT of the audited window: parquet file
+    // listing/footer reads are the source's jobs, not the operator's
+    val docs = t("documents")
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "containment plan-choice audit")
+    try {
+      val planned = Dedup.containmentPairs(docs, threshold = 0.8)
+      // marker: a raw RDD action is exactly ONE job (an SQL count
+      // under AQE materializes in two), still tagged with the group
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"constructing containmentPairs launched ${jobs.get() - 1} job(s)")
+      assert(planned.columns.contains("cont_ab")) // frame is real, unexecuted
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("Q9 profit star: every dimension side broadcasts") {
     val plan = explainStr(OlapQueries.productProfit(t("part"),
       t("supplier"), t("lineitem"), t("orders"), t("nation")))

@@ -211,6 +211,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(10L) == "dup_exact" && byId(12L) == "new" && byId(13L) == "new")
   }
 
+  test("streaming band-key dedup agrees with its index at a non-default shingle width") {
+    import graft.streaming.StreamDedup
+    // round-7 ADVICE regression: bandIndex hardcoded 3-gram shingles
+    // while dedupStream accepted any n, so a 5-gram stream probed a
+    // 3-gram index and every near-dup came back "new". Both sides now
+    // take n explicitly; this pins that an agreed non-default width
+    // still classifies the near-dup.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)](spark)
+    in.addData((10L, near), (11L, "totally different words entirely"))
+    val got = runToMemory(StreamDedup.dedupStream(
+        in.toDF().toDF("doc_id", "text"),
+        StreamDedup.exactIndex(corpus),
+        StreamDedup.bandIndex(corpus, n = 5), n = 5))
+      .as[(Long, String)].collect().toMap
+    assert(got(10L) == "dup_near", s"5-gram near-dup misclassified: $got")
+    assert(got(11L) == "new")
+  }
+
   test("incremental cluster maintenance matches batch CC; untouched components stay out") {
     import graft.streaming.StreamClusters
     import graft.streaming.StreamClusters.IngestAudit
