@@ -22,20 +22,58 @@ import graft.operators.Dedup
   * history — at the later doc's batch — the CUMULATIVE edge set
   * equals `minhashCandidates` over the whole corpus, so the
   * maintained labels equal the batch `connectedComponents` over the
-  * full-corpus candidate graph after every batch. Cost per batch is
-  * O(|batch| probes + touched components), never O(corpus).
+  * full-corpus candidate graph after every batch.
+  *
+  * == Per-batch cost contract ==
+  * Index MAINTENANCE is O(|batch|): the exact index appends only the
+  * batch's not-already-present hashes (the classify step already
+  * named the `dup_exact` docs, so the append is an anti-join of two
+  * checkpointed batch-sized frames plus a batch-local distinct — no
+  * corpus-wide distinct, no re-materialization of the standing
+  * index), and the band index appends the batch's checkpointed keys
+  * as a metadata-only union (doc_ids are unique per batch, so the
+  * append needs no dedup at all). StreamingSpec pins the bound with
+  * a stage-metrics audit: the records read by the maintenance job
+  * group stay flat while the corpus grows. Classification probes and
+  * the touched-component rebuild are the remaining per-batch work —
+  * O(|batch| probes + touched components) with the indexes as
+  * bucketed tables at scale.
+  *
+  * The append-only union's leaf count grows with batches;
+  * [[consolidate]] collapses both indexes to one checkpointed
+  * segment each and compacts the cluster edge log — scheduled
+  * housekeeping ([[Runner]] wires it on a batch-count trigger),
+  * amortized O(corpus / interval) per batch, exactly a
+  * log-structured table's compaction. At table scale the appends are
+  * storage-level and this loop body is what a foreachBatch sink runs.
   *
   * Same documented df-cap divergence as [[StreamDedup]]: batch-side
   * signatures cap document frequency within the batch, the corpus
   * index capped at its own build time; identical results whenever no
-  * shingle crosses the cap. State frames are lineage-cut per batch;
-  * at scale they are tables (the indexes bucketed by their join
-  * keys), and the loop body is exactly what a foreachBatch sink runs.
+  * shingle crosses the cap.
   */
 object CurationLoop {
 
   final case class CurationState(exactIdx: DataFrame, bandIdx: DataFrame,
                                  clusters: StreamClusters.ClusterState)
+
+  /** Job group tagged onto the index-maintenance actions of each
+    * [[ingest]] — the hook StreamingSpec's cost audit hangs its
+    * stage-metrics listener on.
+    */
+  val MaintainJobGroup = "graft-curation-maintain"
+
+  /** Per-ingest observability (set when passed to [[ingest]]):
+    * rows APPENDED to each index this batch — both O(|batch|) by
+    * construction — and the batch's distinct near-dup edge count
+    * (what the cluster state absorbed, the number a size-triggered
+    * compaction policy accumulates).
+    */
+  final class CurationAudit {
+    @volatile var exactAppended: Long = -1L
+    @volatile var bandAppended: Long = -1L
+    @volatile var edgesAppended: Long = -1L
+  }
 
   def emptyState(spark: org.apache.spark.sql.SparkSession): CurationState = {
     import spark.implicits._
@@ -49,8 +87,8 @@ object CurationLoop {
     * Statuses: `dup_exact` | `dup_near` | `new`, vs the PRE-batch
     * corpus (the incrementalDedup contract).
     */
-  def ingest(state: CurationState,
-             batch: DataFrame): (DataFrame, CurationState) = {
+  def ingest(state: CurationState, batch: DataFrame,
+             audit: Option[CurationAudit] = None): (DataFrame, CurationState) = {
     val docs = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
     val hashes = docs.select(col("doc_id"), md5(col("text")).as("eh"))
       .localCheckpoint(true)
@@ -82,15 +120,80 @@ object CurationLoop {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val edges = crossEdges.unionAll(innerEdges).distinct()
+    val edges = crossEdges.unionAll(innerEdges).distinct().localCheckpoint(true)
     // 3. incremental cluster maintenance on the new edges only
     val clusters = StreamClusters.ingest(state.clusters, edges)
-    // 4. indexes grow by the batch
+    // 4. indexes grow by the batch — O(|batch|) appends, tagged with
+    // the maintenance job group so the cost is independently auditable.
+    // Exact: the classify step already named the hashes the index has
+    // (`dup_exact`), so append the rest after a BATCH-local distinct
+    // (two batch docs may share a new text) — disjoint from the
+    // standing index by construction, so the index stays a set with
+    // no corpus-wide pass. Band: doc_ids are unique per batch, so the
+    // checkpointed key frame appends as a metadata-only union.
+    val sc = docs.sparkSession.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobGroup(MaintainJobGroup, "curation index maintenance")
+    val newExact =
+      try {
+        val ne = hashes
+          .join(statuses.filter(col("status") === "dup_exact"),
+            Seq("doc_id"), "left_anti")
+          .select("eh").distinct().localCheckpoint(true)
+        audit.foreach { a =>
+          a.exactAppended = ne.count()
+          a.bandAppended = keys.count()
+          a.edgesAppended = edges.count()
+        }
+        ne
+      } finally {
+        sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+        sc.setLocalProperty("spark.job.description", prevDesc)
+      }
     val nextState = CurationState(
-      state.exactIdx.unionAll(hashes.select("eh")).distinct()
-        .localCheckpoint(true),
-      state.bandIdx.unionAll(keys).localCheckpoint(true),
+      state.exactIdx.unionAll(newExact),
+      state.bandIdx.unionAll(keys),
       clusters)
     (statuses, nextState)
+  }
+
+  /** Collapse both append-only indexes to one checkpointed segment
+    * each and compact the cluster edge log to its star forest — the
+    * scheduled compaction that bounds plan depth (union leaves) and
+    * cluster-log size. O(corpus) when it runs; amortized by the
+    * trigger interval, never paid per batch.
+    */
+  def consolidate(state: CurationState): CurationState =
+    CurationState(
+      state.exactIdx.localCheckpoint(true),
+      state.bandIdx.localCheckpoint(true),
+      StreamClusters.compact(state.clusters))
+
+  /** foreachBatch wiring: folds batches through [[ingest]], hands
+    * each batch's statuses to `onStatuses` (the downstream sink —
+    * default discards), and runs [[consolidate]] every
+    * `consolidateEvery` batches so a long-lived stream keeps bounded
+    * plan depth and a compacted cluster log without the caller
+    * remembering to do housekeeping.
+    */
+  final class Runner(spark: org.apache.spark.sql.SparkSession,
+                     consolidateEvery: Int = 32,
+                     onStatuses: (DataFrame, Long) => Unit = (_, _) => ()) {
+    @volatile private var st: CurationState = emptyState(spark)
+    @volatile private var batches: Long = 0L
+    @volatile private var nConsolidations: Long = 0L
+    def state(): CurationState = st
+    def consolidationCount: Long = nConsolidations
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val (statuses, next) = ingest(st, batch)
+      st = next
+      batches += 1
+      if (batches % consolidateEvery == 0) {
+        st = consolidate(st)
+        nConsolidations += 1
+      }
+      onStatuses(statuses, batchId)
+    }
   }
 }

@@ -31,9 +31,14 @@ import graft.operators.Dedup
   * must not drag old components into the subgraph).
   *
   * At scale the two state frames are tables (edge log + label store,
-  * e.g. Delta); here they are localCheckpointed DataFrames — the
-  * lineage cut per ingest is what keeps a long-lived stream's plans
-  * from growing without bound, exactly like the CC loop's own rounds.
+  * e.g. Delta); here the label store is a localCheckpointed DataFrame
+  * (cut per ingest — it is rewritten anyway by the touched-slice
+  * replacement) while the edge log is an APPEND-ONLY union of
+  * checkpointed per-batch segments: per-batch log maintenance is
+  * metadata-only, and the size-triggered [[compact]] in [[Maintainer]]
+  * both bounds the store (star forest: O(paired nodes)) and collapses
+  * the union back to one segment — the log-compaction shape of a
+  * log-structured table, not a per-batch rewrite.
   */
 object StreamClusters {
 
@@ -84,8 +89,15 @@ object StreamClusters {
     val untouched = state.labels
       .join(touched, Seq("cluster_id"), "left_anti")
       .select("node", "cluster_id")
+    // edge-log append is LAZY: the new state is the old (already
+    // materialized) log plus the batch's checkpointed pairs — a
+    // metadata-only union, so per-batch log maintenance does zero
+    // data work instead of re-materializing O(edges ever ingested)
+    // rows per ingest. The union's leaf count grows with batches;
+    // [[compact]] (size-triggered in [[Maintainer]]) collapses it
+    // back to one checkpointed star forest.
     ClusterState(
-      state.edges.unionAll(pairs).localCheckpoint(true),
+      state.edges.unionAll(pairs),
       untouched.unionAll(subLabels.select("node", "cluster_id"))
         .localCheckpoint(true))
   }
@@ -122,11 +134,40 @@ object StreamClusters {
   /** Streaming wiring: foreachBatch folds each micro-batch of edges
     * into the state via [[ingest]] — the caller reads `state()` for
     * the current labels between/after batches.
+    *
+    * Compaction is WIRED IN, not left to the caller (the round-7 gap:
+    * `compact` existed and was property-tested, but this sink grew
+    * the edge log with ingest volume forever): after each batch, if
+    * the log holds more than `compactFactor` × paired-node rows, the
+    * log is replaced by the star forest. Post-batch invariant
+    * (StreamingSpec pins it over a long random ingest):
+    * `edgeLogRows ≤ compactFactor × |paired nodes|`, so state is
+    * bounded by CORPUS size, never by how much was ingested. The
+    * trigger reads two cheap counts per batch: the micro-batch's own
+    * size and the freshly checkpointed label store's row count (the
+    * label store is already scanned once per ingest for the
+    * untouched-component anti-join, so the count adds no new
+    * asymptotic term).
     */
-  final class Maintainer(spark: org.apache.spark.sql.SparkSession) {
+  final class Maintainer(spark: org.apache.spark.sql.SparkSession,
+                         compactFactor: Double = 3.0) {
     @volatile private var st: ClusterState = emptyState(spark)
+    @volatile private var edgeRows: Long = 0L
+    @volatile private var nCompactions: Long = 0L
     def state(): ClusterState = st
-    def sink(batch: DataFrame, batchId: Long): Unit =
+    /** Rows currently in the edge log (maintained, not re-counted). */
+    def edgeLogRows: Long = edgeRows
+    def compactionCount: Long = nCompactions
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val n = batch.count() // micro-batch size: O(batch)
       st = ingest(st, batch)
+      edgeRows += n
+      val pairedNodes = st.labels.count()
+      if (edgeRows > compactFactor * math.max(pairedNodes, 1L)) {
+        st = compact(st)
+        edgeRows = st.edges.count() // star-forest size = nodes − components
+        nCompactions += 1
+      }
+    }
   }
 }

@@ -354,6 +354,124 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels(21L) == labels(22L))
   }
 
+  test("curation maintenance cost stays O(batch) as the corpus grows (stage-metrics audit)") {
+    import graft.streaming.CurationLoop
+    // round-7 verdict item 1: index maintenance used to re-distinct +
+    // re-checkpoint the FULL corpus-wide indexes every batch. The
+    // maintenance actions are now tagged with a job group; this audit
+    // measures the records those jobs actually read (input + shuffle)
+    // and pins that the per-batch cost stays flat while the corpus
+    // grows 8x — a regression to any corpus-wide pass scales with the
+    // corpus and trips the 3x bound by the later batches.
+    val stageIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null && CurationLoop.MaintainJobGroup ==
+            js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => stageIds.add(id))
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stageIds.contains(sc.stageInfo.stageId)) {
+          val m = sc.stageInfo.taskMetrics
+          records.addAndGet(
+            m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead)
+        }
+    }
+    def settle(): Long = { // listener bus is async: wait until stable
+      val deadline = System.nanoTime() + 8L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && records.get() != last) {
+        last = records.get(); Thread.sleep(250)
+      }
+      last
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      var st = CurationLoop.emptyState(spark)
+      val perBatch = (0 until 8).map { b =>
+        val docs = (0 until 5).map(i =>
+          ((b * 5 + i).toLong, s"uniq${b}x$i alpha$b beta$i gamma${b + i} delta"))
+        records.set(0); stageIds.clear()
+        val audit = new CurationLoop.CurationAudit
+        val (_, next) = CurationLoop.ingest(st,
+          docs.toDF("doc_id", "text"), Some(audit))
+        st = next
+        val r = settle()
+        // every text is new and unique: appends are exactly the batch
+        assert(audit.exactAppended == 5L, s"batch $b: ${audit.exactAppended}")
+        assert(audit.bandAppended == 10L) // 5 docs x 2 bands
+        r
+      }
+      assert(perBatch.forall(_ > 0L), s"maintenance jobs untagged? $perBatch")
+      assert(perBatch.last <= 3 * perBatch.head + 10,
+        s"maintenance cost grew with the corpus: $perBatch")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("maintainer auto-compacts: edge log bounded by paired nodes over a long random ingest") {
+    import graft.streaming.StreamClusters
+    // round-7 verdict item 3: compact existed but the production
+    // wiring never called it. The Maintainer now triggers it by size;
+    // post-batch invariant edgeLogRows <= factor x paired nodes, and
+    // label parity with the batch fixpoint must survive compactions.
+    val m = new StreamClusters.Maintainer(spark, compactFactor = 2.0)
+    val rnd = new scala.util.Random(7)
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (1 to 25).foreach { i =>
+      val edges = Seq.fill(4)(
+          ((rnd.nextInt(12) + 1).toLong, (rnd.nextInt(12) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      m.sink(edges.toDF("doc_a", "doc_b"), i.toLong)
+      all ++= edges
+      val paired = all.flatMap(e => Seq(e._1, e._2)).distinct.size
+      assert(m.edgeLogRows <= 2.0 * paired,
+        s"batch $i: log ${m.edgeLogRows} exceeds 2 x $paired paired nodes")
+    }
+    assert(m.compactionCount >= 1, "size trigger never fired")
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+    val expect = graft.operators.Dedup.connectedComponents(
+        all.toSeq.toDF("doc_a", "doc_b"), nodes.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = StreamClusters.labelsFor(m.state(), nodes.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"parity after auto-compaction: $got vs $expect")
+  }
+
+  test("curation runner: scheduled consolidation preserves classification and labels") {
+    import graft.streaming.CurationLoop
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val near2 = ((1 to 29).map(i => s"w$i") :+ "qq").mkString(" ")
+    val statuses = scala.collection.mutable.Map[Long, String]()
+    val r = new CurationLoop.Runner(spark, consolidateEvery = 2,
+      onStatuses = (df, _) => df.collect().foreach(row =>
+        statuses(row.getLong(0)) = row.getString(1)))
+    val batches = Seq(
+      Seq((1L, base), (2L, "unrelated text one here")),
+      Seq((11L, near)),                 // consolidation fires after this
+      Seq((21L, base), (22L, "fresh words entirely different")),
+      Seq((31L, near2)))                // and after this
+    batches.zipWithIndex.foreach { case (b, i) =>
+      r.sink(b.toDF("doc_id", "text"), i.toLong) }
+    assert(r.consolidationCount == 2L)
+    // classification against the POST-consolidation index still works:
+    // 21 is an exact dup of 1; 31 a near dup probed via the
+    // consolidated band index
+    assert(statuses(21L) == "dup_exact" && statuses(31L) == "dup_near")
+    // labels survive consolidation: parity vs the full-corpus fixpoint
+    val corpus = batches.flatten.toDF("doc_id", "text")
+    val expect = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.minhashCandidates(corpus),
+        corpus.select("doc_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = graft.streaming.StreamClusters
+      .labelsFor(r.state().clusters, corpus.select("doc_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == expect, s"labels after consolidation: $got vs $expect")
+  }
+
   test("state-API-v2 sequence score (transformWithState) matches v1") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption(
