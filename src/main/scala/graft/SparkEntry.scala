@@ -603,6 +603,34 @@ object SparkEntry {
     // cross-source near-dup overlap matrix (dedup-planning view)
     "q_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(T(s, d)("documents"))),
+    // the whole cluster family off ONE shared materialized label
+    // view: the simhash->CC fixpoint runs once, all three consumers
+    // (labels, cluster-aware split, leakage audit) read its cache
+    "q_cluster_family_shared" -> ((s, d) =>
+      TextAnalysis.clusterFamilySummary(T(s, d)("documents"))),
+    // PII scan + redaction audit over a deterministically PII-injected
+    // corpus (the synthetic docs carry no natural PII; the injection
+    // is mirrored bit-identically in the oracle)
+    "q_pii_scan" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = T(s, d)("documents")
+      val aug = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7"))).otherwise(lit(""))))
+      TextAnalysis.piiScan(aug)
+    }),
+    // model-based quality filter: exact-int linear margin over the
+    // hashed bag-of-words (the fastText-filter analog)
+    "q_quality_classifier" -> ((s, d) =>
+      FeatureEng.qualityClassifier(T(s, d)("documents"))),
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",

@@ -657,6 +657,28 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** MATERIALIZED cluster-label view — the one frame the cluster
+    * family ([[simhashClusters]] itself, cluster-aware split, the
+    * split-leakage audit) shares so the simhash→contraction→CC
+    * fixpoint runs ONCE per corpus instead of once per consumer
+    * (measured at sf0.1: the three consumers independently
+    * recomputing the pipeline cost ~9.7 s of a 70 s suite; sharing
+    * this view costs ≈ the most expensive single consumer). The frame
+    * is registered in [[OperatorCaches]]: the first consumer pays the
+    * fixpoint, later consumers read the cache, `releaseAll` returns
+    * the storage.
+    *
+    * At table scale this IS a materialized view: persist the label
+    * frame and refresh it INCREMENTALLY with
+    * [[graft.streaming.StreamClusters]] — `Maintainer` folds
+    * per-batch near-dup edges into a label store whose
+    * `labelsFor(state, docs)` has exactly this frame's output
+    * contract (StreamingSpec pins the parity), so a continuously
+    * ingested corpus never recomputes the batch fixpoint at all.
+    */
+  def clusterLabels(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    OperatorCaches.track(simhashClusters(docs, maxHamming))
+
   /** Cross-source near-dup overlap matrix — which corpus sources
     * duplicate into which (the dedup-planning view: a crawl snapshot
     * vs a curated set, two snapshots of the same crawl, etc.):

@@ -118,10 +118,13 @@ object TextAnalysis {
     * cluster with its split spread and the `leaky` verdict.
     *
     * Scale: one extra keyed aggregate over the cluster labels — the
-    * cluster pass dominates; the audit itself is O(clusters).
+    * cluster pass dominates; the audit itself is O(clusters). Pass a
+    * precomputed [[Dedup.clusterLabels]] frame to share that dominant
+    * pass with the other cluster-family consumers.
     */
-  def splitLeakage(docs: DataFrame): DataFrame =
-    Dedup.simhashClusters(docs)
+  def splitLeakage(docs: DataFrame,
+                   labels: Option[DataFrame] = None): DataFrame =
+    labels.getOrElse(Dedup.simhashClusters(docs))
       .withColumn("split", splitOf)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -140,12 +143,87 @@ object TextAnalysis {
     * per-doc assignment and the ~80/10/10 proportions hold.
     *
     * Scale: the cluster pass dominates; the assignment itself is
-    * row-local on the O(corpus) label frame.
+    * row-local on the O(corpus) label frame. Pass a precomputed
+    * [[Dedup.clusterLabels]] frame to share the cluster pass with the
+    * other cluster-family consumers.
     */
-  def clusterAwareSplit(docs: DataFrame): DataFrame =
-    Dedup.simhashClusters(docs)
+  def clusterAwareSplit(docs: DataFrame,
+                        labels: Option[DataFrame] = None): DataFrame =
+    labels.getOrElse(Dedup.simhashClusters(docs))
       .select(col("doc_id"), col("cluster_id"),
         splitHash(col("cluster_id")).as("split"))
+
+  /** PII patterns for [[piiScan]] — the scrub pass every published
+    * corpus pipeline runs before training (emails, phone numbers,
+    * IPv4 addresses). Expressed in the regex subset Java (Spark) and
+    * RE2 (DuckDB/Go-style engines) evaluate identically — character
+    * classes and counted repetition only, no lookaround, no
+    * backreferences — so the oracle twin is bit-identical and the
+    * patterns stay linear-time-safe on adversarial documents (RE2
+    * guarantees it; Java avoids the exponential-backtracking shapes).
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scan + redaction audit: per document, how many spans each
+    * pattern family matches, the length of the text after all
+    * families are redacted to fixed tokens (email → phone → IPv4,
+    * counts taken on the ORIGINAL text), and the `is_clean` verdict.
+    * Row-local column algebra inside whole-stage codegen — one scan,
+    * no shuffle, the same single-pass shape at any corpus size; a
+    * removal pass keeps the redacted text instead of its length.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val nEmails = regexp_count(col("text"), lit(EmailPattern))
+    val nPhones = regexp_count(col("text"), lit(PhonePattern))
+    val nIps = regexp_count(col("text"), lit(Ipv4Pattern))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailPattern), lit("<EMAIL>")),
+        lit(PhonePattern), lit("<PHONE>")),
+      lit(Ipv4Pattern), lit("<IP>"))
+    fan(docs).select(col("doc_id"),
+      nEmails.cast("long").as("n_emails"),
+      nPhones.cast("long").as("n_phones"),
+      nIps.cast("long").as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"),
+      (nEmails + nPhones + nIps === 0).as("is_clean"))
+  }
+
+  /** The cluster FAMILY off one shared materialized label view — the
+    * three consumers of [[Dedup.clusterLabels]] (the labels
+    * themselves, [[clusterAwareSplit]], [[splitLeakage]]) computed
+    * against a single cached label frame and each collapsed to a
+    * (member, n_rows, checksum) row. The point is the plan shape, not
+    * the summary numbers: the simhash→contraction→CC fixpoint — the
+    * dominant cost of all three — runs ONCE and the later consumers
+    * read the cache, so the family costs ≈ its most expensive member
+    * instead of 3× (bench entry `q_cluster_family_shared` measures
+    * exactly that against the three standalone queries; DocOpsSpec
+    * pins per-member equivalence with the standalone operators).
+    */
+  def clusterFamilySummary(docs: DataFrame): DataFrame = {
+    val labels = Dedup.clusterLabels(docs)
+    val cl = labels.groupBy().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id") * 31L + col("cluster_id")).as("checksum"))
+      .select(lit("clusters").as("member"), col("n_rows"), col("checksum"))
+    val cs = clusterAwareSplit(docs, Some(labels)).groupBy().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("cluster_id") *
+          when(col("split") === "train", 1L)
+            .when(col("split") === "val", 2L)
+            .otherwise(3L)).as("checksum"))
+      .select(lit("cluster_split").as("member"), col("n_rows"),
+        col("checksum"))
+    val lk = splitLeakage(docs, Some(labels)).groupBy().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_docs") * col("n_splits")).as("checksum"))
+      .select(lit("split_leakage").as("member"), col("n_rows"),
+        col("checksum"))
+    cl.unionAll(cs).unionAll(lk)
+  }
 
   /** End-to-end corpus curation — the composed cleaning pipeline a
     * pretraining corpus goes through: keep a document iff it is the

@@ -867,8 +867,103 @@ object DocOracles {
        |       COUNT(*) AS n_pairs
        |FROM j GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of TextAnalysis.clusterFamilySummary: ONE recursive-closure
+    * cluster pass (the DuckDB analog of the shared materialized label
+    * view) consumed by all three family members, each collapsed to a
+    * (member, n_rows, checksum) row.
+    */
+  private def clusterFamilySql: String =
+    s"""WITH cl AS (SELECT * FROM ($simhashClustersSql)),
+       |ds AS (SELECT cluster_id,
+       |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+       |                THEN 'train'
+       |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |                THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM cl),
+       |lk AS (SELECT cluster_id, COUNT(*) AS n_docs,
+       |         COUNT(DISTINCT split) AS n_splits
+       |       FROM ds GROUP BY 1 HAVING COUNT(*) >= 2),
+       |cs AS (SELECT cluster_id,
+       |         CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+       |                THEN 'train'
+       |              WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+       |                THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM cl)
+       |SELECT 'clusters' AS member, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(doc_id * 31 + cluster_id) AS BIGINT) AS checksum FROM cl
+       |UNION ALL
+       |SELECT 'cluster_split', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(cluster_id * CASE split WHEN 'train' THEN 1
+       |    WHEN 'val' THEN 2 ELSE 3 END) AS BIGINT) FROM cs
+       |UNION ALL
+       |SELECT 'split_leakage', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(n_docs * n_splits) AS BIGINT) FROM lk""".stripMargin
+
+  /** Mirror of TextAnalysis.piiScan over the same deterministically
+    * PII-injected corpus as SparkEntry's q_pii_scan (patterns are the
+    * Java/RE2-common subset, so counts and redactions agree exactly).
+    */
+  private def piiScanSql: String = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+       |         || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-'
+       |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |       ELSE '' END AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id, text,
+       |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips
+       |  FROM aug)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |  CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g')) AS BIGINT) AS redacted_len,
+       |  n_emails + n_phones + n_ips = 0 AS is_clean
+       |FROM c""".stripMargin
+  }
+
+  /** Mirror of FeatureEng.qualityClassifier: hashed-bag margin
+    * against md5-derived integer bucket weights, exact int64.
+    */
+  private def qualityClassifierSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+       |tb AS (SELECT doc_id,
+       |         ((CASE substr(h, 1, 1) $nibble END) * 16
+       |          + (CASE substr(h, 2, 1) $nibble END)) % 64 AS bucket,
+       |         CASE WHEN substr(h, 3, 1) >= '8' THEN 1 ELSE -1 END AS sign
+       |       FROM th),
+       |bw AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+       |       FROM tb GROUP BY 1, 2),
+       |ww AS (SELECT doc_id, bucket, weight,
+       |         ((CASE substr(md5('qw:' || CAST(bucket AS VARCHAR)), 1, 1) $nibble END) * 16
+       |          + (CASE substr(md5('qw:' || CAST(bucket AS VARCHAR)), 2, 1) $nibble END)) % 101 - 50 AS w
+       |       FROM bw)
+       |SELECT doc_id, CAST(SUM(weight * w) AS BIGINT) AS margin,
+       |  SUM(weight * w) >= 0 AS keep
+       |FROM ww GROUP BY 1""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_cluster_split" -> clusterAwareSplitSql,
+    "q_cluster_family_shared" -> clusterFamilySql,
+    "q_pii_scan" -> piiScanSql,
+    "q_quality_classifier" -> qualityClassifierSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_decontaminate" -> decontaminateSql,
     "q_semdedup" -> semDedupSql,

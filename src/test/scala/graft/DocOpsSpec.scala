@@ -373,6 +373,68 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out.select("split").distinct().count() >= 2)
   }
 
+  test("StreamClusters.Maintainer is the label view's incremental refresh") {
+    // clusterLabels documents StreamClusters as its at-scale refresh
+    // path — pin it: batching the SAME simhash near-dup edges through
+    // the maintainer yields the batch view exactly (CC labels depend
+    // only on the edge set, so any batch partition converges to it)
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val edges = Dedup.simhashPairs(d, 3).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val m = new graft.streaming.StreamClusters.Maintainer(spark)
+    (0 until 3).foreach { i =>
+      m.sink(edges.filter(pmod(col("doc_b"), lit(3)) === i), i.toLong)
+    }
+    val got = graft.streaming.StreamClusters
+      .labelsFor(m.state(), d.select("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.clusterLabels(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("PII scan counts and redacts emails, phones, and IPv4s") {
+    val d = docs(
+      (1L, "reach me at jo.doe+x@mail.example.org or +44-201-555-0123 ok"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 hold no mail"),
+      (3L, "plain clean text with no identifiers at all"))
+    val out = TextAnalysis.piiScan(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 1L &&
+      out(1L).getLong(3) == 0L && !out(1L).getBoolean(5))
+    // redacted text: both spans replaced by fixed tokens
+    assert(out(1L).getLong(4) ==
+      "reach me at <EMAIL> or <PHONE> ok".length.toLong)
+    assert(out(2L).getLong(3) == 2L && !out(2L).getBoolean(5))
+    assert(out(3L).getBoolean(5) &&
+      out(3L).getLong(4) == "plain clean text with no identifiers at all".length.toLong)
+  }
+
+  test("shared cluster-label view is equivalent to per-query recompute") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val labels = Dedup.clusterLabels(d)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // the materialized view IS the batch operator's output
+    assert(rows(labels) == rows(Dedup.simhashClusters(d)))
+    // each consumer produces identical rows off the shared view
+    assert(rows(TextAnalysis.clusterAwareSplit(d, Some(labels))) ==
+      rows(TextAnalysis.clusterAwareSplit(d)))
+    assert(rows(TextAnalysis.splitLeakage(d, Some(labels))) ==
+      rows(TextAnalysis.splitLeakage(d)))
+    // and the family summary's per-member rows match the standalone
+    // results it summarizes
+    val fam = TextAnalysis.clusterFamilySummary(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fam.keySet == Set("clusters", "cluster_split", "split_leakage"))
+    assert(fam("clusters")._1 == labels.count())
+    assert(fam("cluster_split")._1 == d.count())
+    assert(fam("split_leakage")._1 ==
+      TextAnalysis.splitLeakage(d).count())
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("source overlap matrix counts within- and cross-source dup pairs") {
     val t = (1 to 20).map(i => s"w$i").mkString(" ")
     val u = (100 to 120).map(i => s"v$i").mkString(" ")
