@@ -280,10 +280,21 @@ object Joins {
     * Shuffles: degree agg, one self-join of the oriented list on the
     * apex, one semi-join of wedge tips against the edge set. Output
     * is a single (n_edges, n_wedges, n_triangles) audit row.
+    *
+    * The edge list and the oriented list are tracked caches: `e`
+    * feeds FOUR plan branches (degree agg, orientation join, closing
+    * semi-join, edge count) and `oriented` both sides of the wedge
+    * self-join — uncached, an expensive upstream (e.g. the
+    * co-occurrence pair enumeration the bench feeds in) recomputes
+    * once per branch, which measured ~1.8× the whole operator at
+    * sf0.1. Both frames are O(edges) — for the sparsified graphs
+    * this operator targets, a bounded working set at any corpus
+    * scale.
     */
   def triangleCount(edges: DataFrame, a: String = "src_a",
                     b: String = "src_b"): DataFrame = {
-    val e = edges.select(col(a).as("ea"), col(b).as("eb"))
+    val e = OperatorCaches.track(
+      edges.select(col(a).as("ea"), col(b).as("eb")))
     val deg = e.select(col("ea").as("node"))
       .unionAll(e.select(col("eb").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -292,13 +303,13 @@ object Joins {
     val withDeg = e
       .join(deg.withColumnRenamed("node", "ea").withColumnRenamed("deg", "da"), "ea")
       .join(deg.withColumnRenamed("node", "eb").withColumnRenamed("deg", "db"), "eb")
-    val oriented = withDeg.select(
+    val oriented = OperatorCaches.track(withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("ea") < col("eb")),
         struct(col("ea").as("lo"), col("eb").as("hi")))
         .otherwise(struct(col("eb").as("lo"), col("ea").as("hi")))
         .as("o"))
-      .select(col("o.lo").as("lo"), col("o.hi").as("hi"))
+      .select(col("o.lo").as("lo"), col("o.hi").as("hi")))
     val o2 = oriented.select(col("lo").as("lo2"), col("hi").as("hi2"))
     // wedges from each apex's out-list; hi < hi2 both dedups the
     // unordered tip pair and leaves it in id order, so the closing

@@ -55,12 +55,20 @@ class JdbcCatalogSpec extends AnyFunSuite {
     // the production shape: 4 concurrent striped connections
     assert(back.rdd.getNumPartitions == 4)
     assert(back.count() == 200)
-    // predicate pushdown reaches the JDBC scan (server-side WHERE)
+    // predicate pushdown reaches the JDBC scan (server-side WHERE) —
+    // the predicate must appear INSIDE the PushedFilters list, not
+    // merely in ReadSchema next to an empty list: a Derby DDL
+    // regression that maps the column back to CLOB (the trap
+    // JdbcCatalog's columnTypes override exists for) silently
+    // un-pushes the filter while the column name stays in the scan
+    // string, which a bare contains() check would miss
     val filtered = back.filter(col("kyc_status") === "verified")
     val scan = filtered.queryExecution.executedPlan
       .collectLeaves().head.toString
-    assert(scan.contains("PushedFilters") && scan.contains("kyc_status"),
-      s"filter did not reach the JDBC scan:\n$scan")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1))
+    assert(pushed.exists(_.contains("kyc_status")),
+      s"VARCHAR predicate not inside PushedFilters:\n$scan")
     assert(filtered.count() ==
       profiles.filter(col("kyc_status") === "verified").count())
     // and the catalog read feeds the enrichment join like the parquet
