@@ -263,6 +263,38 @@ object FeatureEng {
       .agg(sum(sign).as("weight"))
   }
 
+  /** fastText-style MODEL-BASED quality filter — the published
+    * pipelines' second quality gate after the heuristic one (CCNet's
+    * fastText LM filter, FineWeb-Edu's classifier): a linear scorer
+    * over the hashing-trick bag-of-words. The model is a
+    * deterministic analog per this repo's DeterministicModels policy:
+    * per-bucket integer weights derived from md5("qw:" + bucket) in
+    * [-50, 50], margin = Σ_buckets doc_weight(bucket) · w(bucket) in
+    * exact int64 arithmetic (no libm — bit-identical across engines),
+    * keep ⇔ margin ≥ threshold. A production drop-in replaces the
+    * weight column with a broadcast frame of trained coefficients;
+    * the plan shape is unchanged.
+    *
+    * Scale: rides [[hashedFeatures]]' one explode + one keyed
+    * aggregate; the weight derivation is ROW-LOCAL column algebra on
+    * the bucket id (no join at all), and the final margin agg is
+    * keyed on doc_id — one shuffle end-to-end beyond the token
+    * explode.
+    */
+  def qualityClassifier(docs: DataFrame, buckets: Int = 64,
+                        threshold: Long = 0L): DataFrame = {
+    val bh = md5(concat(lit("qw:"), col("bucket").cast("string")))
+    val w = pmod(
+      Dedup.hexNibble(substring(bh, 1, 1)) * 16 +
+        Dedup.hexNibble(substring(bh, 2, 1)), lit(101)) - lit(50)
+    hashedFeatures(docs, buckets)
+      .withColumn("w", w.cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("weight") * col("w")).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        (col("margin") >= threshold).as("keep"))
+  }
+
   /** Class-rebalancing downsample to the minority-class size: every
     * class keeps rows with probability min_count/count_c, decided by
     * a 16-bit md5 draw per row against the class's threshold via

@@ -280,4 +280,27 @@ class FeatureEngSpec extends AnyFunSuite {
     val r = FeatureEng.featureCorrelation(d).collect().head.getDouble(2)
     assert(math.abs(r - 1.0) < 1e-9)
   }
+
+  test("quality classifier margin matches a hand-computed reference") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(c: Char) = Integer.parseInt(c.toString, 16)
+    val words = Seq("alpha", "beta", "alpha", "gamma", "delta")
+    // replicate the derivation token-by-token: bucket + sign from the
+    // token md5, weight from md5("qw:" + bucket), margin in exact ints
+    val expected = words.map { t =>
+      val h = md5hex(t)
+      val bucket = (nib(h(0)) * 16 + nib(h(1))) % 64
+      val sign = if (h(2) >= '8') 1L else -1L
+      (bucket, sign)
+    }.groupBy(_._1).map { case (b, xs) =>
+      val wh = md5hex(s"qw:$b")
+      val w = (nib(wh(0)) * 16 + nib(wh(1))) % 101 - 50
+      xs.map(_._2).sum * w
+    }.sum
+    val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = FeatureEng.qualityClassifier(d).collect()
+    assert(out.length == 1 && out(0).getLong(1) == expected)
+    assert(out(0).getBoolean(2) == (expected >= 0L))
+  }
 }
