@@ -284,7 +284,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
