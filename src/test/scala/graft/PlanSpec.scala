@@ -556,6 +556,36 @@ class PlanSpec extends AnyFunSuite {
       s"prefix rank must partition by doc:\n${plans("q_dedup_containment")}")
   }
 
+  test("new doc operators keep their scale shapes: PII row-local, classifier join-free, family shares the cached view") {
+    val docs = t("documents")
+    // piiScan is pure row-local column algebra: no keyed shuffle, no
+    // funnel — the only permitted exchange is Par.fan's deliberate
+    // round-robin spread of small files across cores, which carries
+    // no keying and disappears when input splits are already wide
+    val pii = explainStr(TextAnalysis.piiScan(docs))
+    assert(!pii.contains("hashpartitioning") &&
+      !pii.contains("Exchange SinglePartition") &&
+      !pii.contains("rangepartitioning"),
+      s"piiScan must stay row-local:\n$pii")
+    // qualityClassifier derives weights row-locally from the bucket id
+    // — any join here means the weight table became a shuffle partner
+    val qc = explainStr(FeatureEng.qualityClassifier(docs))
+    assert(!qc.toLowerCase.contains("join"),
+      s"classifier weight derivation must stay join-free:\n$qc")
+    assert(!qc.contains("Exchange SinglePartition"),
+      s"classifier funnels data to one task:\n$qc")
+    // the family summary reads the ONE cached label view from all
+    // three member branches — that sharing is the whole point
+    val fam = TextAnalysis.clusterFamilySummary(docs)
+    val famPlan = explainStr(fam)
+    val scans = "InMemoryTableScan".r.findAllIn(famPlan).size
+    assert(scans >= 3,
+      s"family members must read the shared cached labels ($scans scans):\n$famPlan")
+    assert(!famPlan.contains("CartesianProduct") &&
+      !famPlan.contains("BroadcastNestedLoopJoin"))
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("containmentPairs plan choice launches no job (no eager count)") {
     // round-7 verdict item 4: the operator used to run docs.count() as
     // a side effect of PLANNING — a full upstream pass, paid again when
