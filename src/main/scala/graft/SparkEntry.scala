@@ -631,6 +631,11 @@ object SparkEntry {
     // hashed bag-of-words (the fastText-filter analog)
     "q_quality_classifier" -> ((s, d) =>
       FeatureEng.qualityClassifier(T(s, d)("documents"))),
+    // ANALYZE-style per-column statistics (one-pass multi-distinct;
+    // oracle-safe column subset: bigints + string)
+    "q_table_stats" -> ((s, d) =>
+      Quality.columnStats(T(s, d)("events"),
+        Seq("event_id", "user_id", "event_type"))),
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",

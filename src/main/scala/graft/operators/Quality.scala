@@ -36,6 +36,42 @@ object Quality {
         (col("n_violations") === 0).as("passed"))
   }
 
+  /** ANALYZE-style per-column statistics — the catalog numbers every
+    * planning decision at 100 TB consumes (broadcast-vs-shuffle
+    * choice, join-order estimates, partition sizing, null-rate data
+    * audits): per column, row count, null count, distinct count, and
+    * min/max rendered as strings so heterogeneous columns share one
+    * long-form schema.
+    *
+    * ONE pass over the data: every column's four aggregates live in
+    * the same partial+final aggregate (Spark plans the multi-distinct
+    * via Expand — rows × |cols| inside the agg, still a single scan),
+    * and the one-row result unpivots row-locally. `exact = false`
+    * switches distinct counting to HLL `approx_count_distinct` — the
+    * 100 TB default, where a ±2% NDV answers the same planning
+    * questions without the Expand blow-up; the oracle-checked query
+    * runs the exact form.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String],
+                  exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_cnt_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"_cnt_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"), col(s"_max_$c").as("max_value"))
+    }
+    one.select(explode(array(perCol: _*)).as("s")).select("s.*")
+  }
+
   /** Referential-integrity orphan count: child rows whose `childKey`
     * has no match in `parent(parentKey)`.
     */

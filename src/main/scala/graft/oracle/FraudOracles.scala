@@ -800,7 +800,24 @@ object FraudOracles {
        |FROM g WHERE n_base > 0 AND n_eval > 0""".stripMargin
   }
 
+  /** Mirror of Quality.columnStats (exact form) over the oracle-safe
+    * column subset: bigints and strings cast to VARCHAR render
+    * identically in both engines (doubles/timestamps would not).
+    */
+  private def columnStatsSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM events""".stripMargin
+    Seq("event_id", "user_id", "event_type").map(one)
+      .mkString("\nUNION ALL\n")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_table_stats" -> columnStatsSql,
     "q_model_score" -> modelScoreSql,
     "q_feature_store" -> featureStoreSql,
     "q_funnel" -> funnelSql,

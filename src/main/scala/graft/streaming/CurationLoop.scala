@@ -158,6 +158,31 @@ object CurationLoop {
     (statuses, nextState)
   }
 
+  /** Admission decision — the gate a production ingest loop applies
+    * after [[ingest]] classifies a batch: a document is ADMITTED iff
+    * it is novel against the standing corpus (`status == "new"`),
+    * clears the heuristic quality bar
+    * ([[graft.operators.TextAnalysis.qualityScore]]), and is PII-clean
+    * ([[graft.operators.TextAnalysis.piiScan]]). Both extra gates are
+    * row-local single-pass column algebra over the BATCH only, joined
+    * back on doc_id — per-batch cost stays O(|batch|), the ingest
+    * contract. Returns one row per batch doc with the per-gate
+    * evidence (status, quality, pii_clean) plus the composed verdict,
+    * so a rejected doc is auditable.
+    */
+  def admissions(batch: DataFrame, statuses: DataFrame,
+                 minQuality: Double = 0.5): DataFrame = {
+    val q = graft.operators.TextAnalysis.qualityScore(batch)
+      .select(col("doc_id"), col("quality"))
+    val pii = graft.operators.TextAnalysis.piiScan(batch)
+      .select(col("doc_id"), col("is_clean").as("pii_clean"))
+    statuses.join(q, "doc_id").join(pii, "doc_id")
+      .select(col("doc_id"), col("status"), col("quality"),
+        col("pii_clean"),
+        (col("status") === "new" && col("quality") >= minQuality &&
+          col("pii_clean")).as("admit"))
+  }
+
   /** Collapse both append-only indexes to one checkpointed segment
     * each and compact the cluster edge log to its star forest — the
     * scheduled compaction that bounds plan depth (union leaves) and

@@ -38,4 +38,25 @@ class QualityMergeSpec extends AnyFunSuite {
     assert(out(3L) == (("c", 30.0)))  // inserted
     assert(out.size == 3)
   }
+
+  test("column stats: counts, nulls, distincts, min/max per column in one pass") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a")))
+      .toDF("k", "s")
+    val out = Quality.columnStats(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    val k = out("k")
+    assert(k.getLong(1) == 4L && k.getLong(2) == 1L && k.getLong(3) == 2L &&
+      k.getString(4) == "1" && k.getString(5) == "3")
+    val s = out("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L &&
+      s.getString(4) == "a" && s.getString(5) == "b")
+    // approx mode keeps the same shape (HLL NDV within its rsd on
+    // tiny exact inputs)
+    val approx = Quality.columnStats(df, Seq("k", "s"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("k") == 2L && approx("s") == 2L)
+  }
 }

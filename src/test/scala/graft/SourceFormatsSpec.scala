@@ -280,6 +280,43 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("wrap the inner array"))
   }
 
+  test("Wire registry dispatches topics through all three lanes with one contract") {
+    import graft.sources.WireRegistry
+    import graft.sources.WireRegistry.{Avro, Json, Proto}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("score", DoubleType)))
+    val reg = new WireRegistry.Registry
+    reg.register("tx-json", Json, schema)
+    reg.register("tx-avro", Avro, schema)
+    reg.register("tx-proto", Proto, schema)
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, "purchase", 0.25), Row(2L, null, -1.5),
+      Row(3L, "view", null)), schema)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    for (topic <- Seq("tx-json", "tx-avro", "tx-proto")) {
+      val wire = reg.encode(df, topic)
+      assert(wire.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+        Seq(("value", "binary")), s"$topic payload contract")
+      assert(key(reg.decode(wire, topic)) == key(df), s"$topic round-trip")
+    }
+    // unregistered topic and schema drift both fail fast by name
+    val e1 = intercept[IllegalArgumentException](reg.encode(df, "nope"))
+    assert(e1.getMessage.contains("not registered"))
+    val e2 = intercept[IllegalArgumentException](
+      reg.encode(df.withColumnRenamed("kind", "k2"), "tx-json"))
+    assert(e2.getMessage.contains("tx-json"))
+    // illegal proto lane rejected at REGISTER time, no frame in hand
+    val e3 = intercept[IllegalArgumentException](
+      reg.register("bad", Proto, StructType(Seq(
+        StructField("aa", ArrayType(ArrayType(LongType)))))))
+    assert(e3.getMessage.contains("wrap the inner array"))
+  }
+
   test("Postgres driver absence is verified, not assumed (S9 runs on embedded Derby)") {
     // the image ships no Postgres driver — pin that. The JDBC catalog
     // path itself is REAL: JdbcCatalogSpec drives write + partitioned
