@@ -61,12 +61,12 @@ object Similarity {
     * oracle stays bit-exact while the pair kernel drops from 3 dot
     * products to 1.
     */
-  private def prepared(embeddings: DataFrame, dim: Int): DataFrame =
+  private[graft] def prepared(embeddings: DataFrame, dim: Int): DataFrame =
     graft.sources.Par.fan(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v"), dim))
 
-  private def pairCos(qv: Column, qn: Column, v: Column, n: Column,
+  private[graft] def pairCos(qv: Column, qn: Column, v: Column, n: Column,
                       dim: Int): Column =
     dot(qv, v, dim) / (qn * n)
 
@@ -131,33 +131,52 @@ object Similarity {
     * exact-cosine with id tiebreaks, so the result is reproducible in
     * any engine (q_ann_ivf mirrors it in SQL).
     */
-  /** Row-local IVF pivot scoring: the codebook (first `nlist` vectors)
-    * rides along as ONE broadcast array row, so pivot ranking needs no
-    * shuffle — the old row_number() spelling exchanged all N×nlist
-    * score rows on vec_id just to rank nlist values per vector. Struct
-    * ordering is (pcos, -pid), so max / sort-desc break ties toward
-    * the smallest pid, exactly a window's ORDER BY pcos DESC, pid.
-    * Adds a `pcs` array column to `src`.
+  /** The codebook as ONE broadcast-able array row — the first `nlist`
+    * corpus vectors as pivots (a trained k-means codebook plugs into
+    * the same single-row shape). Exposed to [[graft.streaming.StreamAnn]],
+    * which freezes this frame at build time and assigns every later
+    * batch against it.
     */
-  private def pivotScored(src: DataFrame, all: DataFrame, nlist: Int,
-                          dim: Int): DataFrame = {
-    val pivots = all.filter(col("vec_id") < nlist)
+  private[graft] def pivotArr(all: DataFrame, nlist: Int): DataFrame =
+    all.filter(col("vec_id") < nlist)
       .agg(collect_list(struct(col("vec_id").as("pid"), col("v").as("pv"),
         col("nrm").as("pn"))).as("parr"))
+
+  /** Row-local pivot scoring against an explicit codebook frame (see
+    * [[pivotArr]]); adds a `pcs` array of (pcos, -pid) structs so
+    * max/sort-desc tiebreak toward the smallest pid.
+    */
+  private[graft] def pivotScoredBy(src: DataFrame, pivots: DataFrame,
+                                   dim: Int): DataFrame =
     src.crossJoin(broadcast(pivots))
       .withColumn("pcs", transform(col("parr"), p =>
         struct((dot(col("v"), p("pv"), dim) / (col("nrm") * p("pn")))
                  .as("pcos"),
                (lit(0L) - p("pid")).as("npid"))))
       .drop("parr")
-  }
+
+  private def pivotScored(src: DataFrame, all: DataFrame, nlist: Int,
+                          dim: Int): DataFrame =
+    pivotScoredBy(src, pivotArr(all, nlist), dim)
+
+  /** Vectors → (vec_id, v, nrm, list_id, best_cos): each assigned to
+    * its max-cosine pivot of the given codebook, all row-local.
+    * `best_cos` is the assignment quality — the codebook-drift signal
+    * a streaming ingest monitors.
+    */
+  private[graft] def assignBy(src: DataFrame, pivots: DataFrame,
+                              dim: Int): DataFrame =
+    pivotScoredBy(src, pivots, dim)
+      .withColumn("best", array_max(col("pcs")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (lit(0L) - col("best")("npid")).as("list_id"),
+        col("best")("pcos").as("best_cos"))
 
   /** Corpus → (vec_id, v, nrm, list_id): every vector assigned to its
-    * max-cosine pivot, all row-local (see [[pivotScored]]).
+    * max-cosine pivot, all row-local (see [[pivotScoredBy]]).
     */
   private def ivfAssigned(all: DataFrame, nlist: Int, dim: Int): DataFrame =
-    pivotScored(all, all, nlist, dim)
-      .withColumn("list_id", lit(0L) - array_max(col("pcs"))("npid"))
+    assignBy(all, pivotArr(all, nlist), dim)
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
 
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Streaming ANN index maintenance — the continuous-ingest face of
+  * [[graft.operators.Similarity.ivfTopK]], completing the streaming
+  * family (dedup → clusters → curation → similarity): new embeddings
+  * arrive in micro-batches and become searchable without ever
+  * re-indexing the corpus.
+  *
+  * The published IVF production shape: the codebook is TRAINED ONCE
+  * (here: [[Similarity.pivotArr]]'s deterministic first-`nlist`
+  * pivots, frozen at [[build]] time — a k-means codebook drops into
+  * the same one-row frame) and every later batch is assigned against
+  * that frozen codebook ROW-LOCALLY (one broadcast of `nlist` pivots,
+  * |batch|×nlist scoring, no shuffle of batch or corpus). The index
+  * is an append-only union of checkpointed per-batch segments —
+  * per-batch maintenance is O(|batch|) scoring plus a metadata-only
+  * union, the same log-structured shape as [[CurationLoop]]'s
+  * indexes, with [[consolidate]] as the scheduled segment compaction.
+  *
+  * Because assignment is per-vector against the same frozen codebook,
+  * the maintained index is ROW-IDENTICAL to the batch operator's
+  * assignment of the full corpus (StreamAnnSpec pins build+ingest ≡
+  * `ivfTopK` over the final corpus, provided the pivot vectors are in
+  * the seed — the batch twin derives its codebook from the full
+  * corpus by the same `vec_id < nlist` rule). The divergence to know:
+  * a batch recompute could RETRAIN the codebook on the grown corpus;
+  * the stream deliberately does not. [[IngestAudit.meanBestCos]] is
+  * the drift signal that decides when an offline retrain + reindex is
+  * due — falling assignment quality means the frozen pivots no longer
+  * cover the distribution.
+  */
+object StreamAnn {
+
+  /** Frozen codebook (one-row pivot array) + append-only assigned
+    * index (vec_id, v, nrm, list_id, best_cos).
+    */
+  final case class AnnState(pivots: DataFrame, index: DataFrame,
+                            nlist: Int, dim: Int)
+
+  /** Per-ingest observability: batch size and mean assignment cosine
+    * (the codebook-drift signal).
+    */
+  final class IngestAudit {
+    @volatile var assigned: Long = -1L
+    @volatile var meanBestCos: Double = Double.NaN
+  }
+
+  /** Index the seed corpus: materialize the codebook and the initial
+    * inverted-list assignment.
+    */
+  def build(corpus: DataFrame, nlist: Int = 16,
+            dim: Int = Similarity.Dim): AnnState = {
+    val all = Similarity.prepared(corpus, dim)
+    val pivots = Similarity.pivotArr(all, nlist).localCheckpoint(true)
+    val index = Similarity.assignBy(all, pivots, dim).localCheckpoint(true)
+    AnnState(pivots, index, nlist, dim)
+  }
+
+  /** Fold one micro-batch of (vec_id, embedding) rows into the index:
+    * row-local assignment against the frozen codebook, metadata-only
+    * append.
+    */
+  def ingest(state: AnnState, batch: DataFrame,
+             audit: Option[IngestAudit] = None): AnnState = {
+    val assigned = Similarity.assignBy(
+        Similarity.prepared(batch, state.dim), state.pivots, state.dim)
+      .localCheckpoint(true)
+    audit.foreach { a =>
+      val r = assigned.agg(count(lit(1)).as("n"),
+        avg(col("best_cos")).as("m")).head()
+      a.assigned = r.getLong(0)
+      a.meanBestCos = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+    }
+    state.copy(index = state.index.unionAll(assigned))
+  }
+
+  /** Top-k search over the maintained index — identical probe shape to
+    * the batch operator: queries rank the frozen pivots row-locally,
+    * probe their `nprobe` closest inverted lists, and only those lists
+    * are scored exactly.
+    */
+  def query(state: AnnState, queries: DataFrame, k: Int,
+            nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = Similarity.pivotScoredBy(
+        Similarity.prepared(queries, state.dim), state.pivots, state.dim)
+      .withColumn("pp",
+        explode(slice(sort_array(col("pcs"), asc = false), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), (lit(0L) - col("pp")("npid")).as("plist"))
+    val scored = probes.join(state.index, col("plist") === col("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"),
+          state.dim).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** Collapse the index's append-only union to one checkpointed
+    * segment — scheduled compaction, amortized like the other
+    * streaming stores' housekeeping.
+    */
+  def consolidate(state: AnnState): AnnState =
+    state.copy(index = state.index.localCheckpoint(true))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.streaming.StreamAnn
+
+class StreamAnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = graft.sources.Tables(spark, sf, "embeddings")
+
+  test("streamed index + query equals the batch IVF operator over the final corpus") {
+    // seed holds the pivot vectors (vec_id < nlist) so the frozen
+    // codebook equals the batch twin's full-corpus derivation; the
+    // rest arrives in two batches
+    val seed = emb.filter(col("vec_id") % 3 =!= 2 || col("vec_id") < 16)
+    val b1 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") >= 16 &&
+      col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") >= 16 &&
+      col("vec_id") % 2 === 1)
+    var st = StreamAnn.build(seed)
+    val audit = new StreamAnn.IngestAudit
+    st = StreamAnn.ingest(st, b1, Some(audit))
+    assert(audit.assigned == b1.count())
+    assert(!audit.meanBestCos.isNaN && audit.meanBestCos <= 1.0)
+    st = StreamAnn.ingest(st, b2)
+    st = StreamAnn.consolidate(st)
+    val queryPred = col("vec_id") % 50 === 0
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = key(StreamAnn.query(st, emb.filter(queryPred), k = 5))
+    val want = key(Similarity.ivfTopK(emb, queryPred, k = 5))
+    assert(got == want)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("index grows by exactly the batch; assignment is against the frozen codebook") {
+    val seed = emb.filter(col("vec_id") < 100)
+    val batch = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+    val st0 = StreamAnn.build(seed)
+    val n0 = st0.index.count()
+    assert(n0 == seed.count())
+    val st1 = StreamAnn.ingest(st0, batch)
+    assert(st1.index.count() == n0 + batch.count())
+    // frozen codebook: the batch rows' assignments match what the
+    // batch operator's codebook (same pivots, untouched by ingest)
+    // would give them
+    val all = Similarity.prepared(emb.filter(col("vec_id") < 130),
+      Similarity.Dim)
+    val expect = Similarity.assignBy(
+        Similarity.prepared(batch, Similarity.Dim),
+        Similarity.pivotArr(all, 16), Similarity.Dim)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = st1.index.join(batch.select("vec_id"), "vec_id")
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+}
