@@ -39,7 +39,68 @@ object ThroughputBench {
         struct(lit(40.75).as("lat"), lit(-73.99).as("lon")))
       .withColumn("parse_error", lit(false))
 
+  /** Documents/sec through the batch curation gauntlet — the
+    * data-pipeline twin of the transaction anchor: exact-dedup
+    * canonical status (hash groupBy), heuristic quality + PII scan
+    * (fused row-local), and the hashed-BOW classifier margin
+    * (explode + keyed agg), composed into one admit verdict and
+    * forced end-to-end by an aggregate. ~100-word docs are
+    * synthesized deterministically (2% exact duplicates via a shared
+    * base id) and MATERIALIZED before the clock starts, so generation
+    * cost stays out of the measure.
+    */
+  private def runDocs(spark: SparkSession, n: Long, cpus: Int): Unit = {
+    import graft.operators.{Dedup, FeatureEng, TextAnalysis}
+    val vocab = Seq("the", "and", "of", "to", "in", "is", "a", "for",
+      "data", "query", "table", "scan", "batch", "stream", "vector",
+      "column", "window", "filter", "merge", "shuffle", "join", "sort",
+      "hash", "cache", "spill", "codegen", "partition", "broadcast")
+    val varr = array(vocab.map(lit): _*)
+    val base = when(pmod(col("id"), lit(50L)) === 0, col("id") - 1)
+      .otherwise(col("id"))
+    val words = transform(sequence(lit(1), lit(100)), j =>
+      element_at(varr,
+        (pmod(xxhash64(base, j), lit(vocab.size.toLong)) + 1).cast("int")))
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"), concat_ws(" ", words).as("text"))
+      .repartition(cpus)
+      .localCheckpoint(true)
+    def curated(d: DataFrame): DataFrame = {
+      val q = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality"))
+      val pii = TextAnalysis.piiScan(d).select(col("doc_id"), col("is_clean"))
+      val cls = FeatureEng.qualityClassifier(d).select(col("doc_id"), col("margin"))
+      val keepers = Dedup.exactGroups(d)
+        .select(col("keep_id").as("doc_id"))
+      d.select("doc_id")
+        .join(q, "doc_id").join(pii, "doc_id").join(cls, "doc_id")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), (col("quality") >= 0.5 && col("is_clean") &&
+          col("margin") >= 0).as("admit"))
+    }
+    curated(docs.limit(10000)).agg(count(lit(1))).collect() // warm
+    val t0 = System.nanoTime()
+    val out = curated(docs)
+      .agg(count(lit(1)).as("canonical"),
+        count(when(col("admit"), 1)).as("admitted")).head()
+    val rate = n / ((System.nanoTime() - t0) / 1e9)
+    println(f"""{"docs_per_sec":${rate}%.0f,"rows":$n,"canonical":${out.getLong(0)},"admitted":${out.getLong(1)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("docs")) {
+      val n = args.lift(1).map(_.toLong).getOrElse(2000000L)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runDocs(spark, n, cpus.toInt)
+      spark.stop()
+      return
+    }
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

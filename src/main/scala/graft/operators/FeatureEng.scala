@@ -275,25 +275,24 @@ object FeatureEng {
     * weight column with a broadcast frame of trained coefficients;
     * the plan shape is unchanged.
     *
-    * Scale: rides [[hashedFeatures]]' one explode + one keyed
-    * aggregate; the weight derivation is ROW-LOCAL column algebra on
-    * the bucket id (no join at all), and the final margin agg is
-    * keyed on doc_id — one shuffle end-to-end beyond the token
-    * explode.
+    * Scale: the margin is ZERO-SHUFFLE and COMPILED — the native
+    * [[graft.plans.HashedBagMargin]] kernel folds sign·weight over
+    * the tokens in one pass per row (integer addition is order-free,
+    * so the fold equals [[hashedFeatures]]' per-bucket grouping
+    * exactly; FeatureEngSpec pins both against a hand computation).
+    * The operator's first spelling rode hashedFeatures'
+    * groupBy(doc_id, bucket) — an O(total tokens) keyed exchange,
+    * measured as the dominant cost of the curation throughput
+    * gauntlet; the kernel scores a corpus in the same single pass the
+    * heuristic quality gate takes.
     */
   def qualityClassifier(docs: DataFrame, buckets: Int = 64,
-                        threshold: Long = 0L): DataFrame = {
-    val bh = md5(concat(lit("qw:"), col("bucket").cast("string")))
-    val w = pmod(
-      Dedup.hexNibble(substring(bh, 1, 1)) * 16 +
-        Dedup.hexNibble(substring(bh, 2, 1)), lit(101)) - lit(50)
-    hashedFeatures(docs, buckets)
-      .withColumn("w", w.cast("long"))
-      .groupBy("doc_id")
-      .agg(sum(col("weight") * col("w")).as("margin"))
+                        threshold: Long = 0L): DataFrame =
+    graft.sources.Par.fan(docs)
+      .select(col("doc_id"),
+        graft.plans.HashedBagMargin(col("text"), buckets).as("margin"))
       .select(col("doc_id"), col("margin"),
         (col("margin") >= threshold).as("keep"))
-  }
 
   /** Class-rebalancing downsample to the minority-class size: every
     * class keeps rows with probability min_count/count_c, decided by

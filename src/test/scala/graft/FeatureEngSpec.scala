@@ -302,5 +302,18 @@ class FeatureEngSpec extends AnyFunSuite {
     val out = FeatureEng.qualityClassifier(d).collect()
     assert(out.length == 1 && out(0).getLong(1) == expected)
     assert(out(0).getBoolean(2) == (expected >= 0L))
+    // the row-local fold equals the hashedFeatures per-bucket grouping
+    // (order-free integer sum) — the equivalence the zero-shuffle
+    // spelling rests on
+    import org.apache.spark.sql.functions._
+    val viaBuckets = FeatureEng.hashedFeatures(d)
+      .select(col("doc_id"), col("bucket"), col("weight"))
+      .collect().map { r =>
+      val b = r.getInt(1)
+      val wh = md5hex(s"qw:$b")
+      val w = (nib(wh(0)) * 16 + nib(wh(1))) % 101 - 50
+      r.getLong(2) * w
+    }.sum
+    assert(viaBuckets == expected)
   }
 }

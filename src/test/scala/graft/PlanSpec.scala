@@ -567,13 +567,15 @@ class PlanSpec extends AnyFunSuite {
       !pii.contains("Exchange SinglePartition") &&
       !pii.contains("rangepartitioning"),
       s"piiScan must stay row-local:\n$pii")
-    // qualityClassifier derives weights row-locally from the bucket id
-    // — any join here means the weight table became a shuffle partner
+    // qualityClassifier folds the margin row-locally over the token
+    // array — zero keyed shuffle, zero join (the groupBy spelling was
+    // the dominant cost of the curation throughput gauntlet)
     val qc = explainStr(FeatureEng.qualityClassifier(docs))
     assert(!qc.toLowerCase.contains("join"),
       s"classifier weight derivation must stay join-free:\n$qc")
-    assert(!qc.contains("Exchange SinglePartition"),
-      s"classifier funnels data to one task:\n$qc")
+    assert(!qc.contains("hashpartitioning") &&
+      !qc.contains("Exchange SinglePartition"),
+      s"classifier must stay row-local:\n$qc")
     // the family summary reads the ONE cached label view from all
     // three member branches — that sharing is the whole point
     val fam = TextAnalysis.clusterFamilySummary(docs)
