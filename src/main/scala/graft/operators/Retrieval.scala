@@ -66,6 +66,20 @@ object Retrieval {
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val tf = exploded.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    bm25Score(tf, df, stats, terms, k)
+  }
+
+  /** The BM25 scoring tail over already-derived index frames — shared
+    * verbatim between the batch operator and the incrementally
+    * maintained [[graft.streaming.StreamIndex]], so the two paths are
+    * bit-identical by construction (same expressions, same IEEE op
+    * order). Inputs: `tf` (doc_id, dl double, term, tf double),
+    * `df` (term, df double — broadcast-sized), `stats` one row
+    * (n_docs double, avgdl double).
+    */
+  private[graft] def bm25Score(tf: DataFrame, df: DataFrame,
+                               stats: DataFrame, terms: Seq[String],
+                               k: Int): DataFrame = {
     val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0)), 6)
     val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
