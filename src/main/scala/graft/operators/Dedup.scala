@@ -82,14 +82,31 @@ object Dedup {
     * The published screens use 8–13-gram windows on tokenized text;
     * n=5 matches this corpus's 8–90-word documents.
     */
-  def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 5): DataFrame = {
-    val evalGrams = ngrams(docs.filter(evalPred), n)
-      .select(col("sh")).distinct()
-    val hits = ngrams(docs.filter(!evalPred), n)
+  def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 5): DataFrame =
+    decontaminateAgainst(docs.filter(!evalPred),
+      evalGramSet(docs.filter(evalPred), n), n)
+
+  /** Distinct n-gram hash set of an eval corpus — built once,
+    * broadcast at every probe. This is the STANDING state of the
+    * streaming decontamination gate
+    * ([[graft.streaming.CurationLoop.admissions]]): eval benchmarks
+    * change rarely; ingest batches probe the frozen set.
+    */
+  def evalGramSet(evalDocs: DataFrame, n: Int = 5): DataFrame =
+    ngrams(evalDocs, n).select(col("sh")).distinct()
+
+  /** Decontamination probe against a PREBUILT eval gram set — the
+    * batch operator's core, shared with the streaming admission gate:
+    * the probed side never self-joins, the gram set broadcasts, cost
+    * is O(|docs| grams).
+    */
+  def decontaminateAgainst(docs: DataFrame, evalGrams: DataFrame,
+                           n: Int = 5): DataFrame = {
+    val hits = ngrams(docs, n)
       .join(broadcast(evalGrams), "sh")
       // grams are distinct per doc, so COUNT = distinct shared grams
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    docs.filter(!evalPred).select("doc_id")
+    docs.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),

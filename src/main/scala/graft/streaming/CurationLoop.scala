@@ -162,25 +162,36 @@ object CurationLoop {
     * after [[ingest]] classifies a batch: a document is ADMITTED iff
     * it is novel against the standing corpus (`status == "new"`),
     * clears the heuristic quality bar
-    * ([[graft.operators.TextAnalysis.qualityScore]]), and is PII-clean
-    * ([[graft.operators.TextAnalysis.piiScan]]). Both extra gates are
-    * row-local single-pass column algebra over the BATCH only, joined
-    * back on doc_id — per-batch cost stays O(|batch|), the ingest
-    * contract. Returns one row per batch doc with the per-gate
-    * evidence (status, quality, pii_clean) plus the composed verdict,
-    * so a rejected doc is auditable.
+    * ([[graft.operators.TextAnalysis.qualityScore]]), is PII-clean
+    * ([[graft.operators.TextAnalysis.piiScan]]), and — when an eval
+    * benchmark's gram set is supplied
+    * ([[graft.operators.Dedup.evalGramSet]], the standing broadcast
+    * state) — shares no n-gram with the benchmark
+    * ([[graft.operators.Dedup.decontaminateAgainst]]). Every gate
+    * works on the BATCH only (row-local column algebra or a
+    * broadcast-probe), joined back on doc_id — per-batch cost stays
+    * O(|batch|), the ingest contract. Returns one row per batch doc
+    * with the per-gate evidence (status, quality, pii_clean,
+    * contaminated) plus the composed verdict, so a rejected doc is
+    * auditable.
     */
   def admissions(batch: DataFrame, statuses: DataFrame,
-                 minQuality: Double = 0.5): DataFrame = {
+                 minQuality: Double = 0.5,
+                 evalGrams: Option[DataFrame] = None): DataFrame = {
     val q = graft.operators.TextAnalysis.qualityScore(batch)
       .select(col("doc_id"), col("quality"))
     val pii = graft.operators.TextAnalysis.piiScan(batch)
       .select(col("doc_id"), col("is_clean").as("pii_clean"))
-    statuses.join(q, "doc_id").join(pii, "doc_id")
+    val decon = evalGrams match {
+      case Some(g) => graft.operators.Dedup.decontaminateAgainst(batch, g)
+        .select(col("doc_id"), col("contaminated"))
+      case None => batch.select(col("doc_id"), lit(false).as("contaminated"))
+    }
+    statuses.join(q, "doc_id").join(pii, "doc_id").join(decon, "doc_id")
       .select(col("doc_id"), col("status"), col("quality"),
-        col("pii_clean"),
+        col("pii_clean"), col("contaminated"),
         (col("status") === "new" && col("quality") >= minQuality &&
-          col("pii_clean")).as("admit"))
+          col("pii_clean") && !col("contaminated")).as("admit"))
   }
 
   /** Collapse both append-only indexes to one checkpointed segment

@@ -354,27 +354,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels(21L) == labels(22L))
   }
 
-  test("curation admissions gate novelty, quality, and PII per batch") {
+  test("curation admissions gate novelty, quality, PII, and decontamination per batch") {
     import graft.streaming.CurationLoop
     val good = (1 to 60).map(i => s"quality$i").mkString(" ")
     val good2 = (100 to 160).map(i => s"other$i").mkString(" ")
+    val evalText = "alpha beta gamma delta epsilon zeta eta"
+    val evalGrams = graft.operators.Dedup.evalGramSet(
+      Seq((900L, evalText)).toDF("doc_id", "text"))
     val (_, st1) = CurationLoop.ingest(
       CurationLoop.emptyState(spark), Seq((1L, good)).toDF("doc_id", "text"))
     // batch 2: exact dup of the corpus (10), novel clean doc (11),
-    // junk-quality doc (12), novel doc carrying PII (13)
+    // junk-quality doc (12), novel doc carrying PII (13), novel doc
+    // quoting the eval benchmark (14)
     val batch = Seq(
       (10L, good), (11L, good2), (12L, "x"),
-      (13L, good2 + " mail me bob@spam.example.com")).toDF("doc_id", "text")
+      (13L, good2 + " mail me bob@spam.example.com"),
+      (14L, good2 + " " + evalText)).toDF("doc_id", "text")
     val (s1, _) = CurationLoop.ingest(st1, batch)
-    val adm = CurationLoop.admissions(batch, s1, minQuality = 0.6)
+    val adm = CurationLoop.admissions(batch, s1, minQuality = 0.6,
+        evalGrams = Some(evalGrams))
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(adm.size == 4)
-    assert(adm(10L).getString(1) == "dup_exact" && !adm(10L).getBoolean(4))
-    assert(adm(11L).getString(1) == "new" && adm(11L).getBoolean(4))
-    assert(adm(12L).getString(1) == "new" && !adm(12L).getBoolean(4) &&
+    assert(adm.size == 5)
+    assert(adm(10L).getString(1) == "dup_exact" && !adm(10L).getBoolean(5))
+    assert(adm(11L).getString(1) == "new" && adm(11L).getBoolean(5))
+    assert(adm(12L).getString(1) == "new" && !adm(12L).getBoolean(5) &&
       adm(12L).getDouble(2) < 0.6) // rejected by the quality gate alone
     assert(adm(13L).getString(1) == "new" && !adm(13L).getBoolean(3) &&
-      !adm(13L).getBoolean(4)) // rejected by the PII gate alone
+      !adm(13L).getBoolean(5)) // rejected by the PII gate alone
+    assert(adm(14L).getString(1) == "new" && adm(14L).getBoolean(4) &&
+      !adm(14L).getBoolean(5)) // rejected by decontamination alone
   }
 
   test("curation maintenance cost stays O(batch) as the corpus grows (stage-metrics audit)") {
