@@ -636,6 +636,13 @@ object SparkEntry {
     "q_table_stats" -> ((s, d) =>
       Quality.columnStats(T(s, d)("events"),
         Seq("event_id", "user_id", "event_type"))),
+    // S1/S5 wire loop: produce events as user-keyed JSON records into
+    // the graft log (the executable Kafka twin, sources/log), consume
+    // through the DSv2 scan, decode, aggregate — the oracle reads the
+    // parquet directly, so a hash match proves the log is lossless
+    "q_log_roundtrip" -> ((s, d) =>
+      graft.sources.log.GraftLog.eventStatsThroughLog(T(s, d)("events"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_qlog_${math.abs(d.hashCode)}")),
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",
@@ -675,6 +682,15 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.oracle.DocOracles.sql ++ graft.oracle.FraudOracles.sql ++ Map(
+    // the Spark side routes events through the graft log's produce →
+    // segment → consume → JSON-decode loop; the oracle aggregates the
+    // parquet directly — equality proves the wire path is lossless
+    "q_log_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
     "q_feature_normalize" ->
       s"""WITH s AS (SELECT event_type, ${davg("value")} AS mu,
          |             ${dstd("value")} AS sigma

@@ -1,0 +1,62 @@
+package graft.sources.log
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ExactAgg
+
+/** Facade over the graft log DSv2 source/sink (the executable S1/S5
+  * twin — see [[GraftLogProvider]]).
+  */
+object GraftLog {
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftlog").option("path", dir).load()
+
+  /** Batch-produce `df` (must carry key/value columns; optional
+    * partition/timestamp) into the log at `dir`.
+    */
+  def write(df: DataFrame, dir: String, partitions: Int = 4): Unit =
+    df.write.format("graftlog").option("path", dir)
+      .option("log.partitions", partitions.toString).mode("append").save()
+
+  private val wireSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** The q_log_roundtrip query: produce the events table through the
+    * log as user-keyed JSON records (the reference's Kafka wire shape,
+    * simulator → `payment-transactions`), consume it back through the
+    * DSv2 scan, decode, and aggregate per event type. Hash-matching
+    * the oracle (which reads the parquet directly) proves the whole
+    * producer→segment→offset→consumer→decode path is lossless.
+    *
+    * The log dir is deterministic per sf and recreated from scratch —
+    * an append-only log must not accrete across runs.
+    */
+  def eventStatsThroughLog(events: DataFrame, dir: String): DataFrame = {
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    write(events.select(
+        col("user_id").cast("string").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))).as("value"),
+        col("ts").as("timestamp")),
+      dir, partitions = 8)
+    read(events.sparkSession, dir)
+      .select(from_json(col("value").cast("string"), wireSchema).as("r"))
+      .select("r.*")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        ExactAgg.dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+}

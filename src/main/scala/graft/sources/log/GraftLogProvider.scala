@@ -1,0 +1,224 @@
+package graft.sources.log
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read/readStream.format("graftlog")` — a DSv2 source with the
+  * Kafka source's data model and semantics, executable in-sandbox:
+  *
+  *   - fixed read schema (key, value, partition, offset, timestamp) —
+  *     the Kafka wire projection the reference consumes
+  *     (FraudDetectionJob.java:141-157);
+  *   - per-partition monotone offsets; `startingOffsets` =
+  *     earliest | latest | {"0": 12, ...} exactly as the Kafka option;
+  *   - micro-batch planning = one InputPartition per log partition per
+  *     offset range — reader parallelism is the log's partition count,
+  *     as on a real broker;
+  *   - admission control: `maxRecordsPerTrigger` distributes a row
+  *     budget across partitions proportionally to their backlog (the
+  *     maxOffsetsPerTrigger contract);
+  *   - offsets checkpoint/restore through `deserializeOffset`, so
+  *     stop/restart resumes exactly where the checkpoint says.
+  *
+  * The same scan also serves batch reads (`spark.read`), with optional
+  * `startingOffsets`/`endingOffsets` bounds, mirroring the Kafka batch
+  * read surface.
+  */
+final class GraftLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLogTable.ReadSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftLogTable(GraftLogOptions(properties.asScala.toMap))
+}
+
+final case class GraftLogOptions(all: Map[String, String]) {
+  private def get(k: String): Option[String] =
+    all.collectFirst { case (kk, v) if kk.equalsIgnoreCase(k) => v }
+  val dir: String = get("path").getOrElse(
+    throw new IllegalArgumentException("graftlog requires option 'path' (the log root directory)"))
+  val partitions: Int = get("log.partitions").map(_.toInt).getOrElse(4)
+  val startingOffsets: String = get("startingOffsets").getOrElse("latest")
+  val endingOffsets: String = get("endingOffsets").getOrElse("latest")
+  val maxRecordsPerTrigger: Option[Long] = get("maxRecordsPerTrigger").map(_.toLong)
+}
+
+object GraftLogTable {
+  /** Kafka-parity projection (minus broker-only topic metadata). */
+  val ReadSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+}
+
+final class GraftLogTable(opts: GraftLogOptions)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftlog(${opts.dir})"
+  override def schema(): StructType = GraftLogTable.ReadSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftLogScan(GraftLogOptions(options.asScala.toMap))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLogWriteBuilder(opts, info)
+}
+
+/** Offset = per-partition end offsets, JSON `{"0":12,"1":7}` (sorted
+  * keys so serialized equality == semantic equality, which Spark's
+  * offset log comparison relies on).
+  */
+final case class GraftLogOffset(ends: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    ends.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object GraftLogOffset {
+  private val Entry = """"(\d+)"\s*:\s*(\d+)""".r
+  def parse(json: String): GraftLogOffset =
+    GraftLogOffset(Entry.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+final class GraftLogScan(opts: GraftLogOptions) extends Scan {
+  override def readSchema(): StructType = GraftLogTable.ReadSchema
+  override def description(): String = s"GraftLogScan ${opts.dir}"
+
+  private def resolve(spec: String, forStart: Boolean): Map[Int, Long] = {
+    val n = GraftLogFormat.readPartitions(opts.dir)
+    spec.trim.toLowerCase match {
+      case "earliest" => (0 until n).map(_ -> 0L).toMap
+      case "latest" => GraftLogFormat.endOffsets(opts.dir)
+      case j if j.startsWith("{") => GraftLogOffset.parse(j).ends
+      case other => throw new IllegalArgumentException(
+        s"bad ${if (forStart) "startingOffsets" else "endingOffsets"}: $other")
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val start = resolve(
+        if (opts.startingOffsets == "latest") "earliest" else opts.startingOffsets,
+        forStart = true)
+      val end = resolve(opts.endingOffsets, forStart = false)
+      GraftLogMicroBatchStream.plan(opts.dir, start, end)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(opts)
+}
+
+final class GraftLogMicroBatchStream(opts: GraftLogOptions)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = {
+    val n = GraftLogFormat.readPartitions(opts.dir)
+    opts.startingOffsets.trim.toLowerCase match {
+      case "earliest" => GraftLogOffset((0 until n).map(_ -> 0L).toMap)
+      case "latest" => GraftLogOffset(GraftLogFormat.endOffsets(opts.dir))
+      case j if j.startsWith("{") => GraftLogOffset.parse(j)
+      case other => throw new IllegalArgumentException(s"bad startingOffsets: $other")
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = GraftLogOffset.parse(json)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
+    GraftLogOffset(GraftLogFormat.endOffsets(opts.dir))
+
+  /** Cap the batch at the read limit, spreading the row budget across
+    * partitions proportionally to backlog (largest-remainder rounding
+    * so the budget is used exactly and every nonempty backlog
+    * eventually progresses) — the Kafka maxOffsetsPerTrigger behavior.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ends = GraftLogFormat.endOffsets(opts.dir)
+    val from = start.asInstanceOf[GraftLogOffset].ends
+    limit match {
+      case m: ReadMaxRows =>
+        val avail = ends.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, 0L)) }
+        val total = avail.values.sum
+        val budget = m.maxRows()
+        if (total <= budget) GraftLogOffset(ends)
+        else {
+          val quota = avail.toSeq.sortBy(_._1).map { case (p, a) =>
+            val exact = a.toDouble * budget / total
+            (p, a, exact.toLong, exact - exact.toLong)
+          }
+          var left = budget - quota.map(_._3).sum
+          val granted = quota.sortBy(-_._4).map { case (p, a, q, _) =>
+            val extra = if (left > 0 && q < a) { left -= 1; 1L } else 0L
+            p -> math.min(a, q + extra)
+          }.toMap
+          GraftLogOffset(ends.map { case (p, _) =>
+            p -> (from.getOrElse(p, 0L) + granted.getOrElse(p, 0L))
+          })
+        }
+      case _ => GraftLogOffset(ends)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftLogMicroBatchStream.plan(opts.dir,
+      start.asInstanceOf[GraftLogOffset].ends, end.asInstanceOf[GraftLogOffset].ends)
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
+
+  override def commit(end: Offset): Unit = ()  // retention is infinite; nothing to advance
+  override def stop(): Unit = ()
+}
+
+object GraftLogMicroBatchStream {
+  def plan(dir: String, start: Map[Int, Long], end: Map[Int, Long]): Array[InputPartition] =
+    end.toSeq.sortBy(_._1).flatMap { case (p, e) =>
+      val s = start.getOrElse(p, 0L)
+      if (e > s) Some(GraftLogInputPartition(dir, p, s, e): InputPartition) else None
+    }.toArray
+}
+
+final case class GraftLogInputPartition(dir: String, partition: Int,
+                                        from: Long, until: Long) extends InputPartition
+
+final class GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = GraftLogFormat.readRange(p.dir, p.partition, p.from, p.until)
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val (off, r) = it.next()
+          row = InternalRow(r.key, r.value, p.partition, off, r.tsMicros)
+          true
+        } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -181,4 +181,31 @@ object TransactionPipeline {
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+
+  /** S1, executable in-sandbox: the same value→json projection as
+    * `fromKafka`, over the graft log DSv2 source (graft.sources.log) —
+    * partitioned offsets, startingOffsets, admission control, and
+    * checkpoint resume all behave as the Kafka source's contract.
+    */
+  def fromLog(spark: SparkSession, dir: String,
+              startingOffsets: String = "earliest",
+              maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graftlog")
+      .option("path", dir)
+      .option("startingOffsets", startingOffsets)
+    maxRecordsPerTrigger.foreach(n => r.option("maxRecordsPerTrigger", n.toString))
+    r.load().select(col("value").cast("string").as("json"))
+  }
+
+  /** S5, executable in-sandbox: exactly-once producer to the graft
+    * log — rows become (key = keyCol, value = JSON of all columns)
+    * records; epoch-idempotent commits make replay safe end-to-end.
+    */
+  def toLogSink(df: DataFrame, dir: String, checkpoint: String,
+                keyCol: String = "transaction_id") =
+    df.select(col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+      .writeStream.format("graftlog")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
 }
