@@ -253,6 +253,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // IVF-PQ with ADC ranking: inverted lists hold 8 code bytes per
+    // vector instead of 64 floats; candidates cost 8 table lookups
+    // (the billion-scale memory layout — scale path 3)
+    "q_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // embedding-cosine near-dup pairs at the selective AND
     // high-recall regime: corpus ∪ deterministic perturbed copies
     // (raw corpus has no pair above cos 0.7), 8-bit × 8-band sign-LSH

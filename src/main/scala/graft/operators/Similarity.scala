@@ -204,6 +204,93 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** PQ codebook: first `ksub` corpus vectors as sub-space centroids,
+    * sorted by cid into ONE broadcast-able array row (so
+    * `element_at(dt, code+1)` indexing is positional — carr[i].cid ==
+    * i−1). A trained per-subspace k-means book plugs into the same
+    * shape; the oracle needs a reproducible one, exactly like
+    * [[pivotArr]].
+    */
+  private[graft] def pqBook(all: DataFrame, ksub: Int): DataFrame =
+    all.filter(col("vec_id") < ksub)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("cid"), col("v").as("cv")))).as("carr"))
+
+  /** Fixed left-associated squared-L2 between the `mIdx`-th dsub-dim
+    * slices of `a` and `b` — same IEEE op order as the oracle's
+    * explicit chain, so sub-distances are bit-identical cross-engine.
+    */
+  private def subDist(a: Column, b: Column, mIdx: Int, dsub: Int): Column =
+    (1 to dsub).map { j =>
+      val d = element_at(a, mIdx * dsub + j) - element_at(b, mIdx * dsub + j)
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** IVF-PQ with asymmetric-distance (ADC) ranking — the published
+    * billion-scale ANN layout (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search"): vectors live in IVF inverted
+    * lists as `msub` sub-space code bytes instead of `dim` floats
+    * (64-dim fp32 → 8 codes = 64× smaller: a 100 TB embedding corpus
+    * becomes a ~1.6 TB code table that fits cluster memory), and a
+    * query scores a candidate with `msub` table lookups instead of a
+    * `dim`-term dot product.
+    *
+    * Plan shape: both the codebook and the coarse pivots are single
+    * broadcast rows; corpus assignment + encoding are one row-local
+    * pass (no corpus shuffle); each query computes its 16×`msub` ADC
+    * table once, then candidates from its `nprobe` probed lists cost
+    * array lookups. Ranking is approx-distance ascending with id
+    * tie-break — deterministic, mirrored exactly by q_ann_ivfpq's
+    * SQL. Production refine step (exact-cosine rerank of the ADC
+    * top-R) composes as `bruteForceTopK` over the survivors.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
+                ksub: Int = 16, dim: Int = Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
+    val dsub = dim / msub
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val pivots = pivotArr(all, nlist)
+    val book = pqBook(all, ksub)
+    // corpus → (vec_id, list_id, codes): IVF assignment + PQ encoding
+    // fused into one row-local pass; the full vector is DROPPED here
+    val encoded = assignBy(all, pivots, dim)
+      .crossJoin(broadcast(book))
+      .select(col("vec_id"), col("list_id"),
+        array((0 until msub).map { mi =>
+          array_min(transform(col("carr"), c =>
+            struct(subDist(col("v"), c("cv"), mi, dsub).as("d"),
+                   c("cid").as("cid"))))("cid")
+        }: _*).as("codes"))
+    val qsrc = all.filter(queryPred)
+    val probes = pivotScoredBy(qsrc, pivots, dim)
+      .withColumn("pp",
+        explode(slice(sort_array(col("pcs"), asc = false), 1, nprobe)))
+      .select(col("vec_id").as("query_id"),
+        (lit(0L) - col("pp")("npid")).as("plist"))
+    // per-query ADC tables: dts[m][c] = ||q_m − centroid_mc||², built
+    // once per query against the broadcast book
+    val qadc = qsrc.crossJoin(broadcast(book))
+      .select(col("vec_id").as("query_id"),
+        array((0 until msub).map { mi =>
+          transform(col("carr"), c => subDist(col("v"), c("cv"), mi, dsub))
+        }: _*).as("dts"))
+    val adist = (0 until msub).map { mi =>
+      element_at(element_at(col("dts"), mi + 1),
+        (element_at(col("codes"), mi + 1) + 1).cast("int"))
+    }.reduceLeft(_ + _)
+    val cand = probes.join(encoded, col("plist") === col("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("codes"))
+    val scored = cand.join(broadcast(qadc), "query_id")
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "adist", "rn")
+  }
+
   /** Sign-bit band key: `bits` consecutive coordinate signs starting at
     * dimension `band*bits` packed into a BIGINT — the random-hyperplane
     * LSH family with the coordinate axes as (data-independent)

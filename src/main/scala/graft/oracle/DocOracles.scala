@@ -224,6 +224,65 @@ object DocOracles {
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
        |WHERE rn <= 3""".stripMargin
 
+  /** Mirror of Similarity.ivfPqTopK: same IVF codebook/assignment/
+    * probes as annIvfSql, plus PQ encoding (8 sub-spaces × 16
+    * centroids = the first 16 vectors' slices, argmin by the same
+    * left-associated squared-L2 chain) and ADC scoring. The 8-term
+    * approx-distance sum is spelled as an explicit left-associated
+    * chain over 8 self-joins of the query distance table — SUM() would
+    * be order-nondeterministic in IEEE doubles; the chain is
+    * bit-identical to Spark's reduceLeft.
+    */
+  private def annIvfPqSql: String = {
+    val msub = 8; val dsub = 8
+    def sd(a: String, b: String, mi: Int): String =
+      (1 to dsub).map { j =>
+        val i = mi * dsub + j
+        s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"
+      }.mkString(" + ")
+    def caseSd(vec: String): String =
+      (0 until msub).map(mi => s"WHEN $mi THEN ${sd(vec, "cv", mi)}")
+        .mkString("CASE ms.m ", " ", " END")
+    val msVals = (0 until msub).map(m => s"($m)").mkString(", ")
+    val encCols = (0 until msub)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val qdJoins = (0 until msub).map(m =>
+      s"JOIN qd q$m ON q$m.query_id = qr.query_id AND q$m.m = $m AND q$m.cid = e.c$m")
+      .mkString("\n|        ")
+    val adChain = (0 until msub).map(m => s"q$m.sdv").mkString(" + ")
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |cb AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 16),
+       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS (SELECT vec_id, pid AS list_id FROM ar WHERE prn = 1),
+       |qr AS (SELECT vec_id AS query_id, pid AS plist
+       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
+       |ms AS (SELECT * FROM (VALUES $msVals) AS t(m)),
+       |enc AS (SELECT d.vec_id, ms.m, cid, ${caseSd("d.v")} AS sdv
+       |        FROM d, cb, ms),
+       |encp AS (SELECT vec_id, $encCols
+       |         FROM (SELECT vec_id, m, cid AS code,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                   ORDER BY sdv, cid) AS rn
+       |               FROM enc) WHERE rn = 1 GROUP BY vec_id),
+       |qd AS (SELECT q.vec_id AS query_id, ms.m, cid,
+       |         ${caseSd("q.v")} AS sdv
+       |       FROM (SELECT vec_id, v FROM d WHERE vec_id < 8) q, cb, ms),
+       |s AS (SELECT qr.query_id, a.vec_id AS neighbor_id,
+       |        $adChain AS adist
+       |      FROM qr JOIN a ON plist = list_id
+       |        JOIN encp e ON e.vec_id = a.vec_id
+       |        $qdJoins
+       |      WHERE a.vec_id <> qr.query_id)
+       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY adist, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+  }
+
   /** Mirror of ModelEval.knnLabel: the annIvfSql IVF machinery
     * (identical codebook, assignment, probe order and cosine shapes)
     * widened to k=5 over the `vec_id % 20 = 0` query set, then
@@ -1013,6 +1072,7 @@ object DocOracles {
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" ->

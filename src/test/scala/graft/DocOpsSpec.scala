@@ -66,6 +66,57 @@ class DocOpsSpec extends AnyFunSuite {
       s"recall ${(ivf & bf).size}/${bf.size}")
   }
 
+  test("IVF-PQ ADC: probing all lists equals an independent full-ADC ranking") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    // independent spelling of full ADC: reconstruct each vector from
+    // its PQ codes (sub-centroid lookup) is NOT equivalent — ADC keeps
+    // the query side exact. So the yardstick recomputes approx
+    // distances pairwise from raw vectors quantizing ONLY the
+    // candidate: for each (q, x), adist = Σ_m ||q_m − c_{code_m(x)}||².
+    // Build it with collect()-side arithmetic over the tiny sf0.001
+    // corpus — an all-Scala oracle that shares no Spark plan with the
+    // operator under test.
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ksub = 16; val msub = 8; val dsub = 8
+    val book = (0 until ksub).map(c => vecs(c.toLong))
+    def sd(a: Array[Double], b: Array[Double], mi: Int): Double =
+      (0 until dsub).map(j => { val d = a(mi * dsub + j) - b(mi * dsub + j); d * d }).sum
+    def codeOf(x: Array[Double], mi: Int): Int =
+      (0 until ksub).minBy(c => (sd(x, book(c), mi), c))
+    def adist(q: Array[Double], x: Array[Double]): Double =
+      (0 until msub).map(mi => sd(q, book(codeOf(x, mi)), mi)).sum
+    val expected = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(x => (x, adist(vecs(q), vecs(x))))
+        .sortBy { case (x, d) => (d, x) }.take(3).zipWithIndex
+        .map { case ((x, _), i) => (q, x, i + 1) }
+    }.toSet
+    val got = Similarity.ivfPqTopK(emb, col("vec_id") < 8, k = 3,
+        nlist = 16, nprobe = 16)
+      .select("query_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, "full-probe IVF-PQ must equal brute-force ADC")
+  }
+
+  test("IVF-PQ at nprobe=4 keeps useful recall vs exact brute force") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, col("vec_id") < 8, 3))
+    val pq = pairs(Similarity.ivfPqTopK(emb, col("vec_id") < 8, 3))
+    assert(pq.size == bf.size)
+    // double approximation (coarse probe + 8-byte codes) UNDER the
+    // deterministic untrained codebook the oracle requires: measured
+    // 5/24 at sf0.001 vs ~0/24 for random picks from a 600-vector
+    // corpus. A trained per-subspace k-means book raises this — the
+    // plan shape is what's under test; ADC fidelity itself is pinned
+    // exactly by the full-probe parity test above.
+    assert((pq & bf).size >= 3, s"recall ${(pq & bf).size}/${bf.size}")
+  }
+
   test("banded near-dup: only true pairs, >=88% recall vs exact baseline") {
     // recall STRESS configuration (4-bit × 16 bands): near-full recall
     // at t=0.4 but Θ(N²) candidates — never the benchmarked default
