@@ -169,6 +169,45 @@ class GraftLogSpec extends AnyFunSuite {
       "manifest-driven recovery must not double-append")
   }
 
+  test("wire → curation: the continuous ingest loop runs off a graftlog stream") {
+    import org.apache.spark.sql.types._
+    val root = tmp("glog_cur")
+    val dir = s"$root/log"
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    def put(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("text"))).as("value"))
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "2").mode("append").save()
+
+    val statuses = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val r = new graft.streaming.CurationLoop.Runner(spark,
+      onStatuses = (df, _) => df.collect().foreach(row =>
+        statuses.put(row.getLong(0), row.getString(1)): Unit))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    put(Seq((1L, base), (2L, "unrelated text one here")))
+    val q = spark.readStream.format("graftlog").option("path", dir)
+      .option("startingOffsets", "earliest").load()
+      .select(from_json(col("value").cast("string"), docSchema).as("d"))
+      .select("d.*")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        r.sink(df, id))
+      .start()
+    q.processAllAvailable()
+    put(Seq((21L, base), (11L, near)))   // exact dup of 1 + near dup
+    q.processAllAvailable()
+    q.stop()
+
+    assert(statuses.get(1L) == "new" && statuses.get(2L) == "new")
+    assert(statuses.get(21L) == "dup_exact", s"got ${statuses.get(21L)}")
+    assert(statuses.get(11L) == "dup_near", s"got ${statuses.get(11L)}")
+  }
+
   test("S1→S5 end-to-end: the fraud pipeline over the log matches the batch run") {
     val root = tmp("glog_e2e")
     val (inLog, outLog, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")

@@ -588,6 +588,36 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("IVF-PQ: keyed candidate join, no corpus cartesian, codes row-local") {
+    val plan = explainStr(Similarity.ivfPqTopK(t("embeddings"),
+      org.apache.spark.sql.functions.col("vec_id") < 8, 3))
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ degenerated to all-pairs:\n$plan")
+    // nested loops appear ONLY as the 1-row pivot/codebook broadcasts;
+    // the probe→inverted-list and ADC-table joins must be equi-joins
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"candidate join must be keyed:\n$plan")
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("graftlog scan: reader parallelism equals the log's partition count") {
+    val dir = java.nio.file.Files.createTempDirectory("glog_plan")
+      .toFile.getAbsolutePath + "/log"
+    import spark.implicits._
+    (1 to 200).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+      .write.format("graftlog").option("path", dir)
+      .option("log.partitions", "4").mode("append").save()
+    val df = spark.read.format("graftlog").option("path", dir).load()
+    val plan = explainStr(df)
+    assert(plan.contains("BatchScan"), s"graftlog must plan as a DSv2 scan:\n$plan")
+    // one InputPartition per log partition — the Kafka source's
+    // parallelism contract (readers scale with the topic, not the file
+    // count or a global constant)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 reader partitions, got ${df.rdd.getNumPartitions}")
+  }
+
   test("containmentPairs plan choice launches no job (no eager count)") {
     // round-7 verdict item 4: the operator used to run docs.count() as
     // a side effect of PLANNING — a full upstream pass, paid again when
