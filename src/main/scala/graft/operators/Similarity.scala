@@ -244,18 +244,17 @@ object Similarity {
     * SQL. Production refine step (exact-cosine rerank of the ADC
     * top-R) composes as `bruteForceTopK` over the survivors.
     */
-  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-                nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
-                ksub: Int = 16, dim: Int = Dim): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
+  /** (vec_id, list_id, codes): IVF assignment + PQ encoding fused in
+    * one row-local pass against the two broadcast one-row frames; the
+    * full vector is DROPPED on the way out. Shared with
+    * [[graft.streaming.StreamAnn]], which freezes pivots+book and
+    * encodes every later batch with this exact plan.
+    */
+  private[graft] def pqEncode(src: DataFrame, pivots: DataFrame,
+                              book: DataFrame, msub: Int,
+                              dim: Int): DataFrame = {
     val dsub = dim / msub
-    val all = OperatorCaches.track(prepared(embeddings, dim))
-    val pivots = pivotArr(all, nlist)
-    val book = pqBook(all, ksub)
-    // corpus → (vec_id, list_id, codes): IVF assignment + PQ encoding
-    // fused into one row-local pass; the full vector is DROPPED here
-    val encoded = assignBy(all, pivots, dim)
+    assignBy(src, pivots, dim)
       .crossJoin(broadcast(book))
       .select(col("vec_id"), col("list_id"),
         array((0 until msub).map { mi =>
@@ -263,32 +262,71 @@ object Similarity {
             struct(subDist(col("v"), c("cv"), mi, dsub).as("d"),
                    c("cid").as("cid"))))("cid")
         }: _*).as("codes"))
-    val qsrc = all.filter(queryPred)
-    val probes = pivotScoredBy(qsrc, pivots, dim)
+  }
+
+  /** (query_id, plist): each query's `nprobe` closest inverted lists
+    * by exact pivot cosine, ids tie-broken — the probe planner shared
+    * by every IVF flavor.
+    */
+  private[graft] def probeLists(qsrc: DataFrame, pivots: DataFrame,
+                                nprobe: Int, dim: Int): DataFrame =
+    pivotScoredBy(qsrc, pivots, dim)
       .withColumn("pp",
         explode(slice(sort_array(col("pcs"), asc = false), 1, nprobe)))
       .select(col("vec_id").as("query_id"),
         (lit(0L) - col("pp")("npid")).as("plist"))
-    // per-query ADC tables: dts[m][c] = ||q_m − centroid_mc||², built
-    // once per query against the broadcast book
-    val qadc = qsrc.crossJoin(broadcast(book))
+
+  /** (query_id, dts): per-query ADC tables — dts[m][c] =
+    * ||q_m − centroid_mc||², built once per query against the
+    * broadcast book; every candidate afterwards costs `msub` lookups.
+    */
+  private[graft] def pqAdcTables(qsrc: DataFrame, book: DataFrame,
+                                 msub: Int, dim: Int): DataFrame = {
+    val dsub = dim / msub
+    qsrc.crossJoin(broadcast(book))
       .select(col("vec_id").as("query_id"),
         array((0 until msub).map { mi =>
           transform(col("carr"), c => subDist(col("v"), c("cv"), mi, dsub))
         }: _*).as("dts"))
-    val adist = (0 until msub).map { mi =>
+  }
+
+  /** ADC approximate distance: fixed left-associated Σ_m dts[m][code_m]
+    * (the oracle mirrors the chain; SUM() would be order-dependent).
+    */
+  private[graft] def adcDist(msub: Int): Column =
+    (0 until msub).map { mi =>
       element_at(element_at(col("dts"), mi + 1),
         (element_at(col("codes"), mi + 1) + 1).cast("int"))
     }.reduceLeft(_ + _)
-    val cand = probes.join(encoded, col("plist") === col("list_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("codes"))
+
+  /** Rank probed candidates by ADC distance, k per query. `cand` must
+    * carry (query_id, neighbor_id, codes); `qadc` is [[pqAdcTables]].
+    */
+  private[graft] def adcRank(cand: DataFrame, qadc: DataFrame, k: Int,
+                             msub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = cand.join(broadcast(qadc), "query_id")
-      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+      .select(col("query_id"), col("neighbor_id"), adcDist(msub).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "adist", "rn")
+  }
+
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
+                ksub: Int = 16, dim: Int = Dim): DataFrame = {
+    require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val pivots = pivotArr(all, nlist)
+    val book = pqBook(all, ksub)
+    val encoded = pqEncode(all, pivots, book, msub, dim)
+    val qsrc = all.filter(queryPred)
+    val cand = probeLists(qsrc, pivots, nprobe, dim)
+      .join(encoded, col("plist") === col("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("codes"))
+    adcRank(cand, pqAdcTables(qsrc, book, msub, dim), k, msub)
   }
 
   /** Sign-bit band key: `bits` consecutive coordinate signs starting at

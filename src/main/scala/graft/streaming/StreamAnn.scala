@@ -110,4 +110,68 @@ object StreamAnn {
     */
   def consolidate(state: AnnState): AnnState =
     state.copy(index = state.index.localCheckpoint(true))
+
+  // ---- PQ leg: the compressed production layout, maintained online --
+
+  /** Frozen pivots + frozen PQ book + append-only CODE index
+    * (vec_id, list_id, codes) — the [[graft.operators.Similarity.ivfPqTopK]]
+    * layout maintained online. Unlike [[AnnState]], the stored rows
+    * carry `msub` small ints instead of `dim` doubles (the 64×
+    * memory cut that lets 100 TB of fp32 embeddings live in cluster
+    * RAM as codes), so the streaming store and the search cost are
+    * both compressed.
+    */
+  final case class PqAnnState(pivots: DataFrame, book: DataFrame,
+                              codes: DataFrame, nlist: Int, msub: Int,
+                              dim: Int)
+
+  /** Index the seed corpus: freeze pivots + PQ book, encode the seed.
+    * Both codebooks derive from the seed by the deterministic
+    * first-`n` rule, exactly as the batch operator derives them from
+    * its corpus — so as long as those vectors are in the seed, the
+    * maintained index is row-identical to a batch re-encode
+    * (StreamAnnSpec pins it).
+    */
+  def buildPq(corpus: DataFrame, nlist: Int = 16, msub: Int = 8,
+              ksub: Int = 16, dim: Int = Similarity.Dim): PqAnnState = {
+    require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
+    val all = Similarity.prepared(corpus, dim)
+    val pivots = Similarity.pivotArr(all, nlist).localCheckpoint(true)
+    val book = Similarity.pqBook(all, ksub).localCheckpoint(true)
+    val codes = Similarity.pqEncode(all, pivots, book, msub, dim)
+      .localCheckpoint(true)
+    PqAnnState(pivots, book, codes, nlist, msub, dim)
+  }
+
+  /** Fold one micro-batch into the code index: row-local
+    * assign+encode against the two frozen one-row frames, then a
+    * metadata-only append — O(|batch|) per ingest, nothing rescans
+    * the corpus.
+    */
+  def ingestPq(state: PqAnnState, batch: DataFrame): PqAnnState =
+    state.copy(codes = state.codes.unionAll(
+      Similarity.pqEncode(Similarity.prepared(batch, state.dim),
+        state.pivots, state.book, state.msub, state.dim)
+        .localCheckpoint(true)))
+
+  /** ADC top-k over the maintained code index — identical probe and
+    * ranking shape to the batch operator: queries stay exact (their
+    * ADC tables are built from raw vectors), candidates cost `msub`
+    * lookups.
+    */
+  def queryPq(state: PqAnnState, queries: DataFrame, k: Int,
+              nprobe: Int = 4): DataFrame = {
+    val qsrc = Similarity.prepared(queries, state.dim)
+    val cand = Similarity.probeLists(qsrc, state.pivots, nprobe, state.dim)
+      .join(state.codes, col("plist") === col("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("codes"))
+    Similarity.adcRank(cand,
+      Similarity.pqAdcTables(qsrc, state.book, state.msub, state.dim),
+      k, state.msub)
+  }
+
+  /** Segment compaction for the code index. */
+  def consolidatePq(state: PqAnnState): PqAnnState =
+    state.copy(codes = state.codes.localCheckpoint(true))
 }

@@ -36,6 +36,28 @@ class StreamAnnSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("streamed PQ code index + ADC query equals the batch IVF-PQ operator") {
+    val seed = emb.filter(col("vec_id") % 3 =!= 2 || col("vec_id") < 16)
+    val b1 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") >= 16 &&
+      col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") >= 16 &&
+      col("vec_id") % 2 === 1)
+    var st = StreamAnn.buildPq(seed)
+    st = StreamAnn.ingestPq(st, b1)
+    st = StreamAnn.ingestPq(st, b2)
+    st = StreamAnn.consolidatePq(st)
+    // the maintained store holds codes only — msub ints per vector,
+    // never the raw floats (the compressed-layout contract)
+    assert(st.codes.schema.fieldNames.toSeq == Seq("vec_id", "list_id", "codes"))
+    val queryPred = col("vec_id") % 50 === 0
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = key(StreamAnn.queryPq(st, emb.filter(queryPred), k = 5))
+    val want = key(Similarity.ivfPqTopK(emb, queryPred, k = 5))
+    assert(got == want)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("index grows by exactly the batch; assignment is against the frozen codebook") {
     val seed = emb.filter(col("vec_id") < 100)
     val batch = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
