@@ -259,6 +259,11 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) =>
       Similarity.ivfPqTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // deterministic distributed k-means (1 Lloyd refinement, exact-
+    // agg means): the codebook TRAINER for IVF/PQ and the clustering
+    // primitive for mixture balancing — assignment oracle-checked
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(T(s, d)("embeddings"), k = 8)),
     // embedding-cosine near-dup pairs at the selective AND
     // high-recall regime: corpus ∪ deterministic perturbed copies
     // (raw corpus has no pair above cos 0.7), 8-bit × 8-band sign-LSH

@@ -180,13 +180,15 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
 
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, dim: Int = Dim): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, dim: Int = Dim,
+              pivotsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: scored against pivots twice (assignment + query probes)
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    def pivotScores(src: DataFrame): DataFrame =
-      pivotScored(src, all, nlist, dim)
-    val assigned = ivfAssigned(all, nlist, dim)
+    val pv = pivotsOpt.getOrElse(pivotArr(all, nlist))
+    def pivotScores(src: DataFrame): DataFrame = pivotScoredBy(src, pv, dim)
+    val assigned = assignBy(all, pv, dim)
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
     val probes = pivotScores(all.filter(queryPred))
       .withColumn("pp",
         explode(slice(sort_array(col("pcs"), asc = false), 1, nprobe)))
@@ -315,11 +317,13 @@ object Similarity {
 
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
-                ksub: Int = 16, dim: Int = Dim): DataFrame = {
+                ksub: Int = 16, dim: Int = Dim,
+                pivotsOpt: Option[DataFrame] = None,
+                bookOpt: Option[DataFrame] = None): DataFrame = {
     require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val pivots = pivotArr(all, nlist)
-    val book = pqBook(all, ksub)
+    val pivots = pivotsOpt.getOrElse(pivotArr(all, nlist))
+    val book = bookOpt.getOrElse(pqBook(all, ksub))
     val encoded = pqEncode(all, pivots, book, msub, dim)
     val qsrc = all.filter(queryPred)
     val cand = probeLists(qsrc, pivots, nprobe, dim)
@@ -328,6 +332,115 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("codes"))
     adcRank(cand, pqAdcTables(qsrc, book, msub, dim), k, msub)
   }
+
+  /** Deterministic distributed k-means (Lloyd) over the embedding
+    * corpus — the clustering primitive behind mixture balancing,
+    * SemDeDup partitioning, and TRAINED IVF/PQ codebooks (the
+    * upgrade over the first-`n` degenerate books used by default for
+    * oracle reproducibility).
+    *
+    * Everything is engineered to be bit-reproducible cross-engine so
+    * the assignment is oracle-checkable:
+    *   - seeds = the first `k` vectors (no RNG);
+    *   - assignment score = −2·(v·c) + (c·c) (argmin ≡ L2 argmin —
+    *     v·v is constant per vector), both dots the fixed
+    *     left-associated chain shared with every other embedding
+    *     oracle, ties to the smaller cid;
+    *   - centroid means = ExactAgg.dsum / count per coordinate —
+    *     shuffle-order-independent int64 sums, so the trained book is
+    *     the same bits in Spark and DuckDB;
+    *   - empty clusters keep their seed coordinates.
+    *
+    * Plan shape per Lloyd round: one row-local scoring pass against
+    * the broadcast k-centroid book (no corpus shuffle) + one
+    * positional-explode aggregation (N·dim rows → k·dim groups,
+    * map-side partial) for the means. That is the standard
+    * distributed k-means iteration; production trains on a sample
+    * and `iters` stays small — the operator is the TRAINER, the
+    * trained book then plugs into [[ivfTopK]]/[[ivfPqTopK]] via
+    * their codebook parameters.
+    */
+  /** One row-local assignment pass: (vec_id, v, cluster_id) against a
+    * one-row (cid, cv) book. The score −2·(v·c) + (c·c) yields
+    * identical doubles to the SQL mirror's chain, so the argmin — and
+    * any tie — agrees bit-exactly.
+    */
+  private def kmeansAssignBy(all: DataFrame, book: DataFrame,
+                             dim: Int): DataFrame =
+    all.crossJoin(broadcast(book))
+      .withColumn("best", array_min(transform(col("carr"), c =>
+        struct((lit(-2.0) * dot(col("v"), c("cv"), dim) +
+          dot(c("cv"), c("cv"), dim)).as("score"), c("cid").as("cid")))))
+      .select(col("vec_id"), col("v"), col("best")("cid").as("cluster_id"))
+
+  /** The one-row seed book: first `k` vectors as centroids. */
+  private def kmeansSeed(all: DataFrame, k: Int): DataFrame =
+    all.filter(col("vec_id") < k)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("cid"), col("v").as("cv")))).as("carr"))
+
+  /** One Lloyd update: assign against `book`, then per-coordinate
+    * ExactAgg means per cluster; empty clusters keep the seed's
+    * coordinates. Returns the refreshed one-row book.
+    */
+  private def kmeansUpdate(all: DataFrame, book: DataFrame, seed: DataFrame,
+                           dim: Int): DataFrame = {
+    val means = kmeansAssignBy(all, book, dim)
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy(col("cluster_id"), (col("pos0") + 1).as("pos"))
+      .agg((graft.functions.ExactAgg.dsum(col("x")) / count(col("x")))
+        .as("mu"))
+    val seedCoords = seed
+      .select(explode(col("carr")).as("c"))
+      .select(col("c")("cid").as("cid"), posexplode(col("c")("cv"))
+        .as(Seq("pos0", "sx")))
+      .select(col("cid"), (col("pos0") + 1).as("pos"), col("sx"))
+    seedCoords.join(means,
+        seedCoords("cid") === means("cluster_id") &&
+          seedCoords("pos") === means("pos"), "left")
+      .select(col("cid"), seedCoords("pos").as("pos"),
+        coalesce(col("mu"), col("sx")).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        p => p("c")).as("cv"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("carr"))
+  }
+
+  /** k-means assignment after `iters` Lloyd refinements of the seed
+    * book (default 1 → the q_kmeans shape: seed-assign → means →
+    * final assign). Output: (vec_id, cluster_id).
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+                   dim: Int = Dim): DataFrame = {
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val seed = kmeansSeed(all, k)
+    val trained = (1 to iters).foldLeft(seed)((b, _) =>
+      kmeansUpdate(all, b, seed, dim))
+    kmeansAssignBy(all, trained, dim).select("vec_id", "cluster_id")
+  }
+
+  /** Trained one-row (cid, cv) book after `iters` Lloyd rounds — the
+    * carr shape [[pqBook]] produces, so it drops into
+    * [[ivfPqTopK]]'s `bookOpt` as a trained PQ book (per-subspace
+    * argmin then reads the trained centroid's slices).
+    */
+  def kmeansCarr(embeddings: DataFrame, k: Int, iters: Int = 1,
+                 dim: Int = Dim): DataFrame = {
+    val all = prepared(embeddings, dim)
+    val seed = kmeansSeed(all, k)
+    (1 to iters).foldLeft(seed)((b, _) => kmeansUpdate(all, b, seed, dim))
+  }
+
+  /** Trained book adapted to the (pid, pv, pn) pivot shape
+    * [[ivfTopK]]/[[ivfPqTopK]]/[[graft.streaming.StreamAnn]] consume —
+    * k-means upgrading the coarse quantizer.
+    */
+  def kmeansPivotArr(embeddings: DataFrame, k: Int, iters: Int = 1,
+                     dim: Int = Dim): DataFrame =
+    kmeansCarr(embeddings, k, iters, dim)
+      .select(transform(col("carr"), c =>
+        struct(c("cid").as("pid"), c("cv").as("pv"),
+          sqrt(graft.plans.DotProduct(c("cv"), c("cv"))).as("pn"))).as("parr"))
 
   /** Sign-bit band key: `bits` consecutive coordinate signs starting at
     * dimension `band*bits` packed into a BIGINT — the random-hyperplane

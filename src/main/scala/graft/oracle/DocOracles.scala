@@ -283,6 +283,42 @@ object DocOracles {
        |WHERE rn <= 3""".stripMargin
   }
 
+  /** Mirror of Similarity.kmeansAssign (k=8, one Lloyd refinement):
+    * seed book = first 8 vectors; assignment argmin over
+    * −2·(v·c) + (c·c) with the shared left-associated dot chain (≡ L2
+    * argmin — v·v is constant per vector), ties to smaller cid;
+    * centroid means per coordinate via the scaled-BIGINT exact sum
+    * over generate_series positions (order-independent, so the
+    * trained book is bit-identical to Spark's); empty clusters keep
+    * seed coordinates (COALESCE).
+    */
+  private def kmeansSql: String = {
+    def score(v: String, c: String): String =
+      s"(-2.0 * (${dot(v, c)}) + (${dot(c, c)}))"
+    s"""$embCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 8),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT d.vec_id, cid, ROW_NUMBER() OVER (
+       |           PARTITION BY d.vec_id
+       |           ORDER BY ${score("d.v", "cv")}, cid) AS rn
+       |         FROM d, c0) WHERE rn = 1),
+       |m AS (SELECT cid, g.i AS pos,
+       |        ${graft.functions.OracleSql.dsum("d.v[g.i]")} / COUNT(*) AS mu
+       |      FROM a1 JOIN d USING (vec_id), generate_series(1, 64) g(i)
+       |      GROUP BY cid, g.i),
+       |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM (
+       |         SELECT c0.cid, g.i AS pos,
+       |           COALESCE(m.mu, c0.cv[g.i]) AS c
+       |         FROM c0 CROSS JOIN generate_series(1, 64) g(i)
+       |           LEFT JOIN m ON m.cid = c0.cid AND m.pos = g.i)
+       |       GROUP BY cid)
+       |SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT d.vec_id, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY d.vec_id
+       |    ORDER BY ${score("d.v", "cv")}, cid) AS rn
+       |  FROM d, c1) WHERE rn = 1""".stripMargin
+  }
+
   /** Mirror of ModelEval.knnLabel: the annIvfSql IVF machinery
     * (identical codebook, assignment, probe order and cosine shapes)
     * widened to k=5 over the `vec_id % 20 = 0` query set, then
@@ -1073,6 +1109,7 @@ object DocOracles {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivfpq" -> annIvfPqSql,
+    "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" ->

@@ -117,6 +117,81 @@ class DocOpsSpec extends AnyFunSuite {
     assert((pq & bf).size >= 3, s"recall ${(pq & bf).size}/${bf.size}")
   }
 
+  test("k-means assignment equals an exact in-Scala Lloyd mirror (quantized means)") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val k = 8; val dim = 64
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }; s
+    }
+    def score(v: Array[Double], c: Array[Double]): Double =
+      -2.0 * dot(v, c) + dot(c, c)
+    def assign(book: IndexedSeq[Array[Double]]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        id -> (0 until k).minBy(j => (score(v, book(j)), j))
+      }.toMap
+    val seed = (0 until k).map(j => vecs(j)._2)
+    val a1 = assign(seed)
+    // ExactAgg mirror: per-coordinate scaled-BIGINT sum / 1e4 / n
+    val trained = (0 until k).map { j =>
+      val members = vecs.filter { case (id, _) => a1(id) == j }
+      if (members.isEmpty) seed(j)
+      else (0 until dim).map { p =>
+        // HALF_UP (away from zero) — math.round would send −x.5 wrong
+        def r(x: Double): Long =
+          if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+        val tot = members.map { case (_, v) => r(v(p) * 1e4) }.sum
+        tot.toDouble / 1e4 / members.size
+      }.toArray
+    }
+    val expected = assign(trained).map { case (id, j) => id -> j.toLong }
+    val got = Similarity.kmeansAssign(emb, k = k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("trained k-means book cuts quantization distortion; trained IVF still searches") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    // distortion = mean min-L2² to the book — the objective Lloyd
+    // provably (modulo the 1e-4 mean quantization) does not increase
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      (0 until 64).map { i => val d = a(i) - b(i); d * d }.sum
+    def distortion(book: Seq[Array[Double]]): Double =
+      vecs.map(v => book.map(c => l2(v, c)).min).sum / vecs.length
+    val seedBook = vecs.take(16).toSeq
+    val trainedBook = Similarity.kmeansCarr(emb, k = 16, iters = 2)
+      .select(col("carr")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getSeq[Double](1).toArray)
+    val (d0, d1) = (distortion(seedBook), distortion(trainedBook))
+    info(f"distortion: first-n book $d0%.4f, 2-round Lloyd $d1%.4f")
+    assert(d1 < d0, s"Lloyd rounds must cut mean distortion: $d1 >= $d0")
+
+    // trained pivots drop into the same search plan; recall vs brute
+    // force stays in the useful band (NOT asserted better: on this
+    // tiny fixture lower distortion ≠ higher fixed-nprobe recall —
+    // measured 21/24 trained vs 23/24 first-n at sf0.001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, col("vec_id") < 8, 3))
+    val trainedPv = Similarity.kmeansPivotArr(emb, k = 16, iters = 2)
+      .localCheckpoint(true)
+    val trained = pairs(Similarity.ivfTopK(emb, col("vec_id") < 8, 3,
+      pivotsOpt = Some(trainedPv)))
+    assert(trained.size == bf.size)
+    assert((trained & bf).size >= (0.6 * bf.size).toInt,
+      s"trained-book recall ${(trained & bf).size}/${bf.size}")
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("banded near-dup: only true pairs, >=88% recall vs exact baseline") {
     // recall STRESS configuration (4-bit × 16 bands): near-full recall
     // at t=0.4 but Θ(N²) candidates — never the benchmarked default
