@@ -24,6 +24,33 @@ object GraftLog {
     df.write.format("graftlog").option("path", dir)
       .option("log.partitions", partitions.toString).mode("append").save()
 
+  /** Changelog → table materialization (the KTable / compacted-topic
+    * reading of a keyed log — Kafka's native version of the
+    * reference's Redis profile store, sinks/RedisTransactionSink.java):
+    * one row per key, the record with the highest (partition, offset).
+    * A key normally lives in exactly one partition (hash routing), so
+    * the winner is simply its latest offset; under explicit-partition
+    * routing a scattered key resolves by the lexicographic pair —
+    * documented, deterministic. Zero-length values are tombstones
+    * (Kafka's null-value delete): `dropTombstones` removes those keys
+    * from the snapshot.
+    *
+    * One shuffle by key — this is the materialization operator, the
+    * scan itself stays partition-parallel. At scale this is the
+    * standard changelog→state rebuild every streams runtime performs.
+    */
+  def latestByKey(spark: SparkSession, dir: String,
+                  dropTombstones: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("partition").desc, col("offset").desc)
+    val latest = read(spark, dir)
+      .filter(col("key").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+    if (dropTombstones) latest.filter(length(col("value")) > 0) else latest
+  }
+
   private val wireSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),

@@ -47,8 +47,15 @@ final class GraftLogProvider extends TableProvider with DataSourceRegister {
 final case class GraftLogOptions(all: Map[String, String]) {
   private def get(k: String): Option[String] =
     all.collectFirst { case (kk, v) if kk.equalsIgnoreCase(k) => v }
-  val dir: String = get("path").getOrElse(
-    throw new IllegalArgumentException("graftlog requires option 'path' (the log root directory)"))
+  // `path` straight from reader/writer options; `location` is how the
+  // session catalog carries OPTIONS(path ...) of a CREATE TABLE ...
+  // USING graftlog through its CatalogTable storage descriptor —
+  // which also URI-qualifies the value (file:/x), so strip the local
+  // scheme back to a filesystem path
+  lazy val dir: String = get("path").orElse(get("location"))
+    .map(p => p.stripPrefix("file://").stripPrefix("file:"))
+    .getOrElse(throw new IllegalArgumentException(
+      "graftlog requires option 'path' (the log root directory)"))
   val partitions: Int = get("log.partitions").map(_.toInt).getOrElse(4)
   val startingOffsets: String = get("startingOffsets").getOrElse("latest")
   val endingOffsets: String = get("endingOffsets").getOrElse("latest")
@@ -73,8 +80,11 @@ final class GraftLogTable(opts: GraftLogOptions)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftLogScan(GraftLogOptions(options.asScala.toMap))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // table-level properties (catalog DDL) under scan-time options
+    val merged = GraftLogOptions(opts.all ++ options.asScala.toMap)
+    () => new GraftLogScan(merged)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(opts, info)
 }

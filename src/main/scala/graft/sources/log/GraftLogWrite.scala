@@ -65,7 +65,13 @@ final case class WriterSpec(dir: String, valueIdx: Int, valueIsString: Boolean,
                             keyIdx: Int, keyIsString: Boolean,
                             partIdx: Int, tsIdx: Int, partitions: Int)
 
-final case class SegmentMsg(entries: Seq[(Int, String, Long)]) extends WriterCommitMessage
+/** (logPartition, tmpPath, recordCount) per touched log partition,
+  * plus the producing task's Spark partition id — commit sorts on it
+  * so intra-batch offset order is the DataFrame's partition order,
+  * deterministically, not tmp-file UUID order.
+  */
+final case class SegmentMsg(taskPid: Int,
+                            entries: Seq[(Int, String, Long)]) extends WriterCommitMessage
 
 final class GraftLogWriteImpl(spec: WriterSpec, queryId: String) extends Write {
   override def description(): String = s"GraftLogWrite ${spec.dir}"
@@ -144,7 +150,7 @@ final class GraftLogDataWriter(spec: WriterSpec, sparkPartitionId: Int)
       w.close(); (p, f.getAbsolutePath, w.count)
     }
     writers.clear()
-    SegmentMsg(entries)
+    SegmentMsg(sparkPartitionId, entries)
   }
 
   override def abort(): Unit = {
@@ -159,16 +165,17 @@ final class GraftLogDataWriter(spec: WriterSpec, sparkPartitionId: Int)
 /** Driver-side commit protocol (single arbiter, like the broker). */
 object GraftLogCommit {
 
-  def flatten(messages: Array[WriterCommitMessage]): Seq[(Int, String, Long)] =
-    messages.toIndexedSeq.collect { case SegmentMsg(es) => es }.flatten
+  def flatten(messages: Array[WriterCommitMessage]): Seq[(Int, String, Long, Int)] =
+    messages.toIndexedSeq.collect { case SegmentMsg(pid, es) =>
+      es.map(e => (e._1, e._2, e._3, pid)) }.flatten
 
-  def dropTmps(entries: Seq[(Int, String, Long)]): Unit =
-    entries.foreach { case (_, tmp, _) => new File(tmp).delete() }
+  def dropTmps(entries: Seq[(Int, String, Long, Int)]): Unit =
+    entries.foreach { case (_, tmp, _, _) => new File(tmp).delete() }
 
   /** Assign base offsets per partition (stable order: tmp path) and
     * atomically rename every tmp segment into the log.
     */
-  def publishAll(dir: String, entries: Seq[(Int, String, Long)]): Seq[(String, Int, Long, Long)] =
+  def publishAll(dir: String, entries: Seq[(Int, String, Long, Int)]): Seq[(String, Int, Long, Long)] =
     synchronized {
       val plan = planOffsets(dir, entries)
       plan.foreach { case (tmp, p, base, count) =>
@@ -179,13 +186,14 @@ object GraftLogCommit {
     }
 
   private def planOffsets(dir: String,
-                          entries: Seq[(Int, String, Long)]): Seq[(String, Int, Long, Long)] = {
+                          entries: Seq[(Int, String, Long, Int)]): Seq[(String, Int, Long, Long)] = {
     val ends = scala.collection.mutable.Map.empty[Int, Long]
-    entries.filter(_._3 > 0).sortBy(e => (e._1, e._2)).map { case (p, tmp, count) =>
-      val base = ends.getOrElseUpdate(p, GraftLogFormat.endOffset(dir, p))
-      ends(p) = base + count
-      (tmp, p, base, count)
-    }
+    entries.filter(_._3 > 0).sortBy(e => (e._1, e._4, e._2))
+      .map { case (p, tmp, count, _) =>
+        val base = ends.getOrElseUpdate(p, GraftLogFormat.endOffset(dir, p))
+        ends(p) = base + count
+        (tmp, p, base, count)
+      }
   }
 
   /** Idempotent epoch commit. Protocol (all driver-side):
@@ -205,7 +213,7 @@ object GraftLogCommit {
     * partial double-append.
     */
   def commitEpoch(dir: String, queryId: String, epochId: Long,
-                  entries: Seq[(Int, String, Long)]): Unit = synchronized {
+                  entries: Seq[(Int, String, Long, Int)]): Unit = synchronized {
     val edir = new File(new File(dir, GraftLogFormat.EpochDir), sanitize(queryId))
     edir.mkdirs()
     val marker = new File(edir, f"$epochId%020d.commit")

@@ -145,11 +145,11 @@ class GraftLogSpec extends AnyFunSuite {
     // driver-level epoch idempotence: a replayed epoch (fresh task
     // attempt, same epochId) must be a no-op — the transactional
     // producer contract.
-    def tmpSeg(n: Int): (Int, String, Long) = {
+    def tmpSeg(n: Int): (Int, String, Long, Int) = {
       val f = GraftLogFormat.newTmpFile(dir)
       val w = new GraftLogFormat.SegmentWriter(f)
       (1 to n).foreach(i => w.append(null, s"x$i".getBytes, 1000L * i))
-      w.close(); (0, f.getAbsolutePath, w.count)
+      w.close(); (0, f.getAbsolutePath, w.count, 0)
     }
     val before = GraftLogFormat.endOffsets(dir)
     GraftLogCommit.commitEpoch(dir, "qX", 7L, Seq(tmpSeg(3)))
@@ -206,6 +206,55 @@ class GraftLogSpec extends AnyFunSuite {
     assert(statuses.get(1L) == "new" && statuses.get(2L) == "new")
     assert(statuses.get(21L) == "dup_exact", s"got ${statuses.get(21L)}")
     assert(statuses.get(11L) == "dup_near", s"got ${statuses.get(11L)}")
+  }
+
+  test("changelog → table: latestByKey keeps each key's newest record, tombstones delete") {
+    import graft.sources.log.GraftLog
+    val dir = tmp("glog_ktable") + "/log"
+    def put(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("key", "value")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "4").mode("append").save()
+    put("u1" -> "v1", "u2" -> "v2", "u3" -> "v3")
+    put("u1" -> "v1b")                  // update
+    put("u2" -> "")                     // tombstone
+    put("u1" -> "v1c", "u4" -> "v4")    // second update + new key
+
+    val snap = GraftLog.latestByKey(spark, dir)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(snap == Map("u1" -> "v1c", "u3" -> "v3", "u4" -> "v4"))
+    val withTombs = GraftLog.latestByKey(spark, dir, dropTombstones = false)
+      .select(col("key").cast("string")).as[String].collect().toSet
+    assert(withTombs == Set("u1", "u2", "u3", "u4"))
+
+    // the Redis-profile analog: a profile CHANGELOG in the log, the
+    // pipeline enriches from its latest snapshot. Updates are
+    // sequential appends (same-key racers inside ONE batch order by
+    // DataFrame partition, like two producers racing a broker)
+    put("u9" -> """{"user_id":"u9","risk_score":0.1}""")
+    put("u9" -> """{"user_id":"u9","risk_score":0.8}""")
+    val latestRisk = GraftLog.latestByKey(spark, dir)
+      .filter(col("key").cast("string") === "u9")
+      .select(get_json_object(col("value").cast("string"), "$.risk_score"))
+      .as[String].head()
+    assert(latestRisk == "0.8", "snapshot must carry the LATEST profile version")
+  }
+
+  test("SQL DDL surface: CREATE TABLE USING graftlog reads through the catalog") {
+    val dir = tmp("glog_sql") + "/log"
+    (1 to 40).map(i => (s"k${i % 5}", s"v$i")).toDF("key", "value")
+      .write.format("graftlog").option("path", dir)
+      .option("log.partitions", "2").mode("append").save()
+    spark.sql(s"CREATE TABLE glog_sql_t USING graftlog OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql("SELECT COUNT(*) FROM glog_sql_t").head().getLong(0)
+      assert(n == 40)
+      val perPart = spark.sql(
+        """SELECT partition, COUNT(*) AS n FROM glog_sql_t GROUP BY partition""")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perPart.values.sum == 40 && perPart.keySet.subsetOf(Set(0, 1)))
+    } finally spark.sql("DROP TABLE glog_sql_t")
   }
 
   test("S1→S5 end-to-end: the fraud pipeline over the log matches the batch run") {
