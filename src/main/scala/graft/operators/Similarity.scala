@@ -497,27 +497,50 @@ object Similarity {
     * plants one known near-duplicate per vector, entirely from the
     * given inputs and mirrored bit-exactly by the oracle.
     *
-    * Copy i of vector v adds per-coordinate noise
-    * `eps_j = (nibble(md5("pert:" + vec_id + ":" + j)) − 7.5) / 128`
+    * Copy i of vector v adds per-coordinate noise drawn from TWO md5
+    * digests per vector — `da = md5("pert:a:" + vec_id)`,
+    * `db = md5("pert:b:" + vec_id)` — with coordinate j taking
+    * `eps_j = (nibble_((j−1) mod 32 + 1)(j ≤ 32 ? da : db) − 7.5) / 128`
     * (exact arithmetic: the subtraction is exact on small integers and
     * /128 is a power of two, so the only rounding is the final add —
-    * identical in both engines). With unit-norm 64-dim vectors
-    * (coordinate std ≈ 1/8) this yields pair cosine ≈ 0.96 and a
-    * per-coordinate sign-flip probability ≈ 5%, so the selective
-    * 8-bit × 8-band LSH retains ≥ 99.9% recall at threshold 0.9 —
-    * the regime where selectivity (≈3% of pairs as candidates) and
-    * recall finally coexist; SimilaritySpec asserts the measured
-    * recall against the exact-crossJoin baseline.
+    * identical in both engines). The first spelling hashed
+    * `"pert:" + vec_id + ":" + j` per COORDINATE: 64 md5 calls per row
+    * whose fused codegen blew the JVM's 64 KB method limit, silently
+    * dropping the whole perturb→norm→band stage to interpreted
+    * execution (ERROR CodeGenerator in the logs). Two digests per row
+    * keep the same per-nibble uniform(0..15) noise law — hex chars of
+    * an md5 digest are the independent-nibble source either way — at
+    * 1/32 the hash cost, and the projection compiles again. The
+    * digests are materialized in a SEPARATE select so CollapseProject
+    * (which refuses to duplicate non-cheap expressions) keeps them
+    * single-evaluation instead of re-inlining md5 32× into the array.
+    * With unit-norm 64-dim vectors (coordinate std ≈ 1/8) this yields
+    * pair cosine ≈ 0.96 and a per-coordinate sign-flip probability
+    * ≈ 5%, so the selective 8-bit × 8-band LSH retains ≥ 99.9% recall
+    * at threshold 0.9 — the regime where selectivity (≈3% of pairs as
+    * candidates) and recall finally coexist; SimilaritySpec asserts
+    * the measured recall against the exact-crossJoin baseline.
     */
   def perturbedCopies(embeddings: DataFrame, idOffset: Long = 1000000L,
                       dim: Int = Dim): DataFrame = {
+    require(dim <= 64, s"perturbedCopies draws nibbles from two md5 " +
+      s"digests (64 nibbles); dim=$dim > 64 would reuse noise")
     val orig = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("embedding"))
-    def eps(j: Int): Column =
-      (graft.operators.Dedup.hexNibble(substring(
-        md5(concat(lit("pert:"), col("vec_id").cast("string"),
-          lit(s":$j"))), 1, 1)).cast("double") - lit(7.5)) / lit(128.0)
-    val perturbed = embeddings.select(
+    val withDigests = embeddings.select(col("vec_id"), col("embedding"),
+      md5(concat(lit("pert:a:"), col("vec_id").cast("string"))).as("da"),
+      md5(concat(lit("pert:b:"), col("vec_id").cast("string"))).as("db"))
+    // nibble via ascii arithmetic, not the 16-branch hexNibble CASE:
+    // 64 fused CASEs were the second half of the 64 KB codegen blowout
+    // (exact-integer equivalent: '0'-'9' → 48..57, 'a'-'f' → 97..102)
+    def eps(j: Int): Column = {
+      val digest = if (j <= 32) col("da") else col("db")
+      val pos = (j - 1) % 32 + 1
+      val a = ascii(substring(digest, pos, 1))
+      val nib = when(a >= 97, a - 87).otherwise(a - 48)
+      (nib.cast("double") - lit(7.5)) / lit(128.0)
+    }
+    val perturbed = withDigests.select(
       (col("vec_id") + lit(idOffset)).as("vec_id"),
       array((1 to dim).map(j =>
         element_at(col("embedding"), j).cast("double") + eps(j)): _*)

@@ -400,12 +400,14 @@ object DocOracles {
     * exact-cosine verify at t=0.9 — the regime where the selective
     * banding, ~3.1% of pairs as candidates, is simultaneously
     * ≥99%-recall). The corpus is the raw embeddings plus one
-    * deterministically perturbed copy each: coordinate j gains
-    * (nibble(md5('pert:'||vec_id||':'||j)) − 7.5) / 128 — exact until
-    * the single final add, identically rounded in both engines. The
-    * band keys are pure sign tests on the double coordinates, so the
-    * candidate SET — and therefore the verified output — is identical
-    * across engines.
+    * deterministically perturbed copy each: coordinate j draws nibble
+    * ((j−1) mod 32)+1 of md5('pert:a:'||vec_id) (j ≤ 32) or
+    * md5('pert:b:'||vec_id) (j > 32) — two digests per vector, not 64,
+    * matching Similarity.perturbedCopies' codegen-sized form — and
+    * gains (nibble − 7.5) / 128, exact until the single final add,
+    * identically rounded in both engines. The band keys are pure sign
+    * tests on the double coordinates, so the candidate SET — and
+    * therefore the verified output — is identical across engines.
     */
   private def embNearDupSql: String = {
     val bits = 8
@@ -415,8 +417,9 @@ object DocOracles {
     // single-line terms: a line break inside `||` would be mangled by
     // the enclosing stripMargin (it strips up to the first `|`)
     val pertTerms = (1 to 64).map { j =>
-      s"v[$j] + ((CASE substr(md5('pert:' || CAST(vid AS VARCHAR) || " +
-        s"':$j'), 1, 1) $nibble END) - 7.5) / 128.0"
+      val d = if (j <= 32) "da" else "db"
+      val pos = (j - 1) % 32 + 1
+      s"v[$j] + ((CASE substr($d, $pos, 1) $nibble END) - 7.5) / 128.0"
     }.mkString(",\n  ")
     val bandSel = (0 until bands).map { b =>
       val key = (0 until bits).map(r =>
@@ -429,7 +432,10 @@ object DocOracles {
        |  FROM embeddings),
        |pert AS (SELECT vid + 1000000 AS vec_id, [
        |  $pertTerms] AS v
-       |  FROM (SELECT vec_id AS vid, v FROM base)),
+       |  FROM (SELECT vec_id AS vid, v,
+       |          md5('pert:a:' || CAST(vec_id AS VARCHAR)) AS da,
+       |          md5('pert:b:' || CAST(vec_id AS VARCHAR)) AS db
+       |        FROM base)),
        |d AS (SELECT vec_id, v FROM base
        |      UNION ALL SELECT vec_id, v FROM pert),
        |bd AS (
