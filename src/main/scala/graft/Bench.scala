@@ -90,28 +90,35 @@ object Bench {
   /** Per-query reference timings from a previously committed clean run.
     * The file is the harness's own output format; the `"queries"`
     * object is flat name->seconds, parsed with a regex (no nesting).
+    * Whitespace-tolerant: the round-8 additive REF merge rewrote the
+    * file through python json.dump, which emits `"queries": {` with a
+    * space — the original exact-`"queries":{` probe missed it and the
+    * whole drift gate silently disabled itself (reference parsed
+    * empty, run_drift pinned at 1.0). Both key probes now accept
+    * optional whitespace around the colon; BenchParseSpec pins both
+    * spellings.
     */
-  private def loadReference(path: String): Map[String, Double] =
+  private[graft] def loadReference(path: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val start = txt.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
-      else {
-        val body = txt.substring(start + 11, txt.indexOf('}', start))
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+        case None => Map.empty
+        case Some(m) =>
+          val body = txt.substring(m.end, txt.indexOf('}', m.end))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
 
   /** Single-thread calibration seconds from the reference file, if it
     * carries one (refreshed references do; see [[cpuCalibration]]).
     */
-  private def loadRefCpu1t(path: String): Option[Double] =
+  private[graft] def loadRefCpu1t(path: String): Option[Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      "\"cpu_1t\":([0-9.Ee+-]+)".r.findFirstMatchIn(txt)
+      "\"cpu_1t\"\\s*:\\s*([0-9.Ee+-]+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 
