@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{OperatorCaches, Similarity}
+
+/** Measures ANN recall@k against the exact brute-force ranking for
+  * every variant in the ladder — untrained (first-`nlist` pivots) vs
+  * TRAINED (one deterministic Lloyd round, Similarity.kmeansPivotArr)
+  * coarse quantizers, at several nprobe settings — producing the
+  * recall table COVERAGE.md records. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.RecallAudit"
+  *
+  * Driver-side collects are bounded: |queries| × k ids per variant.
+  */
+object RecallAudit {
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private def recallOf(ann: DataFrame, truth: Map[Long, Set[Long]], k: Int): Double = {
+    val got = topkSets(ann)
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / k }
+    per.sum / per.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qPred = col("vec_id") < 64
+    val k = 10
+    val truth = topkSets(Similarity.bruteForceTopK(emb, qPred, k))
+    OperatorCaches.releaseAll()
+
+    val trained = Similarity.kmeansPivotArr(emb, k = 16, iters = 1)
+      .localCheckpoint(true)
+    val trainedBook = Similarity.kmeansCarr(emb, k = 16, iters = 1)
+      .localCheckpoint(true)
+
+    val rows = Seq.newBuilder[(String, Int, Double)]
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      rows += (("ivf_first16", nprobe,
+        recallOf(Similarity.ivfTopK(emb, qPred, k, nprobe = nprobe), truth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("ivf_trained", nprobe,
+        recallOf(Similarity.ivfTopK(emb, qPred, k, nprobe = nprobe,
+          pivotsOpt = Some(trained)), truth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("ivfpq_first16", nprobe,
+        recallOf(Similarity.ivfPqTopK(emb, qPred, k, nprobe = nprobe), truth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("ivfpq_trained", nprobe,
+        recallOf(Similarity.ivfPqTopK(emb, qPred, k, nprobe = nprobe,
+          pivotsOpt = Some(trained), bookOpt = Some(trainedBook)), truth, k)))
+      OperatorCaches.releaseAll()
+    }
+    val out = rows.result()
+    println("variant,nprobe,recall_at_10")
+    out.foreach { case (v, np, r) => println(f"$v,$np,$r%.4f") }
+    val json = out.map { case (v, np, r) => s""""${v}_np$np":$r""" }
+      .mkString("{\"metric\":\"recall_at_10\",\"sf\":\"" + sfDir + "\",", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

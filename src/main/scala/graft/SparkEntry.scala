@@ -253,6 +253,16 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // IVF ANN on the TRAINED coarse quantizer: one Lloyd round of
+    // deterministic k-means over the corpus replaces the first-16
+    // pivots — higher recall at equal nprobe (table in COVERAGE.md),
+    // same plan shape, trained book bit-reproducible cross-engine
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val emb = T(s, d)("embeddings")
+      Similarity.ivfTopK(emb,
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3,
+        pivotsOpt = Some(Similarity.kmeansPivotArr(emb, k = 16, iters = 1)))
+    }),
     // IVF-PQ with ADC ranking: inverted lists hold 8 code bytes per
     // vector instead of 64 floats; candidates cost 8 table lookups
     // (the billion-scale memory layout — scale path 3)
@@ -654,6 +664,14 @@ object SparkEntry {
     "q_log_roundtrip" -> ((s, d) =>
       graft.sources.log.GraftLog.eventStatsThroughLog(T(s, d)("events"),
         s"${System.getProperty("java.io.tmpdir")}/graft_qlog_${math.abs(d.hashCode)}")),
+    // Kafka cleanup.policy=compact twin: orders produced as a
+    // per-customer changelog, storage-side key compaction (sparse
+    // .cseg segments, original offsets), read back via latestByKey —
+    // a hash match proves compaction == latest-record-per-key
+    "q_log_compact" -> ((s, d) =>
+      graft.sources.log.GraftLog.latestOrderThroughCompactedLog(
+        T(s, d)("orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_qlogc_${math.abs(d.hashCode)}")),
     // blocked fuzzy matching (levenshtein within brand blocks)
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",
@@ -701,6 +719,16 @@ object SparkEntry {
          |  ${dsum("value")} AS sum_value,
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1""".stripMargin,
+
+    // the Spark side compacts the changelog in storage and reads the
+    // survivors; the oracle picks each customer's latest order by the
+    // same (date, orderkey) order the log's offsets encode
+    "q_log_compact" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
 
     "q_feature_normalize" ->
       s"""WITH s AS (SELECT event_type, ${davg("value")} AS mu,

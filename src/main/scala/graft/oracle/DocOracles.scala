@@ -292,15 +292,21 @@ object DocOracles {
     * trained book is bit-identical to Spark's); empty clusters keep
     * seed coordinates (COALESCE).
     */
-  private def kmeansSql: String = {
-    def score(v: String, c: String): String =
-      s"(-2.0 * (${dot(v, c)}) + (${dot(c, c)}))"
-    s"""$embCte,
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 8),
+  private def kmScore(v: String, c: String): String =
+    s"(-2.0 * (${dot(v, c)}) + (${dot(c, c)}))"
+
+  /** CTE fragment c0→a1→m→c1: one Lloyd refinement of the first-`k`
+    * seed book — the SQL mirror of Similarity.kmeansCarr, shared by
+    * the kmeans oracle and the trained-codebook ANN oracles (the
+    * trained book's coordinates are bit-identical cross-engine:
+    * exact-int sums / counts, COALESCE to seed for empty clusters).
+    */
+  private def kmeansC1Cte(k: Int): String =
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < $k),
        |a1 AS (SELECT vec_id, cid FROM (
        |         SELECT d.vec_id, cid, ROW_NUMBER() OVER (
        |           PARTITION BY d.vec_id
-       |           ORDER BY ${score("d.v", "cv")}, cid) AS rn
+       |           ORDER BY ${kmScore("d.v", "cv")}, cid) AS rn
        |         FROM d, c0) WHERE rn = 1),
        |m AS (SELECT cid, g.i AS pos,
        |        ${graft.functions.OracleSql.dsum("d.v[g.i]")} / COUNT(*) AS mu
@@ -311,13 +317,41 @@ object DocOracles {
        |           COALESCE(m.mu, c0.cv[g.i]) AS c
        |         FROM c0 CROSS JOIN generate_series(1, 64) g(i)
        |           LEFT JOIN m ON m.cid = c0.cid AND m.pos = g.i)
-       |       GROUP BY cid)
+       |       GROUP BY cid)""".stripMargin
+
+  private def kmeansSql: String =
+    s"""$embCte,
+       |${kmeansC1Cte(8)}
        |SELECT vec_id, cid AS cluster_id FROM (
        |  SELECT d.vec_id, cid, ROW_NUMBER() OVER (
        |    PARTITION BY d.vec_id
-       |    ORDER BY ${score("d.v", "cv")}, cid) AS rn
+       |    ORDER BY ${kmScore("d.v", "cv")}, cid) AS rn
        |  FROM d, c1) WHERE rn = 1""".stripMargin
-  }
+
+  /** Mirror of Similarity.ivfTopK with the TRAINED codebook
+    * (kmeansPivotArr k=16, 1 Lloyd round) as the coarse quantizer —
+    * annIvfSql with its first-16-vectors pivot CTE swapped for the
+    * trained book c1. Assignment/probe/rank shapes unchanged.
+    */
+  private def annIvfTrainedSql: String =
+    s"""$embCte,
+       |${kmeansC1Cte(16)},
+       |p AS (SELECT cid AS pid, cv AS pv FROM c1),
+       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS (SELECT vec_id, v, pid AS list_id FROM ar WHERE prn = 1),
+       |qr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
+       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
+       |s AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |        ${cos("qv", "a.v")} AS cos
+       |      FROM qr JOIN a ON plist = list_id
+       |      WHERE a.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
 
   /** Mirror of ModelEval.knnLabel: the annIvfSql IVF machinery
     * (identical codebook, assignment, probe order and cosine shapes)
@@ -1114,6 +1148,7 @@ object DocOracles {
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,

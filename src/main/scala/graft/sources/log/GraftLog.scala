@@ -24,6 +24,21 @@ object GraftLog {
     df.write.format("graftlog").option("path", dir)
       .option("log.partitions", partitions.toString).mode("append").save()
 
+  /** Key-compact every partition in place (original offsets kept —
+    * see [[GraftLogMaintain.compactPartition]]).
+    */
+  def compact(dir: String, dropTombstones: Boolean = false): Unit =
+    GraftLogMaintain.compact(dir, dropTombstones)
+
+  /** Drop whole aged/oversized segments from the front of every
+    * partition (see [[GraftLogMaintain.applyRetention]]).
+    */
+  def applyRetention(dir: String, retentionMs: Option[Long] = None,
+                     retentionBytes: Option[Long] = None): Map[Int, Long] =
+    GraftLogMaintain.applyRetention(dir,
+      retentionMicros = retentionMs.map(_ * 1000L),
+      retentionBytes = retentionBytes)
+
   /** Changelog → table materialization (the KTable / compacted-topic
     * reading of a keyed log — Kafka's native version of the
     * reference's Redis profile store, sinks/RedisTransactionSink.java):
@@ -56,6 +71,49 @@ object GraftLog {
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
+
+  /** The q_log_compact query: orders as a per-customer CHANGELOG
+    * (key = custkey, one record per order, each key's records appended
+    * in (date, orderkey) order), produced into the log, then
+    * storage-side key-compacted ([[GraftLogMaintain.compact]] — the
+    * reference's `cleanup.policy=compact` profile topics,
+    * create-topics.sh:101,111), then materialized back to a table via
+    * [[latestByKey]]. A hash match against the windowed-parquet oracle
+    * proves compaction keeps exactly the highest-offset record per key
+    * with its original offset, and that the sparse compacted segments
+    * read back through the same DSv2 scan.
+    *
+    * Offset determinism: `repartition(key)` puts all of a key's rows
+    * in ONE producing task, sorted (date, orderkey) within it, and the
+    * commit protocol orders same-partition segments by producing task
+    * — so each key's latest offset is its latest (date, orderkey)
+    * record in any engine.
+    */
+  def latestOrderThroughCompactedLog(orders: DataFrame, dir: String): DataFrame = {
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    val routed = orders
+      .repartition(col("o_custkey"))
+      .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_custkey").cast("string").as("key"),
+        to_json(struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))).as("value"),
+        pmod(col("o_custkey"), lit(8)).cast("int").as("partition"),
+        col("o_orderdate").cast("timestamp").as("timestamp"))
+    write(routed, dir, partitions = 8)
+    GraftLogMaintain.compact(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    latestByKey(orders.sparkSession, dir)
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.o_custkey").as("o_custkey"),
+        col("r.o_orderkey").as("o_orderkey"),
+        col("r.o_totalprice").as("o_totalprice"))
+  }
 
   /** The q_log_roundtrip query: produce the events table through the
     * log as user-keyed JSON records (the reference's Kafka wire shape,

@@ -37,6 +37,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object GraftLogFormat {
 
   val Magic: Array[Byte] = "GL1\n".getBytes(StandardCharsets.UTF_8)
+  val CMagic: Array[Byte] = "GLC\n".getBytes(StandardCharsets.UTF_8)
   val MetaFile = "_meta.json"
   val TmpDir = "_tmp"
   val EpochDir = "_epochs"
@@ -77,29 +78,70 @@ object GraftLogFormat {
 
   // ---- segments ---------------------------------------------------------
 
-  final case class Segment(file: File, base: Long, count: Long) {
-    def end: Long = base + count
+  /** A segment file. Dense segments (`.seg`, the producer's output)
+    * cover offsets [base, base+count) positionally; sparse segments
+    * (`.cseg`, compaction's output) cover [base, endX) but hold only
+    * `count` surviving records, each framed with its ORIGINAL offset —
+    * Kafka's compacted-log shape, where offsets gap but never renumber.
+    */
+  final case class Segment(file: File, base: Long, count: Long,
+                           sparse: Boolean = false, endX: Long = -1L) {
+    def end: Long = if (sparse) endX else base + count
+    /** seg's whole offset range lies inside this segment's range. */
+    def covers(s: Segment): Boolean =
+      (s ne this) && base <= s.base && s.end <= end &&
+        (s.base > base || s.end < end || !s.sparse)
   }
 
   private val SegName = """(\d{20})_(\d{10})\.seg""".r
+  private val CSegName = """(\d{20})_(\d{20})_(\d{10})\.cseg""".r
 
   def segmentName(base: Long, count: Long): String = f"$base%020d_$count%010d.seg"
+  def csegName(base: Long, endX: Long, count: Long): String =
+    f"$base%020d_$endX%020d_$count%010d.cseg"
 
-  /** Segments of one partition, sorted by base offset. */
-  def segments(dir: String, partition: Int): Seq[Segment] = {
+  /** ALL segment files of one partition (including ones shadowed by a
+    * covering compacted segment), sorted by (base, dense-first).
+    */
+  def allSegments(dir: String, partition: Int): Seq[Segment] = {
     val d = new File(dir, s"p=$partition")
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toIndexedSeq.flatMap { f =>
       f.getName match {
         case SegName(b, c) => Some(Segment(f, b.toLong, c.toLong))
+        case CSegName(b, e, c) =>
+          Some(Segment(f, b.toLong, c.toLong, sparse = true, endX = e.toLong))
         case _ => None
       }
-    }.sortBy(_.base)
+    }.sortBy(s => (s.base, s.sparse))
   }
 
-  /** End offset (== next offset to be assigned) of one partition. */
+  /** Readable segments: a compacted segment SHADOWS every segment
+    * whose offset range it covers. Compaction publishes its merged
+    * segment first and deletes the inputs second, so a crash between
+    * the two steps leaves covered-but-undeleted files — readers must
+    * prefer the covering segment or they would double-read offsets.
+    */
+  def segments(dir: String, partition: Int): Seq[Segment] = {
+    val all = allSegments(dir, partition)
+    val covers = all.filter(_.sparse)
+    all.filterNot(s => covers.exists(c => c.covers(s)))
+  }
+
+  /** End offset (== next offset to be assigned) of one partition.
+    * Retention may delete every segment; the bounds marker then keeps
+    * the high watermark from regressing to 0.
+    */
   def endOffset(dir: String, partition: Int): Long =
-    segments(dir, partition).lastOption.map(_.end).getOrElse(0L)
+    math.max(segments(dir, partition).lastOption.map(_.end).getOrElse(0L),
+      readBounds(dir, partition).map(_._2).getOrElse(0L))
+
+  /** Log start offset of one partition (Kafka's logStartOffset):
+    * advanced past retention-deleted segments by the bounds marker,
+    * 0 on a never-truncated partition.
+    */
+  def startOffset(dir: String, partition: Int): Long =
+    readBounds(dir, partition).map(_._1).getOrElse(0L)
 
   /** End offsets for every partition of the log. */
   def endOffsets(dir: String): Map[Int, Long] = {
@@ -107,15 +149,57 @@ object GraftLogFormat {
     (0 until n).map(p => p -> endOffset(dir, p)).toMap
   }
 
+  /** Start offsets for every partition of the log. */
+  def startOffsets(dir: String): Map[Int, Long] = {
+    val n = readPartitions(dir)
+    (0 until n).map(p => p -> startOffset(dir, p)).toMap
+  }
+
+  // ---- partition bounds (retention watermarks) --------------------------
+
+  private def boundsFile(dir: String, p: Int) = new File(dir, s"p=$p/_bounds.json")
+
+  /** (logStart, highWatermark) marker, absent on untruncated partitions. */
+  def readBounds(dir: String, p: Int): Option[(Long, Long)] = {
+    val f = boundsFile(dir, p)
+    if (!f.exists()) None
+    else {
+      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      val m = """"start"\s*:\s*(\d+)\s*,\s*"end"\s*:\s*(\d+)""".r
+      m.findFirstMatchIn(s).map(g => (g.group(1).toLong, g.group(2).toLong))
+    }
+  }
+
+  def writeBounds(dir: String, p: Int, start: Long, end: Long): Unit = {
+    val f = boundsFile(dir, p)
+    val t = new File(f.getAbsolutePath + ".tmp")
+    Files.write(t.toPath,
+      s"""{"start": $start, "end": $end}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(t.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   // ---- record codec -----------------------------------------------------
 
-  /** Streaming writer for one segment file (tmp path; renamed on commit). */
-  final class SegmentWriter(path: File) {
+  /** Streaming writer for one segment file (tmp path; renamed on
+    * commit). `sparse = true` writes the compacted framing: each
+    * record prefixed with its explicit original offset (CMagic).
+    */
+  final class SegmentWriter(path: File, sparse: Boolean = false) {
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
-    out.write(Magic)
+    out.write(if (sparse) CMagic else Magic)
     private var n = 0L
     def append(key: Array[Byte], value: Array[Byte], tsMicros: Long): Unit = {
+      require(!sparse, "sparse segments need explicit offsets (appendAt)")
+      writeRec(key, value, tsMicros)
+    }
+    def appendAt(offset: Long, key: Array[Byte], value: Array[Byte],
+                 tsMicros: Long): Unit = {
+      require(sparse, "dense segments carry positional offsets only")
+      out.writeLong(offset)
+      writeRec(key, value, tsMicros)
+    }
+    private def writeRec(key: Array[Byte], value: Array[Byte], tsMicros: Long): Unit = {
       if (key == null) out.writeInt(-1)
       else { out.writeInt(key.length); out.write(key) }
       out.writeInt(value.length); out.write(value)
@@ -126,14 +210,19 @@ object GraftLogFormat {
     def close(): Unit = { out.flush(); out.close() }
   }
 
-  /** Iterator over one segment's records. Streams; closes on exhaustion. */
-  def readSegment(seg: Segment): Iterator[Record] = new Iterator[Record] {
+  /** Iterator over one segment's (offset, record) entries. Streams;
+    * closes on exhaustion. Dense segments get positional offsets
+    * base+i; sparse (compacted) segments read each record's explicit
+    * stored offset.
+    */
+  def readEntries(seg: Segment): Iterator[(Long, Record)] = new Iterator[(Long, Record)] {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(seg.file), 1 << 16))
     locally {
-      val m = new Array[Byte](Magic.length)
+      val expect = if (seg.sparse) CMagic else Magic
+      val m = new Array[Byte](expect.length)
       in.readFully(m)
-      if (!java.util.Arrays.equals(m, Magic))
+      if (!java.util.Arrays.equals(m, expect))
         throw new IllegalStateException(s"bad magic in segment ${seg.file}")
     }
     private var read = 0L
@@ -143,16 +232,17 @@ object GraftLogFormat {
       if (!h && !closed) { in.close(); closed = true }
       h
     }
-    override def next(): Record = {
+    override def next(): (Long, Record) = {
       if (!hasNext) throw new NoSuchElementException
       try {
+        val off = if (seg.sparse) in.readLong() else seg.base + read
         val klen = in.readInt()
         val key = if (klen < 0) null else { val a = new Array[Byte](klen); in.readFully(a); a }
         val vlen = in.readInt()
         val value = { val a = new Array[Byte](vlen); in.readFully(a); a }
         val ts = in.readLong()
         read += 1
-        Record(key, value, ts)
+        (off, Record(key, value, ts))
       } catch {
         case _: EOFException =>
           in.close(); closed = true
@@ -162,6 +252,9 @@ object GraftLogFormat {
     }
   }
 
+  /** Iterator over one segment's records (offsets dropped). */
+  def readSegment(seg: Segment): Iterator[Record] = readEntries(seg).map(_._2)
+
   /** Records of one partition in [from, until), streamed segment by
     * segment with whole-segment skip via the (base, count) file names.
     * Returns (offset, record) pairs.
@@ -170,9 +263,7 @@ object GraftLogFormat {
     segments(dir, partition).iterator
       .filter(s => s.end > from && s.base < until)
       .flatMap { s =>
-        readSegment(s).zipWithIndex.collect {
-          case (r, i) if s.base + i >= from && s.base + i < until => (s.base + i, r)
-        }
+        readEntries(s).filter { case (off, _) => off >= from && off < until }
       }
 
   // ---- tmp + rename -----------------------------------------------------

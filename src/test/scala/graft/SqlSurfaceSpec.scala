@@ -64,4 +64,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(s2 == d2, s"$name values differ between SQL and DataFrame paths")
     }
   }
+
+  test("DSv2 catalog table: the log-roundtrip oracle runs as pure SQL over CREATE TABLE ... USING graftlog") {
+    // the q_log_roundtrip substrate (events produced through the log),
+    // but consumed the way a SQL-only user would: the log registered
+    // as a session-catalog table and the whole decode + aggregate as
+    // one spark.sql text — parity with the DataFrame path proves the
+    // DSv2 table surface carries a real green query end-to-end.
+    import graft.sources.log.GraftLog
+    val dir = java.nio.file.Files.createTempDirectory("glog_sqlq").toFile
+      .getAbsolutePath + "/log"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val viaDf = GraftLog.eventStatsThroughLog(events, dir)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    spark.sql(s"CREATE TABLE glog_events_q USING graftlog OPTIONS (path '$dir')")
+    try {
+      val viaSql = spark.sql(
+        s"""SELECT r.event_type AS event_type, COUNT(*) AS n_events,
+           |  ${graft.functions.OracleSql.dsum("r.value")} AS sum_value,
+           |  COUNT(DISTINCT r.user_id) AS n_users
+           |FROM (SELECT from_json(CAST(value AS STRING),
+           |        'event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE') AS r
+           |      FROM glog_events_q)
+           |GROUP BY r.event_type""".stripMargin)
+        .select("event_type", "n_events", "sum_value", "n_users")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(viaSql == viaDf,
+        "catalog-table SQL path diverges from the DataFrame path")
+      assert(viaDf.nonEmpty)
+    } finally spark.sql("DROP TABLE glog_events_q")
+  }
 }
