@@ -86,7 +86,63 @@ object ThroughputBench {
     println(f"""{"docs_per_sec":${rate}%.0f,"rows":$n,"canonical":${out.getLong(0)},"admitted":${out.getLong(1)}}""")
   }
 
+  /** Wire throughput of the graftlog S1/S5 twin — records/sec through
+    * REAL produce (task-written segments + driver offset arbitration)
+    * and consume (partition-parallel DSv2 scan + JSON decode) paths,
+    * the closest in-sandbox analog of the reference's Kafka boundary
+    * (its 15k TPS claim includes broker round-trips; this includes
+    * actual segment I/O on local disk, but no network hop). Records
+    * are the transaction wire shape, keyed by user — materialized
+    * before the clock starts so generation stays out of the measure.
+    */
+  private def runLog(spark: SparkSession, n: Long, cpus: Int): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_logbench")
+      .toFile.getAbsolutePath + "/log"
+    val recs = spark.range(n).select(
+        pmod(col("id"), lit(10000L)).cast("string").as("key"),
+        to_json(struct(
+          concat(lit("t"), col("id")).as("transaction_id"),
+          concat(lit("u"), pmod(col("id"), lit(10000L))).as("user_id"),
+          concat(lit("m"), pmod(col("id"), lit(5000L))).as("merchant_id"),
+          (pmod(xxhash64(col("id")), lit(100000L)).cast("double") / 100.0)
+            .as("amount"))).as("value"))
+      .repartition(cpus)
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    graft.sources.log.GraftLog.write(recs, dir, partitions = cpus)
+    val produceRate = n / ((System.nanoTime() - t0) / 1e9)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("transaction_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType)))
+    val t1 = System.nanoTime()
+    val scanOut = spark.read.format("graftlog").option("path", dir).load()
+      .agg(count(lit(1)).as("n"), max(col("offset"))).head()
+    val scanRate = n / ((System.nanoTime() - t1) / 1e9)
+    val t2 = System.nanoTime()
+    val out = spark.read.format("graftlog").option("path", dir).load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("r.amount")).as("s")).head()
+    val consumeRate = n / ((System.nanoTime() - t2) / 1e9)
+    println(f"""{"log_produce_rows_per_sec":${produceRate}%.0f,"log_scan_rows_per_sec":${scanRate}%.0f,"log_consume_rows_per_sec":${consumeRate}%.0f,"rows":$n,"check":${out.getLong(0)},"scan_check":${scanOut.getLong(0)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("log")) {
+      val n = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runLog(spark, n, cpus.toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("docs")) {
       val n = args.lift(1).map(_.toLong).getOrElse(2000000L)
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
