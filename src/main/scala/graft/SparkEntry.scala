@@ -175,6 +175,13 @@ object SparkEntry {
       val c = T(s, d)("customer")
       Merge.upsert(c, Merge.customerUpserts(c), "c_custkey")
     }),
+    // SCD type-2 history reconstruction from a keyed changelog:
+    // half-open [valid_from, valid_to) version intervals via LEAD,
+    // open version flagged current — one keyed shuffle
+    "q_scd2" -> ((s, d) =>
+      Merge.scd2(T(s, d)("orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        key = "o_custkey", ts = "o_orderdate", tiebreak = "o_orderkey")),
     // EXISTS + NOT EXISTS with inequality residual (Q21 shape)
     "q_sole_supplier" -> ((s, d) =>
       OlapQueries.soleGoodSupplier(T(s, d)("lineitem"))),
@@ -329,6 +336,11 @@ object SparkEntry {
     "q_inverted_index" -> ((s, d) =>
       Retrieval.invertedIndex(T(s, d)("documents"),
         Seq("spark", "join", "window"))),
+    // exact phrase query over the positional index: posting-list
+    // intersection with position alignment — the position is in the
+    // join key, so cost is bounded by the rarest term's postings
+    "q_phrase_search" -> ((s, d) =>
+      Retrieval.phraseSearch(T(s, d)("documents"), Seq("table", "hash"))),
     // mixture curation: greedy longest-first selection under a
     // per-domain token budget (keyed running sum, integer-exact)
     "q_budget_select" -> ((s, d) =>
@@ -676,6 +688,14 @@ object SparkEntry {
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyPairs(T(s, d)("part"), text = "p_name",
         blocks = Seq("p_brand", "p_size"), id = "p_partkey", maxDist = 6)),
+    // Fellegi-Sunter record linkage: blocked candidates, weighted
+    // multi-field agreement (name edit distance + numeric tolerance),
+    // two-threshold match/possible verdict; substrate = customers
+    // plus deterministic dirty second-source copies
+    "q_record_linkage" -> ((s, d) =>
+      Dedup.recordLinkage(Dedup.customerDirtyCopies(T(s, d)("customer")),
+        id = "c_custkey", name = "c_name", numeric = "c_acctbal",
+        blocks = Seq("c_nationkey", "c_mktsegment"))),
     // A5: fraud-pattern composite-key aggregation
     "q_pattern_agg" -> ((s, d) =>
       FraudQueries.patternAgg(T(s, d)("events"))),
@@ -1254,6 +1274,41 @@ object SparkEntry {
         |    AS violation_rate,
         |  n_violations = 0 AS passed
         |FROM s""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |         substr(c_name, 1, length(c_name) - 1) || 'x',
+        |         c_nationkey, c_acctbal + 0.25, c_mktsegment
+        |  FROM customer WHERE c_custkey % 20 = 0),
+        |p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CASE WHEN abs(length(a.c_name) - length(b.c_name)) <= 2
+        |          AND levenshtein(a.c_name, b.c_name) <= 2
+        |         THEN 4 ELSE -2 END AS name_score,
+        |    CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 1.0
+        |         THEN 2 ELSE -1 END AS num_score
+        |  FROM u a JOIN u b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, name_score, num_score,
+        |  name_score + num_score AS score,
+        |  CASE WHEN name_score + num_score >= 6 THEN 'match'
+        |       ELSE 'possible' END AS verdict
+        |FROM p WHERE name_score + num_score >= 3""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  (LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        |FROM orders""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH upd AS (

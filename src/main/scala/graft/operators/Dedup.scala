@@ -429,6 +429,60 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Fellegi–Sunter-style record linkage: blocked candidate pairs
+    * scored by weighted multi-field agreement — the entity-resolution
+    * operator a data platform runs to link dirty copies of the same
+    * real-world entity across sources (the probabilistic upgrade over
+    * [[fuzzyPairs]]' single-field edit distance).
+    *
+    * Candidates come from an equi-join on the composite blocking key
+    * (never all-pairs — block design bounds pair volume, the standard
+    * linkage scale answer); each field contributes an integer
+    * agreement/disagreement weight (the log-likelihood-ratio shape of
+    * the FS model with fixed weights, so the score is exact and
+    * engine-independent); pairs below `minScore` die in the join
+    * output before anything shuffles again. Output: the scored pair
+    * with per-field evidence and a match/possible classification at
+    * the classic two-threshold decision.
+    */
+  def recordLinkage(records: DataFrame, id: String, name: String,
+                    numeric: String, blocks: Seq[String],
+                    nameMaxDist: Int = 2, numTol: Double = 1.0,
+                    minScore: Int = 3, matchScore: Int = 6): DataFrame = {
+    val blk = concat_ws("", blocks.map(col): _*)
+    val a = records.select(col(id).as("id_a"), blk.as("blk"),
+      col(name).as("n_a"), col(numeric).as("v_a"))
+    val b = records.select(col(id).as("id_b"), blk.as("blk2"),
+      col(name).as("n_b"), col(numeric).as("v_b"))
+    val nameScore = when(
+      abs(length(col("n_a")) - length(col("n_b"))) <= nameMaxDist &&
+        levenshtein(col("n_a"), col("n_b"), nameMaxDist).between(0, nameMaxDist),
+      lit(4)).otherwise(lit(-2))
+    val numScore = when(abs(col("v_a") - col("v_b")) <= numTol, lit(2))
+      .otherwise(lit(-1))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        nameScore.as("name_score"), numScore.as("num_score"))
+      .withColumn("score", col("name_score") + col("num_score"))
+      .filter(col("score") >= minScore)
+      .withColumn("verdict",
+        when(col("score") >= matchScore, "match").otherwise("possible"))
+  }
+
+  /** Deterministic dirty-copy feed for the linkage oracle: every 20th
+    * record re-enters from a "second source" with a shifted key, one
+    * trailing name typo, and a small balance drift — the classic
+    * cross-source duplicate the linker must find.
+    */
+  def customerDirtyCopies(customer: DataFrame): DataFrame =
+    customer.unionByName(
+      customer.filter(col("c_custkey") % 20 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_name",
+          concat(col("c_name").substr(lit(1), length(col("c_name")) - 1),
+            lit("x")))
+        .withColumn("c_acctbal", col("c_acctbal") + 0.25))
+
   val SimhashBits = 32
 
   /** 32-bit SimHash. Token hash bits come from md5 hex digits: bit j

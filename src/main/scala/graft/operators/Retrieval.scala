@@ -36,6 +36,37 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("pos"))
 
+  /** Exact phrase occurrences via the positional index — the classic
+    * phrase-query plan every search engine runs over its postings:
+    * for phrase terms t₀..tₘ₋₁, intersect the term posting lists with
+    * position alignment (an occurrence starts at p iff term i appears
+    * at p+i for every i). Each step is a keyed equi-join on
+    * (doc_id, aligned position) — the position is IN the join key, so
+    * intersection cost is bounded by the rarest term's posting list,
+    * never by document length, and nothing is ever quadratic. Output:
+    * one row per matching doc — n_occurrences + first_pos (the
+    * snippet anchor).
+    *
+    * 100 TB shape: the postings projection dies row-locally for
+    * non-phrase terms (same contract as [[invertedIndex]]), the m−1
+    * alignment joins move only the phrase terms' postings, and a
+    * sharded postings store ([[graft.operators.Layout]] range layout
+    * on term) turns the scan into per-term file pruning.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    // cached: one postings frame consumed once per phrase term
+    val idx = OperatorCaches.track(invertedIndex(docs, phrase.distinct))
+    def postings(term: String, offset: Int): DataFrame =
+      idx.filter(col("term") === term)
+        .select(col("doc_id"), (col("pos") - offset).as("start"))
+    val starts = phrase.zipWithIndex.tail.foldLeft(postings(phrase.head, 0)) {
+      case (acc, (t, i)) => acc.join(postings(t, i), Seq("doc_id", "start"))
+    }
+    starts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("start")).as("first_pos"))
+  }
+
   /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf = ln((N − df + 0.5)/(df + 0.5) + 1) (always-positive Lucene
     * form). Exactness: idf is the single libm term — rounded at 6 dp

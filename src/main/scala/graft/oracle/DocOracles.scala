@@ -1162,6 +1162,22 @@ object DocOracles {
         |              FROM s))
         |SELECT term, doc_id, pos FROM tok
         |WHERE term IN ('spark', 'join', 'window')""".stripMargin,
+
+    // mirror of Retrieval.phraseSearch('table hash'): posting lists
+    // for each phrase term, aligned-position equi-join, occurrence
+    // rollup per doc
+    "q_phrase_search" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS term
+        |        FROM (SELECT doc_id, ts,
+        |                UNNEST(generate_series(1, len(ts))) AS i
+        |              FROM s)),
+        |p0 AS (SELECT doc_id, pos AS start FROM tok WHERE term = 'table'),
+        |p1 AS (SELECT doc_id, pos - 1 AS start FROM tok WHERE term = 'hash')
+        |SELECT doc_id, COUNT(*) AS n_occurrences, MIN(start) AS first_pos
+        |FROM p0 JOIN p1 USING (doc_id, start)
+        |GROUP BY doc_id""".stripMargin,
     "q_vocab_coverage" ->
       """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS tok
         |           FROM documents),

@@ -39,6 +39,49 @@ class QualityMergeSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("scd2: changelog becomes half-open version intervals; one current row per key") {
+    val chg = Seq(
+      (1L, 101L, 10.0, 100L), (1L, 102L, 12.0, 200L), (1L, 103L, 11.0, 300L),
+      (2L, 201L, 50.0, 150L),
+      (3L, 301L, 7.0, 100L), (3L, 302L, 8.0, 100L)) // same-ts: tiebreak orders
+      .toDF("k", "ver", "val", "ts")
+    val out = Merge.scd2(chg, key = "k", ts = "ts", tiebreak = "ver")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getBoolean(6)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 101L, 100L, Some(200L), false),
+      (1L, 102L, 200L, Some(300L), false),
+      (1L, 103L, 300L, None, true),
+      (2L, 201L, 150L, None, true),
+      (3L, 301L, 100L, Some(100L), false), // tiebreak: 301 precedes 302
+      (3L, 302L, 100L, None, true)))
+    // exactly one open (current) version per key
+    assert(out.count(_._5) == 3)
+  }
+
+  test("record linkage: dirty copies score as matches; near-name strangers stay possible") {
+    import graft.operators.Dedup
+    val recs = Seq(
+      (1L, "Customer#001", 10, 100.0, "AUTO"),
+      (2L, "Customer#002", 10, 900.0, "AUTO"),  // name ~1 edit from #001, far balance
+      (3L, "Shopperx#900", 10, 100.0, "AUTO"),  // name far, same balance → score 0, dropped
+      (1000001L, "Customer#00x", 10, 100.25, "AUTO"), // dirty copy of 1
+      (4L, "Customer#004", 20, 100.0, "AUTO"))  // other block: never paired
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Dedup.recordLinkage(recs, id = "c_custkey", name = "c_name",
+        numeric = "c_acctbal", blocks = Seq("c_nationkey", "c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(4), r.getString(5))).toMap
+    assert(out((1L, 1000001L)) == ((6, "match")), s"dirty copy must link: $out")
+    assert(out((1L, 2L)) == ((3, "possible")), "near name + far balance")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "below-threshold pairs must not surface")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "blocking must prevent cross-block pairs")
+  }
+
   test("column stats: counts, nulls, distincts, min/max per column in one pass") {
     val df = Seq(
       (Some(3L), Some("b")), (Some(1L), None),

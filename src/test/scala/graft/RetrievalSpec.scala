@@ -74,6 +74,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search: aligned posting intersection finds exact occurrences only") {
+    val d = docs(
+      (1L, "fast table hash scan table hash join"),   // 2 occurrences
+      (2L, "table scan hash"),                        // terms present, never adjacent
+      (3L, "hash table"),                             // reversed — no match
+      (4L, "table hash"),                             // 1 occurrence at pos 0
+      (5L, "nothing relevant"))
+    val out = Retrieval.phraseSearch(d, Seq("table", "hash")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    assert(out == Map(1L -> ((2L, 1)), 4L -> ((1L, 0))),
+      s"got $out — order matters, adjacency matters")
+
+    // repeated-term phrase: alignment must use each occurrence once
+    val rep = Retrieval.phraseSearch(docs((7L, "go go go stop")), Seq("go", "go"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.operators.OperatorCaches.releaseAll()
+    assert(rep.toSeq == Seq((7L, 2L, 0)), s"'go go' occurs at 0 and 1: $rep")
+
+    // 3-term phrase
+    val tri = Retrieval.phraseSearch(d, Seq("scan", "table", "hash")).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    assert(tri == Map(1L -> 3), s"got $tri")
+  }
+
   test("bigram surprisal: add-one model computed by hand on a toy corpus") {
     val d = docs((1L, "a b a b"), (2L, "a b"))
     // bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b)

@@ -132,11 +132,20 @@ def main():
                 if "[verify]" in line:
                     print(" ", line)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # Fresh connection every N queries: one long-lived connection
+    # accumulates allocator state across ~150 oracle queries and has
+    # twice produced a spurious mid-suite "Out of Memory Error" (once
+    # a segfault) that none of the queries reproduce standalone.
+    # Views are cheap to recreate; correctness is unaffected.
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sfdir}/{t}.parquet"
+            if Path(p).exists():
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+    con = fresh_con()
+    since_reset = 0
 
     strict = "--lax" not in sys.argv
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
@@ -144,6 +153,9 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        since_reset += 1
+        if since_reset > 25:
+            con.close(); con = fresh_con(); since_reset = 0
         spark_glob = f"{outdir}/{name}/*.parquet"
         try:
             srel = con.sql(f"SELECT * FROM '{spark_glob}'")
