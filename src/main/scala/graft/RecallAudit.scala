@@ -66,6 +66,10 @@ object RecallAudit {
         recallOf(Similarity.ivfPqTopK(emb, qPred, k, nprobe = nprobe,
           pivotsOpt = Some(trained), bookOpt = Some(trainedBook)), truth, k)))
       OperatorCaches.releaseAll()
+      rows += (("ivfpq_rerank40", nprobe,
+        recallOf(Similarity.ivfPqRerankTopK(emb, qPred, k, rerank = 40,
+          nprobe = nprobe), truth, k)))
+      OperatorCaches.releaseAll()
     }
     val out = rows.result()
     println("variant,nprobe,recall_at_10")

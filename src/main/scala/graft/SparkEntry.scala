@@ -276,6 +276,12 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) =>
       Similarity.ivfPqTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // the production two-stage layout: ADC top-20 shortlist, exact
+    // cosine rerank, final top-3 — buys back the recall the 8-byte
+    // quantization loses at rerank full-vector reads per query
+    "q_ann_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfPqRerankTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // deterministic distributed k-means (1 Lloyd refinement, exact-
     // agg means): the codebook TRAINER for IVF/PQ and the clustering
     // primitive for mixture balancing — assignment oracle-checked

@@ -333,6 +333,43 @@ object Similarity {
     adcRank(cand, pqAdcTables(qsrc, book, msub, dim), k, msub)
   }
 
+  /** IVF-PQ with the production REFINE step: ADC ranks the probed
+    * candidates (compressed codes only — the cheap pass), the top
+    * `rerank` survivors per query are re-scored by EXACT cosine
+    * against their full vectors, and the final top-k ranks on that —
+    * the standard two-stage billion-scale serving layout (coarse
+    * probe → ADC shortlist → exact rerank), which buys back the
+    * recall the 8-byte quantization gives up at the cost of `rerank`
+    * full-vector reads per query (measured in COVERAGE.md's recall
+    * table). Plan shape: everything in [[ivfPqTopK]] plus one keyed
+    * join of the |Q|·rerank shortlist back to the corpus vectors —
+    * bounded, never a scan.
+    */
+  def ivfPqRerankTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                      rerank: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+                      msub: Int = 8, ksub: Int = 16, dim: Int = Dim,
+                      pivotsOpt: Option[DataFrame] = None,
+                      bookOpt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val shortlist = ivfPqTopK(embeddings, queryPred, rerank, nlist, nprobe,
+        msub, ksub, dim, pivotsOpt, bookOpt)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = all.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = shortlist
+      .join(q, "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"), dim).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
   /** Deterministic distributed k-means (Lloyd) over the embedding
     * corpus — the clustering primitive behind mixture balancing,
     * SemDeDup partitioning, and TRAINED IVF/PQ codebooks (the

@@ -233,7 +233,38 @@ object DocOracles {
     * be order-nondeterministic in IEEE doubles; the chain is
     * bit-identical to Spark's reduceLeft.
     */
-  private def annIvfPqSql: String = {
+  private def annIvfPqSql: String =
+    s"""$ivfPqCandidateCtes
+       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY adist, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+
+  /** Mirror of Similarity.ivfPqRerankTopK: the ADC shortlist (top 20
+    * by approx distance) re-scored by exact cosine against the full
+    * vectors, final top-3 on the exact score — the two-stage serving
+    * layout, with the same cos/dot chains as every embedding oracle.
+    */
+  private def annIvfPqRerankSql: String =
+    s"""$ivfPqCandidateCtes,
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY adist, neighbor_id) AS arn FROM s)
+       |       WHERE arn <= 20),
+       |qv AS (SELECT vec_id AS query_id, v AS q FROM d WHERE vec_id < 8),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |         ${cos("q", "nd.v")} AS cos
+       |       FROM sl JOIN qv USING (query_id)
+       |         JOIN d nd ON nd.vec_id = sl.neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM ex)
+       |WHERE rn <= 3""".stripMargin
+
+  /** Shared CTE chain of the IVF-PQ oracles, through `s` =
+    * (query_id, neighbor_id, adist) for every probed candidate.
+    */
+  private def ivfPqCandidateCtes: String = {
     val msub = 8; val dsub = 8
     def sd(a: String, b: String, mi: Int): String =
       (1 to dsub).map { j =>
@@ -276,11 +307,7 @@ object DocOracles {
        |      FROM qr JOIN a ON plist = list_id
        |        JOIN encp e ON e.vec_id = a.vec_id
        |        $qdJoins
-       |      WHERE a.vec_id <> qr.query_id)
-       |SELECT query_id, neighbor_id, adist, rn FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |            ORDER BY adist, neighbor_id) AS rn FROM s)
-       |WHERE rn <= 3""".stripMargin
+       |      WHERE a.vec_id <> qr.query_id)""".stripMargin
   }
 
   /** Mirror of Similarity.kmeansAssign (k=8, one Lloyd refinement):
@@ -1150,6 +1177,7 @@ object DocOracles {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
+    "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,
