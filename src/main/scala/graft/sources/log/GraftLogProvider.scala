@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -159,7 +159,27 @@ final class GraftLogScan(opts: GraftLogOptions) extends Scan {
 }
 
 final class GraftLogMicroBatchStream(opts: GraftLogOptions)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow contract (the Kafka source's behavior): the
+  // end offsets are FROZEN at query start; admission control still
+  // paces the backlog into bounded micro-batches, records produced
+  // after the freeze wait for the next run, and the query stops on
+  // its own when the frozen ends are reached.
+  @volatile private var frozenEnds: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEnds = Some(GraftLogFormat.endOffsets(opts.dir))
+
+  /** Live end offsets, capped at the AvailableNow freeze if one is set. */
+  private def currentEnds(): Map[Int, Long] = {
+    val live = GraftLogFormat.endOffsets(opts.dir)
+    frozenEnds match {
+      case Some(f) => live.map { case (p, e) => p -> math.min(e, f.getOrElse(p, 0L)) }
+      case None => live
+    }
+  }
 
   override def initialOffset(): Offset = opts.startingTimestamp match {
     case Some(ts) => GraftLogOffset(GraftLogMaintain.offsetsForTimestamp(opts.dir, ts))
@@ -180,8 +200,7 @@ final class GraftLogMicroBatchStream(opts: GraftLogOptions)
   override def getDefaultReadLimit: ReadLimit =
     opts.maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  override def reportLatestOffset(): Offset =
-    GraftLogOffset(GraftLogFormat.endOffsets(opts.dir))
+  override def reportLatestOffset(): Offset = GraftLogOffset(currentEnds())
 
   /** Cap the batch at the read limit, spreading the row budget across
     * partitions proportionally to backlog (largest-remainder rounding
@@ -189,7 +208,7 @@ final class GraftLogMicroBatchStream(opts: GraftLogOptions)
     * eventually progresses) — the Kafka maxOffsetsPerTrigger behavior.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val ends = GraftLogFormat.endOffsets(opts.dir)
+    val ends = currentEnds()
     val from = start.asInstanceOf[GraftLogOffset].ends
     limit match {
       case m: ReadMaxRows =>
