@@ -66,6 +66,28 @@ object GraftLog {
     if (dropTombstones) latest.filter(length(col("value")) > 0) else latest
   }
 
+  /** Streaming twin of [[latestByKey]] — the continuously-maintained
+    * KTable: a `readStream` over the log, grouped by key, keeping the
+    * record with the highest (partition, offset) via `max_by` in
+    * update mode. Each micro-batch emits only the keys it touched
+    * (update semantics), so a downstream `foreachBatch` upserts into
+    * a serving store exactly like Kafka Streams materializes a
+    * changelog into RocksDB. State is O(live keys) — the KTable
+    * contract, not a leak; tombstone filtering is left to the reader
+    * (zero-length values surface so deletes propagate).
+    */
+  def latestByKeyStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("graftlog").option("path", dir)
+      .option("startingOffsets", "earliest").load()
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        max_by(struct(col("value"), col("partition"), col("offset"),
+          col("timestamp")), struct(col("partition"), col("offset"))).as("r"))
+      .select(col("key"), col("r.value").as("value"),
+        col("r.partition").as("partition"), col("r.offset").as("offset"),
+        col("r.timestamp").as("timestamp"))
+
   private val wireSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),

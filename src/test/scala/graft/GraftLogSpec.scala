@@ -439,6 +439,49 @@ class GraftLogSpec extends AnyFunSuite {
       s"one survivor per key, got $survivors")
   }
 
+  test("streaming KTable: latestByKeyStream maintains the snapshot across appends") {
+    import graft.sources.log.GraftLog
+    val root = tmp("glog_ktstream")
+    val dir = s"$root/log"
+    def put(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("key", "value")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "3").mode("append").save()
+    put("u1" -> "v1", "u2" -> "v2")
+
+    // update-mode upsert into a local map — the foreachBatch serving-
+    // store materialization the scaladoc describes
+    val table = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val q = GraftLog.latestByKeyStream(spark, dir)
+      .select(col("key").cast("string").as("k"), col("value").cast("string").as("v"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => table.put(r.getString(0), r.getString(1)))
+        (): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    import scala.collection.JavaConverters._
+    assert(table.asScala.toMap == Map("u1" -> "v1", "u2" -> "v2"))
+
+    put("u1" -> "v1b", "u3" -> "v3")   // update + new key while running
+    q.processAllAvailable()
+    assert(table.asScala.toMap == Map("u1" -> "v1b", "u2" -> "v2", "u3" -> "v3"))
+
+    put("u2" -> "")                     // tombstone surfaces to the reader
+    q.processAllAvailable(); q.stop()
+    assert(table.asScala.toMap ==
+      Map("u1" -> "v1b", "u2" -> "", "u3" -> "v3"))
+
+    // the maintained table == the batch changelog materialization
+    val batch = GraftLog.latestByKey(spark, dir, dropTombstones = false)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(table.asScala.toMap == batch,
+      "streaming KTable must equal the batch latestByKey snapshot")
+  }
+
   test("SQL DDL surface: CREATE TABLE USING graftlog reads through the catalog") {
     val dir = tmp("glog_sql") + "/log"
     (1 to 40).map(i => (s"k${i % 5}", s"v$i")).toDF("key", "value")
