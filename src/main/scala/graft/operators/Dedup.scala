@@ -449,22 +449,29 @@ object Dedup {
                     numeric: String, blocks: Seq[String],
                     nameMaxDist: Int = 2, numTol: Double = 1.0,
                     minScore: Int = 3, matchScore: Int = 6): DataFrame = {
-    val blk = concat_ws("", blocks.map(col): _*)
-    // fan the PROBE side: the per-pair scoring (levenshtein over
-    // |block|² candidates) runs on the stream side of the broadcast
-    // join, and a single-file scan would execute it in ONE task
-    // (measured 5.6 s single-task at sf0.1; fanned it parallelizes)
-    val a = graft.sources.Par.fan(records).select(col(id).as("id_a"),
-      blk.as("blk"), col(name).as("n_a"), col(numeric).as("v_a"))
-    val b = records.select(col(id).as("id_b"), blk.as("blk2"),
-      col(name).as("n_b"), col(numeric).as("v_b"))
+    // blocking join on the block COLUMNS themselves (null-rejecting
+    // SQL equality, no composite-key concat whose boundary or
+    // null-skipping semantics could diverge from the oracle's
+    // per-column equi-join). Fan the PROBE side: the per-pair scoring
+    // (levenshtein over |block|² candidates) runs on the stream side
+    // of the broadcast join, and a single-file scan would execute it
+    // in ONE task (measured 5.6 s single-task at sf0.1; fanned it
+    // parallelizes).
+    val a = graft.sources.Par.fan(records).select(
+      (col(id).as("id_a") +: col(name).as("n_a") +: col(numeric).as("v_a") +:
+        blocks.map(bc => col(bc).as(s"a_$bc"))): _*)
+    val b = records.select(
+      (col(id).as("id_b") +: col(name).as("n_b") +: col(numeric).as("v_b") +:
+        blocks.map(bc => col(bc).as(s"b_$bc"))): _*)
+    val blockEq = blocks.map(bc => col(s"a_$bc") === col(s"b_$bc"))
+      .reduce(_ && _)
     val nameScore = when(
       abs(length(col("n_a")) - length(col("n_b"))) <= nameMaxDist &&
         levenshtein(col("n_a"), col("n_b"), nameMaxDist).between(0, nameMaxDist),
       lit(4)).otherwise(lit(-2))
     val numScore = when(abs(col("v_a") - col("v_b")) <= numTol, lit(2))
       .otherwise(lit(-1))
-    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+    a.join(b, blockEq && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         nameScore.as("name_score"), numScore.as("num_score"))
       .withColumn("score", col("name_score") + col("num_score"))

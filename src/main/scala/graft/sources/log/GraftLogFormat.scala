@@ -87,10 +87,17 @@ object GraftLogFormat {
   final case class Segment(file: File, base: Long, count: Long,
                            sparse: Boolean = false, endX: Long = -1L) {
     def end: Long = if (sparse) endX else base + count
-    /** seg's whole offset range lies inside this segment's range. */
+    /** seg's whole offset range lies inside this segment's range.
+      * Two sparse segments over the IDENTICAL range tie-break on
+      * record count: compaction only ever removes records, so the
+      * SMALLER count is the newer generation and shadows the larger —
+      * without this, a crash between a dropTombstones recompaction's
+      * publish and its input delete would leave both readable and
+      * double-read every surviving key.
+      */
     def covers(s: Segment): Boolean =
       (s ne this) && base <= s.base && s.end <= end &&
-        (s.base > base || s.end < end || !s.sparse)
+        (s.base > base || s.end < end || !s.sparse || s.count > count)
   }
 
   private val SegName = """(\d{20})_(\d{10})\.seg""".r
@@ -211,11 +218,14 @@ object GraftLogFormat {
   }
 
   /** Iterator over one segment's (offset, record) entries. Streams;
-    * closes on exhaustion. Dense segments get positional offsets
-    * base+i; sparse (compacted) segments read each record's explicit
-    * stored offset.
+    * closes on exhaustion — callers that STOP EARLY must call
+    * [[EntryIterator.close]] (try/finally) or they leak the stream.
+    * Dense segments get positional offsets base+i; sparse (compacted)
+    * segments read each record's explicit stored offset.
     */
-  def readEntries(seg: Segment): Iterator[(Long, Record)] = new Iterator[(Long, Record)] {
+  def readEntries(seg: Segment): EntryIterator = new EntryIterator(seg)
+
+  final class EntryIterator(seg: Segment) extends Iterator[(Long, Record)] {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(seg.file), 1 << 16))
     locally {
@@ -227,6 +237,8 @@ object GraftLogFormat {
     }
     private var read = 0L
     private var closed = false
+    /** Idempotent early close for callers that short-circuit. */
+    def close(): Unit = if (!closed) { in.close(); closed = true }
     override def hasNext: Boolean = {
       val h = read < seg.count
       if (!h && !closed) { in.close(); closed = true }

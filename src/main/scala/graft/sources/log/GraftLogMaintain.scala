@@ -58,18 +58,16 @@ object GraftLogMaintain {
       val cap = capEnds.getOrElse(p, Long.MaxValue)
 
       // time rule: expired prefix (stop at the first surviving segment
-      // so at most the expired prefix is scanned for max-ts)
+      // so at most the expired prefix is scanned for max-ts; scans are
+      // memoized — segments are immutable once published, so the
+      // per-file max timestamp never changes and a streaming commit()
+      // that checks retention every micro-batch pays the head scan
+      // once, not per batch)
       val horizon = retentionMicros.map(nowMicros - _)
       val timeExpired = horizon match {
         case None => Set.empty[File]
         case Some(h) =>
-          segs.takeWhile { s =>
-            s.end <= cap && {
-              val entries = GraftLogFormat.readEntries(s)
-              val maxTs = entries.foldLeft(Long.MinValue)((m, e) => math.max(m, e._2.tsMicros))
-              maxTs < h
-            }
-          }.map(_.file).toSet
+          segs.takeWhile(s => s.end <= cap && maxTsOf(s) < h).map(_.file).toSet
       }
 
       // size rule: keep deleting oldest while over the byte cap
@@ -98,6 +96,17 @@ object GraftLogMaintain {
     }.toMap
   }
 
+  /** Per-file max record timestamp, memoized on absolute path —
+    * sound because published segment files are immutable (tmp →
+    * atomic rename; never appended). The broker-metadata analog of
+    * Kafka's per-segment largestTimestamp.
+    */
+  private val maxTsMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def maxTsOf(s: GraftLogFormat.Segment): Long =
+    maxTsMemo.computeIfAbsent(s.file.getAbsolutePath, _ =>
+      GraftLogFormat.readEntries(s)
+        .foldLeft(Long.MinValue)((m, e) => math.max(m, e._2.tsMicros)))
+
   private final class BytesKey(val a: Array[Byte]) {
     override def hashCode(): Int = java.util.Arrays.hashCode(a)
     override def equals(o: Any): Boolean = o match {
@@ -110,11 +119,41 @@ object GraftLogMaintain {
     * offsets kept, sparse segment). No-op on an empty partition or one
     * already fully compacted with nothing new.
     */
+  /** Fraction of a partition's on-disk bytes sitting in segments NOT
+    * yet compacted (dense, or sparse-but-shadowed leftovers) — the
+    * Kafka dirty-ratio gate, from file metadata only. A commit-hook
+    * compaction fires only when this exceeds `min.cleanable.dirty.ratio`,
+    * which amortizes total compaction work to O(bytes written), never
+    * O(live keys) per micro-batch.
+    */
+  def dirtyRatio(dir: String, p: Int): Double = {
+    val visible = GraftLogFormat.segments(dir, p)
+    val total = GraftLogFormat.allSegments(dir, p).map(_.file.length()).sum
+    if (total == 0L) 0.0
+    else {
+      val clean = visible.filter(_.sparse).map(_.file.length()).sum
+      (total - clean).toDouble / total
+    }
+  }
+
+  /** Delete any segment file fully shadowed by `cover` — the sweep
+    * that reclaims inputs a crashed compaction left behind.
+    */
+  private def sweepShadowed(dir: String, p: Int,
+                            cover: GraftLogFormat.Segment): Unit =
+    GraftLogFormat.allSegments(dir, p)
+      .foreach(s => if (cover.covers(s)) s.file.delete())
+
   def compactPartition(dir: String, p: Int,
                        dropTombstones: Boolean = false): Unit = synchronized {
     val segs = GraftLogFormat.segments(dir, p)
     if (segs.isEmpty) return
-    if (segs.size == 1 && segs.head.sparse && !dropTombstones) return
+    if (segs.size == 1 && segs.head.sparse && !dropTombstones) {
+      // nothing to merge — but a previous run may have crashed between
+      // publish and input delete; reclaim anything this cseg shadows
+      sweepShadowed(dir, p, segs.head)
+      return
+    }
     val base = segs.head.base
     val endX = segs.last.end
 
@@ -137,10 +176,13 @@ object GraftLogMaintain {
     w.close()
     val name = GraftLogFormat.csegName(base, endX, survivors.size)
     val dst = new File(new File(dir, s"p=$p"), name)
-    // publish first (shadows the inputs), delete the inputs second
+    // publish first (shadows the inputs), delete the inputs second —
+    // the sweep covers ALL shadowed files (including leftovers of a
+    // previously crashed compaction), not just this run's inputs
     java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    segs.foreach(s => if (s.file.getName != name) s.file.delete())
+    sweepShadowed(dir, p,
+      GraftLogFormat.Segment(dst, base, survivors.size, sparse = true, endX = endX))
   }
 
   /** Compact every partition of the log. */
@@ -153,13 +195,22 @@ object GraftLogMaintain {
     * KafkaConsumer.offsetsForTimes contract behind
     * `startingTimestamp`. Linear in the partition here; a broker
     * serves it from its time index, and nothing downstream depends on
-    * more than the (partition → offset) answer.
+    * more than the (partition → offset) answer. Each segment's
+    * iterator is explicitly closed when the scan short-circuits
+    * mid-segment (exhaustion-only close would leak the stream).
     */
-  def offsetForTimestamp(dir: String, p: Int, tsMicros: Long): Long =
-    GraftLogFormat.segments(dir, p).iterator
-      .flatMap(GraftLogFormat.readEntries)
-      .collectFirst { case (off, r) if r.tsMicros >= tsMicros => off }
-      .getOrElse(GraftLogFormat.endOffset(dir, p))
+  def offsetForTimestamp(dir: String, p: Int, tsMicros: Long): Long = {
+    GraftLogFormat.segments(dir, p).foreach { s =>
+      val it = GraftLogFormat.readEntries(s)
+      try {
+        while (it.hasNext) {
+          val (off, r) = it.next()
+          if (r.tsMicros >= tsMicros) return off
+        }
+      } finally it.close()
+    }
+    GraftLogFormat.endOffset(dir, p)
+  }
 
   /** Per-partition [[offsetForTimestamp]] across the log. */
   def offsetsForTimestamp(dir: String, tsMicros: Long): Map[Int, Long] =

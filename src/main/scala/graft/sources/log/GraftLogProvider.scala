@@ -77,6 +77,12 @@ final case class GraftLogOptions(all: Map[String, String]) {
       .getOrElse(Set.empty)
   val retentionMs: Option[Long] = get("retention.ms").map(_.toLong)
   val retentionBytes: Option[Long] = get("retention.bytes").map(_.toLong)
+  /** Kafka's min.cleanable.dirty.ratio: a commit-hook compaction runs
+    * only when at least this fraction of a partition's bytes is
+    * uncompacted — amortizes cleaner work to O(bytes written).
+    */
+  val minDirtyRatio: Double =
+    get("min.cleanable.dirty.ratio").map(_.toDouble).getOrElse(0.5)
 }
 
 object GraftLogTable {
@@ -257,7 +263,10 @@ final class GraftLogMicroBatchStream(opts: GraftLogOptions)
         retentionBytes = opts.retentionBytes,
         capEnds = ends)
     if (opts.cleanupPolicy("compact"))
-      GraftLogMaintain.compact(opts.dir)
+      (0 until GraftLogFormat.readPartitions(opts.dir)).foreach { p =>
+        if (GraftLogMaintain.dirtyRatio(opts.dir, p) >= opts.minDirtyRatio)
+          GraftLogMaintain.compactPartition(opts.dir, p)
+      }
   }
   override def stop(): Unit = ()
 }

@@ -113,11 +113,15 @@ object StreamClusters {
     val labels = untouched.unionAll(subLabels.select("node", "cluster_id"))
       .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .localCheckpoint(true)
+    // SHORT wait: the metric rides the checkpoint job that just ran,
+    // so it normally arrives within milliseconds; if the shared
+    // listener bus dropped the event under load, a long wait would
+    // stall EVERY batch — fall back to the direct count fast instead
     val labelRows =
       try {
         import scala.concurrent.Await
         import scala.concurrent.duration.DurationInt
-        Await.result(obs.future, 30.seconds).getAs[Long]("n")
+        Await.result(obs.future, 5.seconds).getAs[Long]("n")
       } catch { case _: scala.concurrent.TimeoutException => labels.count() }
     (ClusterState(state.edges.unionAll(pairs), labels), labelRows)
   }

@@ -311,6 +311,39 @@ class GraftLogSpec extends AnyFunSuite {
     assert(fin.exists(t => t._1 == "k0" && t._2 == "v0new"))
   }
 
+  test("crashed recompaction: newer equal-range cseg shadows the old; next pass sweeps the orphan") {
+    import graft.sources.log.{GraftLog, GraftLogFormat, GraftLogMaintain}
+    val dir = tmp("glog_crash") + "/log"
+    Seq(("a", "1"), ("b", "2"), ("a", "3"), ("c", "")).toDF("key", "value")
+      .write.format("graftlog").option("path", dir)
+      .option("log.partitions", "1").mode("append").save()
+    GraftLog.compact(dir)                       // gen-1 cseg: a,b,c-tombstone
+    val gen1 = GraftLogFormat.segments(dir, 0).head
+    val backup = java.nio.file.Files.copy(gen1.file.toPath,
+      java.nio.file.Paths.get(gen1.file.getAbsolutePath + ".bak")).toFile
+    GraftLog.compact(dir, dropTombstones = true) // gen-2 cseg: a,b (smaller)
+    // simulate the crash window: gen-1 resurfaces beside gen-2
+    java.nio.file.Files.move(backup.toPath,
+      new java.io.File(gen1.file.getParentFile, gen1.file.getName).toPath)
+    assert(GraftLogFormat.allSegments(dir, 0).size == 2, "both files on disk")
+
+    // readers: the smaller-count (newer) generation shadows the older
+    val vis = GraftLogFormat.segments(dir, 0)
+    assert(vis.size == 1 && vis.head.count == 2,
+      s"equal-range tie-break must pick the newer generation: $vis")
+    val rows = spark.read.format("graftlog").option("path", dir).load()
+      .select(col("key").cast("string"), col("value").cast("string"), col("offset"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 2 && rows.map(_._3).distinct.length == 2,
+      s"no double-reads through the crash window: ${rows.toSeq}")
+    assert(!rows.exists(_._2.isEmpty), "dropped tombstone stays dropped")
+
+    // the next maintenance pass reclaims the orphaned input
+    GraftLog.compact(dir, dropTombstones = true)
+    assert(GraftLogFormat.allSegments(dir, 0).size == 1,
+      "orphaned shadowed segment swept")
+  }
+
   test("retention: aged segments drop from the front; earliest advances, offsets never renumber") {
     import java.sql.Timestamp
     import graft.sources.log.{GraftLog, GraftLogFormat, GraftLogMaintain}
