@@ -14,17 +14,28 @@ import graft.streaming.{CurationLoop, StreamClusters}
   * in ~`SOAK_BATCHES` admission-paced micro-batches, and folded
   * through [[CurationLoop.Runner]] (classify → edges → incremental
   * clusters → index growth, consolidation on schedule). Per batch it
-  * records wall time and the records actually read by the tagged
-  * index-maintenance jobs; at the end it checks the maintained labels
-  * against the full batch connected-components fixpoint.
+  * records the wall time of EACH ingest phase (prep / classify /
+  * edges / clusters / maintain — [[CurationLoop.PhaseTimes]]), the
+  * scheduled consolidation's wall separately, and the records actually
+  * read by the tagged index-maintenance jobs; at the end it checks the
+  * maintained labels against the full batch connected-components
+  * fixpoint.
   *
-  * The per-batch O(|batch|) contract is stage-metrics-pinned on small
-  * fixtures in StreamingSpec; this audit is the SCALE-SOAK evidence —
-  * if any per-batch step secretly scaled with the corpus, the
-  * per-batch wall/read series would trend up across ~50 batches of a
-  * growing corpus. Flatness statistic: mean of the last quarter vs
-  * mean of the second quarter (the first quarter pays JIT/codegen
-  * warmup), bounded at 1.8×.
+  * == What must be flat, and what is allowed to grow ==
+  * Every ingest phase is contractually O(|batch| + touched): probes
+  * are broadcast-probed scans, maintenance is append-only, and the
+  * cluster store is a base+delta changelog (no per-batch corpus
+  * rewrite — the r9 soak's wall rose ~2.9× because the label store
+  * was localCheckpoint-rewritten every ingest). So the per-phase and
+  * total-ingest wall series are asserted FLAT at ≤1.2 (mean of the
+  * LAST quarter — tail included, r9 ADVICE — over the second quarter;
+  * the first quarter pays JIT/codegen warmup). Phases whose quarter
+  * mean is under 50 ms are asserted by an absolute bound instead
+  * (q4 ≤ q2 + 100 ms): a ratio over scheduler-jitter-sized walls
+  * measures noise, not scaling. The ONE thing allowed to grow is the
+  * scheduled consolidation — an O(corpus) log compaction by design,
+  * amortized by its trigger interval and reported as its own series,
+  * never folded into the flat assertion.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   *     sbt "runMain graft.SoakAudit"   # writes SOAK.json
@@ -79,7 +90,11 @@ object SoakAudit {
     val wireSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val runner = new CurationLoop.Runner(spark, consolidateEvery = 10)
-    val wallMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val phaseNames = Seq("prep", "classify", "edges", "clusters", "maintain")
+    val phaseSeries = phaseNames.map(n =>
+      n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    val ingestWall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val consolidateWall = scala.collection.mutable.ArrayBuffer.empty[Double]
     val reads = scala.collection.mutable.ArrayBuffer.empty[Long]
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
 
@@ -101,11 +116,16 @@ object SoakAudit {
           .select(from_json(col("value").cast("string"), wireSchema).as("r"))
           .select("r.doc_id", "r.text")
         val before = settle()
-        val t0 = System.nanoTime()
         runner.sink(db, batchId)
-        val t1 = System.nanoTime()
         val after = settle()
-        wallMs += (t1 - t0) / 1e6
+        val ph = runner.lastPhases
+        phaseSeries("prep") += ph.prepMs
+        phaseSeries("classify") += ph.classifyMs
+        phaseSeries("edges") += ph.edgesMs
+        phaseSeries("clusters") += ph.clustersMs
+        phaseSeries("maintain") += ph.maintainMs
+        ingestWall += ph.ingestTotalMs
+        consolidateWall += ph.consolidateMs
         reads += (after - before)
         sizes += db.count()
         (): Unit
@@ -123,24 +143,50 @@ object SoakAudit {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val parity = got == expect
 
-    val n = wallMs.size
-    def quarterMean(xs: Seq[Double], qi: Int): Double = {
-      val qn = math.max(1, n / 4)
-      val slice = xs.slice(qi * qn, math.min(n, (qi + 1) * qn))
-      slice.sum / slice.size
+    val n = ingestWall.size
+    val qn = math.max(1, n / 4)
+    // quarter means; the LAST quarter is takeRight(qn) so the newest
+    // (slowest-if-anything-scales) batches are always in the statistic
+    // — r9 ADVICE: the old slice dropped the final n%4 batches
+    def qMean(xs: Seq[Double], qi: Int): Double = {
+      val s = if (qi == 3) xs.takeRight(qn)
+              else xs.slice(qi * qn, math.min(xs.size, (qi + 1) * qn))
+      s.sum / s.size
     }
-    val wallTrend = quarterMean(wallMs.toSeq, 3) / quarterMean(wallMs.toSeq, 1)
-    val readTrend = quarterMean(reads.map(_.toDouble).toSeq, 3) /
-      math.max(1.0, quarterMean(reads.map(_.toDouble).toSeq, 1))
-    val flat = wallTrend <= 1.8 && readTrend <= 1.8
+    // flat verdict per series: ratio ≤ 1.2 once the phase is big
+    // enough for a ratio to mean anything; absolute jitter bound below
+    final case class Trend(q2: Double, q4: Double) {
+      def ratio: Double = q4 / math.max(q2, 1e-9)
+      def flat: Boolean =
+        if (q2 < 50.0) q4 <= q2 + 100.0 else ratio <= 1.2
+    }
+    def trendOf(xs: Seq[Double]) = Trend(qMean(xs, 1), qMean(xs, 3))
+
+    val phaseTrends = phaseNames.map(p => p -> trendOf(phaseSeries(p).toSeq))
+    val wallTrend = trendOf(ingestWall.toSeq)
+    val readTrend = trendOf(reads.map(_.toDouble).toSeq)
+    val flat = wallTrend.flat && readTrend.flat && phaseTrends.forall(_._2.flat)
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    val phasesJson = phaseNames.map(p =>
+      s""""$p":${arr(phaseSeries(p).toSeq)}""").mkString("{", ",", "}")
+    val trendJson = (phaseTrends :+ ("ingest_total" -> wallTrend))
+      .map { case (p, t) =>
+        f""""$p":{"q2_ms":${t.q2}%.1f,"q4_ms":${t.q4}%.1f,""" +
+        f""""ratio":${t.ratio}%.3f,"flat":${t.flat}}"""
+      }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"curation_soak","sf":"$sfDir","docs":$total,"batches":$n,""" +
       s""""per_trigger":$perTrigger,"consolidations":${runner.consolidationCount},""" +
-      s""""wall_ms":${arr(wallMs.toSeq)},"maint_reads":${reads.mkString("[", ",", "]")},""" +
+      s""""phase_ms":$phasesJson,"ingest_wall_ms":${arr(ingestWall.toSeq)},""" +
+      s""""consolidate_ms":${arr(consolidateWall.toSeq)},""" +
+      s""""maint_reads":${reads.mkString("[", ",", "]")},""" +
       s""""batch_sizes":${sizes.mkString("[", ",", "]")},""" +
-      f""""wall_trend_q4_over_q2":$wallTrend%.3f,"read_trend_q4_over_q2":$readTrend%.3f,""" +
+      s""""trends_q4_over_q2":$trendJson,""" +
+      f""""ingest_wall_trend_q4_over_q2":${wallTrend.ratio}%.3f,""" +
+      f""""read_trend_q4_over_q2":${readTrend.ratio}%.3f,""" +
+      f""""consolidate_total_ms":${consolidateWall.sum}%.1f,""" +
+      s""""scaling_phases":{"consolidate":"amortized O(corpus) log compaction by design; fires every 10 batches, reported above, excluded from the flat assertion"},""" +
       s""""label_parity":$parity,"flat":$flat}"""
     Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)

@@ -269,14 +269,40 @@ object GraftLogFormat {
 
   /** Records of one partition in [from, until), streamed segment by
     * segment with whole-segment skip via the (base, count) file names.
-    * Returns (offset, record) pairs.
+    * Returns (offset, record) pairs. The iterator holds at most ONE
+    * open segment stream; [[RangeIterator.close]] releases it, so a
+    * scan terminated early (e.g. a LIMIT pushdown short-circuiting the
+    * DSv2 reader) does not leak the `FileInputStream` until GC.
     */
-  def readRange(dir: String, partition: Int, from: Long, until: Long): Iterator[(Long, Record)] =
-    segments(dir, partition).iterator
-      .filter(s => s.end > from && s.base < until)
-      .flatMap { s =>
-        readEntries(s).filter { case (off, _) => off >= from && off < until }
+  def readRange(dir: String, partition: Int, from: Long, until: Long): RangeIterator =
+    new RangeIterator(
+      segments(dir, partition).iterator.filter(s => s.end > from && s.base < until),
+      from, until)
+
+  final class RangeIterator(segs: Iterator[Segment], from: Long, until: Long)
+      extends Iterator[(Long, Record)] {
+    private var cur: EntryIterator = null
+    private var pending: (Long, Record) = null
+    private def advance(): Unit =
+      while (pending == null) {
+        if (cur == null || !cur.hasNext) {
+          if (cur != null) { cur.close(); cur = null }
+          if (!segs.hasNext) return
+          cur = readEntries(segs.next())
+        } else {
+          val e = cur.next()
+          if (e._1 >= from && e._1 < until) pending = e
+        }
       }
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): (Long, Record) = {
+      advance()
+      if (pending == null) throw new NoSuchElementException
+      val e = pending; pending = null; e
+    }
+    /** Idempotent: closes the in-flight segment stream, if any. */
+    def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  }
 
   // ---- tmp + rename -----------------------------------------------------
 

@@ -88,9 +88,15 @@ object GraftLogMaintain {
         // watermark first, files second: a crash in between leaves
         // readable-but-ignored files, not offsets that regress
         GraftLogFormat.writeBounds(dir, p, newStart, end)
-        // shadowed duplicates inside the deleted range go too
+        // shadowed duplicates inside the deleted range go too; evict
+        // each deleted file's max-ts memo entry so a long-running
+        // stream's retention-on-commit never grows the driver-side map
+        // past the LIVE segment count
         GraftLogFormat.allSegments(dir, p)
-          .filter(_.end <= newStart).foreach(_.file.delete())
+          .filter(_.end <= newStart).foreach { s =>
+            s.file.delete()
+            maxTsMemo.remove(s.file.getAbsolutePath)
+          }
         p -> newStart
       } else p -> GraftLogFormat.startOffset(dir, p)
     }.toMap
@@ -142,11 +148,24 @@ object GraftLogMaintain {
   private def sweepShadowed(dir: String, p: Int,
                             cover: GraftLogFormat.Segment): Unit =
     GraftLogFormat.allSegments(dir, p)
-      .foreach(s => if (cover.covers(s)) s.file.delete())
+      .foreach(s => if (cover.covers(s)) {
+        s.file.delete()
+        maxTsMemo.remove(s.file.getAbsolutePath)
+      })
 
+  /** `capEnd` (the `compaction.cap.committed` option's hook — a
+    * min.compaction.lag-style bound): only segments fully at-or-before
+    * this offset are merged, so per-key history past a stream's
+    * committed position survives for event-level co-consumers.
+    */
   def compactPartition(dir: String, p: Int,
-                       dropTombstones: Boolean = false): Unit = synchronized {
-    val segs = GraftLogFormat.segments(dir, p)
+                       dropTombstones: Boolean = false,
+                       capEnd: Option[Long] = None): Unit = synchronized {
+    val visible = GraftLogFormat.segments(dir, p)
+    val segs = capEnd match {
+      case Some(c) => visible.takeWhile(_.end <= c)
+      case None => visible
+    }
     if (segs.isEmpty) return
     if (segs.size == 1 && segs.head.sparse && !dropTombstones) {
       // nothing to merge — but a previous run may have crashed between
@@ -158,7 +177,12 @@ object GraftLogMaintain {
     val endX = segs.last.end
 
     // latest offset per key, one streaming pass in offset order;
-    // null-key records pass through untouched
+    // null-key records pass through untouched. The map is O(live keys
+    // in this partition) on the process heap — the broker-role
+    // cleaner's working set, same bound as Kafka's log cleaner (its
+    // dedup buffer is likewise memory-sized and it compacts in chunks
+    // when keys exceed it); a partition whose live-key set outgrows
+    // the heap needs more partitions, exactly as on a real broker
     val latest = new java.util.HashMap[BytesKey, (Long, GraftLogFormat.Record)]()
     val nullKeyed = scala.collection.mutable.ArrayBuffer.empty[(Long, GraftLogFormat.Record)]
     segs.iterator.flatMap(GraftLogFormat.readEntries).foreach { case (off, r) =>

@@ -71,18 +71,50 @@ final case class GraftLogOptions(all: Map[String, String]) {
   /** Kafka cleanup.policy analog: "delete" honors retention.* on
     * streaming commit; "compact" runs key compaction on commit;
     * default none (infinite log, maintenance by explicit call).
+    * Tokens are validated like Kafka's config parser — a typo
+    * ("compacted", "deletes") is a hard error, not a silent no-op
+    * that quietly skips all maintenance.
     */
-  val cleanupPolicy: Set[String] =
-    get("cleanup.policy").map(_.toLowerCase.split(",").map(_.trim).toSet)
+  val cleanupPolicy: Set[String] = {
+    val tokens = get("cleanup.policy")
+      .map(_.toLowerCase.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    val bad = tokens -- GraftLogOptions.Policies
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"unknown cleanup.policy token(s) ${bad.mkString(", ")}; " +
+        s"valid: ${GraftLogOptions.Policies.mkString(", ")}")
+    tokens
+  }
   val retentionMs: Option[Long] = get("retention.ms").map(_.toLong)
   val retentionBytes: Option[Long] = get("retention.bytes").map(_.toLong)
+  // retention knobs only act under cleanup.policy=delete; a policy set
+  // WITHOUT "delete" alongside retention.* is the misconfiguration
+  // Kafka rejects at validation time (an EMPTY policy stays legal:
+  // that is the explicit-call maintenance mode, where applyRetention
+  // is invoked directly)
+  if (cleanupPolicy.nonEmpty && !cleanupPolicy("delete") &&
+      (retentionMs.isDefined || retentionBytes.isDefined))
+    throw new IllegalArgumentException(
+      "retention.ms/retention.bytes require cleanup.policy to include 'delete'")
   /** Kafka's min.cleanable.dirty.ratio: a commit-hook compaction runs
     * only when at least this fraction of a partition's bytes is
     * uncompacted — amortizes cleaner work to O(bytes written).
     */
   val minDirtyRatio: Double =
     get("min.cleanable.dirty.ratio").map(_.toDouble).getOrElse(0.5)
+  /** min.compaction.lag analog for logs ALSO consumed as event
+    * streams: when true, the commit-hook compaction only merges
+    * segments fully at-or-before the stream's committed offsets, so
+    * per-key history beyond the read position survives for other
+    * event-level consumers. Default false — Kafka's own contract,
+    * where the cleaner owes uncommitted readers nothing.
+    */
+  val compactionCapCommitted: Boolean =
+    get("compaction.cap.committed").exists(_.toBoolean)
+}
+
+object GraftLogOptions {
+  private[log] val Policies = Set("compact", "delete")
 }
 
 object GraftLogTable {
@@ -265,7 +297,8 @@ final class GraftLogMicroBatchStream(opts: GraftLogOptions)
     if (opts.cleanupPolicy("compact"))
       (0 until GraftLogFormat.readPartitions(opts.dir)).foreach { p =>
         if (GraftLogMaintain.dirtyRatio(opts.dir, p) >= opts.minDirtyRatio)
-          GraftLogMaintain.compactPartition(opts.dir, p)
+          GraftLogMaintain.compactPartition(opts.dir, p,
+            capEnd = if (opts.compactionCapCommitted) ends.get(p) else None)
       }
   }
   override def stop(): Unit = ()
@@ -295,7 +328,9 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
           true
         } else false
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      // a scan terminated early (LIMIT pushdown) must release the
+      // in-flight segment stream, not leave it to GC
+      override def close(): Unit = it.close()
     }
   }
 }

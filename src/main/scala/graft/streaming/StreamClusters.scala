@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.operators.Dedup
 
@@ -14,82 +15,155 @@ import graft.operators.Dedup
   * the endpoints of the incoming edges name their current components,
   * the stored edges of exactly those components plus the new edges
   * form a subgraph, the batch fixpoint runs on that subgraph alone,
-  * and its labels replace the touched slice of the store. Components
-  * no new edge reaches are untouched rows — per-batch cost is
-  * O(|batch| + |touched components|), independent of corpus size,
-  * the same contract as [[graft.operators.Dedup.incrementalDedup]]
-  * for pair classification.
+  * and its labels are APPENDED to a label changelog. Components no new
+  * edge reaches are never read, never rewritten — per-batch cost is
+  * O(|batch| + |touched components|) materialized work, independent of
+  * corpus size, the same contract as
+  * [[graft.operators.Dedup.incrementalDedup]] for pair classification.
   *
-  * Correctness: merging only ever happens THROUGH a new edge, so a
-  * component untouched by the batch is bit-identical under full
-  * recompute, and the subgraph fixpoint's min-label is the merged
-  * component's global min (every stored node is an endpoint of some
-  * stored edge, so touched components enter the subgraph whole).
-  * StreamingSpec pins label parity against the batch operator after
-  * every ingest, including the cross-batch merge case, and pins the
-  * incrementality itself via the audit (an untouched-corpus batch
-  * must not drag old components into the subgraph).
+  * == State layout (base + delta changelog) ==
+  * Both state frames are log-structured, so per-batch maintenance is
+  * append-only:
   *
-  * At scale the two state frames are tables (edge log + label store,
-  * e.g. Delta); here the label store is a localCheckpointed DataFrame
-  * (cut per ingest — it is rewritten anyway by the touched-slice
-  * replacement) while the edge log is an APPEND-ONLY union of
-  * checkpointed per-batch segments: per-batch log maintenance is
-  * metadata-only, and the size-triggered [[compact]] in [[Maintainer]]
-  * both bounds the store (star forest: O(paired nodes)) and collapses
-  * the union back to one segment — the log-compaction shape of a
-  * log-structured table, not a per-batch rewrite.
+  *   - labels: `labelBase` (resolved (node, cluster_id) snapshot cut at
+  *     the last compaction) plus `labelDelta`, a (node, cluster_id,
+  *     seq) changelog of per-batch touched-slice segments. The current
+  *     label of a node is its LATEST entry (max seq; base is seq 0) —
+  *     resolved lazily by [[ClusterState.labels]] on the read path and
+  *     at compaction, never per ingest. The r9 design rewrote the whole
+  *     label store through `localCheckpoint` every batch — O(corpus)
+  *     materialized per batch; this layout appends O(touched) instead.
+  *   - edges: `starBase` (the star forest cut at the last compaction —
+  *     spokes (cid, node) per component) plus `edgeDelta`, the
+  *     append-only log of post-compaction batch segments.
+  *
+  * Per-batch reads of the standing state are SCANS probed by the
+  * broadcast batch (semi-joins with the batch side broadcast), never
+  * shuffles or rewrites of the corpus-side frames; at table scale the
+  * two stores are keyed tables (e.g. bucketed parquet / Delta) and the
+  * same probes are bucket-pruned point lookups — see
+  * [[CurationLoop]]'s scaladoc for the bucketed-index form.
+  *
+  * == Touched-component lookup through the changelog ==
+  * `touched` is the set of cluster_ids in ANY changelog entry of a
+  * batch endpoint — a SUPERSET of the endpoints' current components
+  * (stale entries name components since merged INTO a current one,
+  * never an unrelated component, because labels only ever move whole
+  * components under merges). The subgraph then pulls:
+  *
+  *   - base spokes whose `doc_a` (the compaction-time cid) is either a
+  *     touched cid directly, or was relabeled since compaction with a
+  *     touched cid (its relabel lives in `labelDelta`, because every
+  *     merge appends entries for the WHOLE merged component);
+  *   - delta edges whose endpoints carry a touched cid in
+  *     `labelDelta` (a pair's endpoints are always relabeled at its
+  *     own ingest batch, so the delta changelog alone covers them);
+  *   - the new pairs.
+  *
+  * That union contains every edge of every touched current component
+  * (wholeness — so the subgraph min-label is the component's global
+  * min) and nothing outside those components (stale entries only pull
+  * subsets of touched components), which StreamingSpec and
+  * OperatorPropertySpec pin against the batch fixpoint, including
+  * cross-batch merges, merges after compaction, and randomized
+  * ingest/compact interleavings.
+  *
+  * [[compact]] resolves the changelog and cuts a fresh base — the
+  * star forest bounds the edge store by O(paired nodes − components)
+  * and the label store by O(paired nodes), the log-compaction shape of
+  * a log-structured table. O(corpus) when it runs; size-triggered in
+  * [[Maintainer]], schedule-triggered in [[CurationLoop.Runner]],
+  * amortized never-per-batch.
   */
 object StreamClusters {
 
-  /** Label/edge store carried across batches. `labels` covers every
-    * PAIRED node (singletons are identity-labeled by [[labelsFor]]).
+  /** Log-structured label/edge store carried across batches — see the
+    * object scaladoc for the base + delta layout. Use the [[edges]] /
+    * [[labels]] views for reads; the raw fields are the ingest path's
+    * append targets.
     */
-  final case class ClusterState(edges: DataFrame, labels: DataFrame)
+  final case class ClusterState(starBase: DataFrame, edgeDelta: DataFrame,
+                                labelBase: DataFrame, labelDelta: DataFrame,
+                                nextSeq: Long) {
+    /** Every stored edge: compaction-time star forest + delta log. */
+    def edges: DataFrame = starBase.unionAll(edgeDelta)
+    /** Resolved current labels — latest changelog entry per node
+      * (base is seq 0). An O(paired nodes) aggregation: the READ path
+      * and [[compact]] pay it; ingest never does.
+      */
+    def labels: DataFrame =
+      labelBase.withColumn("seq", lit(0L)).unionAll(labelDelta)
+        .groupBy("node")
+        .agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
+  }
 
-  /** Per-ingest observability: subgraph size actually recomputed. */
+  /** Per-ingest observability: subgraph size actually recomputed.
+    * `touchedComponents` counts distinct changelog cids of the batch
+    * endpoints — current components plus any stale aliases they held
+    * since the last compaction (a superset; see the object scaladoc).
+    */
   final class IngestAudit {
     @volatile var subgraphEdges: Long = -1L
     @volatile var touchedComponents: Long = -1L
   }
 
-  def emptyState(spark: org.apache.spark.sql.SparkSession): ClusterState = {
-    import spark.implicits._
-    ClusterState(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
-      Seq.empty[(Long, Long)].toDF("node", "cluster_id"))
-  }
+  private def emptyPairs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
 
-  /** Fold one batch of (doc_a, doc_b) edges into the state. */
-  def ingest(state: ClusterState, newPairs: DataFrame,
-             audit: Option[IngestAudit] = None): ClusterState =
-    ingestCounted(state, newPairs, audit)._1
+  private def emptyLabels(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", LongType), StructField("cluster_id", LongType))))
 
-  /** [[ingest]] that also returns the refreshed label store's row
-    * count (= paired-node count) for FREE: the count rides the label
-    * write's own localCheckpoint job as an `observe` metric instead of
-    * costing a separate corpus-sized action — the [[Maintainer]]'s
-    * compaction trigger reads it every batch, and a per-batch
-    * `labels.count()` was its only extra job (r8 verdict nit). Metric
-    * delivery is async on the listener bus, so the read is a bounded
-    * wait with the direct count as fallback — identical either way.
+  private def emptyLabelDelta(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", LongType), StructField("cluster_id", LongType),
+        StructField("seq", LongType))))
+
+  def emptyState(spark: SparkSession): ClusterState =
+    ClusterState(emptyPairs(spark), emptyPairs(spark),
+      emptyLabels(spark), emptyLabelDelta(spark), 1L)
+
+  /** Fold one batch of (doc_a, doc_b) edges into the state. Materialized
+    * work is O(|batch| + |touched components|): the only checkpoints cut
+    * are the batch pairs, the touched-cid set, the subgraph, and its
+    * labels. The standing base/delta frames are read as broadcast-probed
+    * scans and appended to lazily (metadata-only unions).
     */
-  def ingestCounted(state: ClusterState, newPairs: DataFrame,
-                    audit: Option[IngestAudit] = None): (ClusterState, Long) = {
+  def ingest(state: ClusterState, newPairs: DataFrame,
+             audit: Option[IngestAudit] = None): ClusterState = {
     val pairs = newPairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val ends = pairs.select(col("doc_a").as("node"))
       .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
-    val touched = state.labels.join(ends, Seq("node"), "left_semi")
+    // every cid a batch endpoint EVER held since the last compaction —
+    // superset of the endpoints' current components, cheap to find
+    // (one scan of the label store probed by the broadcast batch)
+    val chlog = state.labelBase.withColumn("seq", lit(0L))
+      .unionAll(state.labelDelta)
+    val touched = chlog.join(broadcast(ends), Seq("node"), "left_semi")
       .select("cluster_id").distinct().localCheckpoint(true)
-    // every edge of a touched component (both endpoints share the
-    // component label, so keying on doc_a's label is total)
-    val oldSub = state.edges
-      .join(state.labels.withColumnRenamed("node", "doc_a")
-        .withColumnRenamed("cluster_id", "ca"), "doc_a")
-      .join(touched.withColumnRenamed("cluster_id", "ca"),
-        Seq("ca"), "left_semi")
+    // base spokes of touched components: a spoke's doc_a IS its
+    // component's compaction-time cid; if that component merged since,
+    // the cid node's own delta relabel names the merged cid
+    val relabeledCids = state.labelDelta
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .select(col("node").as("doc_a"))
+    val touchedKeys = touched.select(col("cluster_id").as("doc_a"))
+      .unionAll(relabeledCids).distinct()
+    val oldStar = state.starBase
+      .join(broadcast(touchedKeys), Seq("doc_a"), "left_semi")
+    // delta edges of touched components: endpoints of a delta edge are
+    // always relabeled at its own ingest, so labelDelta alone covers
+    // them — both probe frames here are delta-sized, bounded by the
+    // compaction interval
+    val oldDelta = state.edgeDelta
+      .join(state.labelDelta.select(col("node").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"))
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
       .select("doc_a", "doc_b")
-    val sub = oldSub.unionAll(pairs).localCheckpoint(true)
+    val sub = oldStar.unionAll(oldDelta).unionAll(pairs)
+      .distinct().localCheckpoint(true)
     audit.foreach { a =>
       a.subgraphEdges = sub.count()
       a.touchedComponents = touched.count()
@@ -99,54 +173,37 @@ object StreamClusters {
       .withColumnRenamed("node", "doc_id")
     val subLabels = Dedup.connectedComponents(sub, subNodes)
       .withColumnRenamed("doc_id", "node")
-    val untouched = state.labels
-      .join(touched, Seq("cluster_id"), "left_anti")
-      .select("node", "cluster_id")
-    // edge-log append is LAZY: the new state is the old (already
-    // materialized) log plus the batch's checkpointed pairs — a
-    // metadata-only union, so per-batch log maintenance does zero
-    // data work instead of re-materializing O(edges ever ingested)
-    // rows per ingest. The union's leaf count grows with batches;
-    // [[compact]] (size-triggered in [[Maintainer]]) collapses it
-    // back to one checkpointed star forest.
-    val obs = new org.apache.spark.sql.Observation()
-    val labels = untouched.unionAll(subLabels.select("node", "cluster_id"))
-      .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+      .withColumn("seq", lit(state.nextSeq))
       .localCheckpoint(true)
-    // SHORT wait: the metric rides the checkpoint job that just ran,
-    // so it normally arrives within milliseconds; if the shared
-    // listener bus dropped the event under load, a long wait would
-    // stall EVERY batch — fall back to the direct count fast instead
-    val labelRows =
-      try {
-        import scala.concurrent.Await
-        import scala.concurrent.duration.DurationInt
-        Await.result(obs.future, 5.seconds).getAs[Long]("n")
-      } catch { case _: scala.concurrent.TimeoutException => labels.count() }
-    (ClusterState(state.edges.unionAll(pairs), labels), labelRows)
+    ClusterState(state.starBase, state.edgeDelta.unionAll(pairs),
+      state.labelBase, state.labelDelta.unionAll(subLabels),
+      state.nextSeq + 1)
   }
 
-  /** Compact the edge log to a star forest: each component's edges
-    * are replaced by (cluster_id, node) spokes from the labels. A
-    * spanning structure preserves exactly the connectivity future
-    * merges need — a later edge touching any member still pulls the
-    * WHOLE component into the rebuild subgraph through its spokes —
-    * while the store shrinks from O(edges ever ingested) to
-    * O(paired nodes − components), the bound that keeps a long-lived
-    * stream's state from growing with ingest volume instead of
-    * corpus size. Labels are unchanged; run periodically (every N
-    * batches or on a size trigger) like any log compaction.
+  /** Compact the store: resolve the label changelog into a fresh base
+    * snapshot and replace the edge log with its star forest — each
+    * component's edges become (cluster_id, node) spokes. A spanning
+    * structure preserves exactly the connectivity future merges need
+    * (a later edge touching any member pulls the WHOLE component back
+    * through its spokes) while the edge store shrinks to
+    * O(paired nodes − components) and the label store to
+    * O(paired nodes), both independent of ingest volume. Labels are
+    * unchanged; O(corpus) when it runs, amortized by the trigger.
     */
-  def compact(state: ClusterState): ClusterState =
-    ClusterState(
-      state.labels.filter(col("node") =!= col("cluster_id"))
-        .select(col("cluster_id").as("doc_a"), col("node").as("doc_b"))
-        .localCheckpoint(true),
-      state.labels)
+  def compact(state: ClusterState): ClusterState = {
+    val resolved = state.labels.localCheckpoint(true)
+    val spark = resolved.sparkSession
+    val star = resolved.filter(col("node") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("node").as("doc_b"))
+      .localCheckpoint(true)
+    ClusterState(star, emptyPairs(spark), resolved, emptyLabelDelta(spark),
+      state.nextSeq)
+  }
 
-  /** Full label view over a docs frame: paired nodes from the store,
-    * singletons identity-labeled — same output contract as the batch
-    * clusters operator.
+  /** Full label view over a docs frame: paired nodes from the store
+    * (changelog resolved — latest entry wins), singletons
+    * identity-labeled — same output contract as the batch clusters
+    * operator.
     */
   def labelsFor(state: ClusterState, docs: DataFrame,
                 idCol: String = "doc_id"): DataFrame =
@@ -163,31 +220,36 @@ object StreamClusters {
     * `compact` existed and was property-tested, but this sink grew
     * the edge log with ingest volume forever): after each batch, if
     * the log holds more than `compactFactor` × paired-node rows, the
-    * log is replaced by the star forest. Post-batch invariant
-    * (StreamingSpec pins it over a long random ingest):
-    * `edgeLogRows ≤ compactFactor × |paired nodes|`, so state is
-    * bounded by CORPUS size, never by how much was ingested. The
-    * trigger reads the micro-batch's own size plus the paired-node
-    * count [[ingestCounted]] delivers as an observe metric riding the
-    * label write's checkpoint job — zero extra actions per batch.
+    * store is compacted. The paired-node count used by the trigger is
+    * the EXACT count cut at the last compaction — a lower bound on the
+    * current count (paired nodes only grow), so the trigger fires at
+    * least as eagerly as one reading the live count, and no per-batch
+    * corpus-sized count job exists at all (the r9 design spent an
+    * observe-metric ride on it; the changelog layout spends nothing).
+    * Post-batch invariant (StreamingSpec pins it over a long random
+    * ingest): `edgeLogRows ≤ compactFactor × |paired nodes|`, so state
+    * is bounded by CORPUS size, never by how much was ingested.
     */
-  final class Maintainer(spark: org.apache.spark.sql.SparkSession,
+  final class Maintainer(spark: SparkSession,
                          compactFactor: Double = 3.0) {
     @volatile private var st: ClusterState = emptyState(spark)
     @volatile private var edgeRows: Long = 0L
+    @volatile private var pairedAtCompact: Long = 0L
     @volatile private var nCompactions: Long = 0L
     def state(): ClusterState = st
-    /** Rows currently in the edge log (maintained, not re-counted). */
+    /** Rows currently in the edge store (maintained, not re-counted). */
     def edgeLogRows: Long = edgeRows
     def compactionCount: Long = nCompactions
     def sink(batch: DataFrame, batchId: Long): Unit = {
       val n = batch.count() // micro-batch size: O(batch)
-      val (next, pairedNodes) = ingestCounted(st, batch)
-      st = next
+      st = ingest(st, batch)
       edgeRows += n
-      if (edgeRows > compactFactor * math.max(pairedNodes, 1L)) {
+      if (edgeRows > compactFactor * math.max(pairedAtCompact, 1L)) {
         st = compact(st)
-        edgeRows = st.edges.count() // star-forest size = nodes − components
+        // both counts ride the compaction's checkpointed frames —
+        // amortized into the compaction, never paid per batch
+        pairedAtCompact = st.labelBase.count()
+        edgeRows = st.starBase.count() // star forest: nodes − components
         nCompactions += 1
       }
     }

@@ -515,6 +515,136 @@ class GraftLogSpec extends AnyFunSuite {
       "streaming KTable must equal the batch latestByKey snapshot")
   }
 
+  test("evicting streaming KTable: a tombstone deletes state and the key never re-emits") {
+    import graft.sources.log.GraftLog
+    val root = tmp("glog_ktevict")
+    val dir = s"$root/log"
+    def put(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("key", "value")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "3").mode("append").save()
+    put("u1" -> "v1", "u2" -> "v2", "u3" -> "v3")
+
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    val q = GraftLog.latestByKeyStreamEvicting(spark, dir)
+      .select(col("key").cast("string").as("k"), col("value").cast("string").as("v"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        if (m.nonEmpty) perBatch.add(m)
+        (): Unit
+      }
+      .start()
+    def stateRows(): Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    q.processAllAvailable()
+    import scala.collection.JavaConverters._
+    assert(perBatch.asScala.last == Map("u1" -> "v1", "u2" -> "v2", "u3" -> "v3"))
+    assert(stateRows() == 3L)
+
+    put("u2" -> "") // tombstone: emitted once (delete propagates) ...
+    q.processAllAvailable()
+    assert(perBatch.asScala.last == Map("u2" -> ""))
+    assert(stateRows() == 2L, "tombstoned key must leave the state store")
+
+    put("u4" -> "v4") // ... and u2 is gone from later updates
+    q.processAllAvailable()
+    assert(perBatch.asScala.last == Map("u4" -> "v4"))
+    assert(stateRows() == 3L) // u1, u3, u4 — still no u2
+
+    put("u2" -> "v2-again") // re-insert after delete wins cleanly
+    q.processAllAvailable(); q.stop()
+    assert(perBatch.asScala.last == Map("u2" -> "v2-again"))
+  }
+
+  test("cleanup.policy tokens and retention options are validated, not silently ignored") {
+    val dir = tmp("glog_badopt") + "/log"
+    (1 to 4).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+      .write.format("graftlog").option("path", dir)
+      .option("log.partitions", "1").mode("append").save()
+    // a typo'd policy used to yield NO maintenance and NO error
+    val e1 = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("cleanup.policy", "compacted").load().count()
+    }
+    assert(e1.getMessage.contains("cleanup.policy"), e1.getMessage)
+    // retention knobs only act under cleanup.policy=delete
+    val e2 = intercept[Exception] {
+      spark.read.format("graftlog").option("path", dir)
+        .option("cleanup.policy", "compact")
+        .option("retention.ms", "1000").load().count()
+    }
+    assert(e2.getMessage.contains("retention"), e2.getMessage)
+    // valid combinations still read
+    assert(spark.read.format("graftlog").option("path", dir)
+      .option("cleanup.policy", "compact,delete")
+      .option("retention.ms", "86400000").load().count() == 4)
+  }
+
+  test("capEnd compaction (min.compaction.lag analog) preserves history past the cap") {
+    import graft.sources.log.{GraftLogFormat, GraftLogMaintain}
+    val dir = tmp("glog_capend") + "/log"
+    def put(lo: Int, hi: Int): Unit =
+      (lo to hi).map(i => (s"k${i % 3}", s"v$i")).toDF("key", "value")
+        .write.format("graftlog").option("path", dir)
+        .option("log.partitions", "1").mode("append").save()
+    put(1, 9)   // offsets 0..8 — the "committed" range
+    put(10, 15) // offsets 9..14 — beyond the consumer's position
+    GraftLogMaintain.compactPartition(dir, 0, capEnd = Some(9L))
+    val offs = spark.read.format("graftlog").option("path", dir).load()
+      .select("offset").as[Long].collect().toSet
+    // per-key churn before the cap compacts away (3 survivors of 9)...
+    assert(offs.count(_ < 9L) == 3, s"pre-cap range should compact: $offs")
+    // ...while every record past the cap survives for event consumers
+    assert((9L to 14L).forall(offs.contains), s"post-cap history lost: $offs")
+    // the published cseg covers exactly the capped range
+    val sparse = GraftLogFormat.segments(dir, 0).filter(_.sparse)
+    assert(sparse.map(s => (s.base, s.endX)) == Seq((0L, 9L)))
+  }
+
+  test("active producer interleaved with a racing cleaner keeps the log consistent") {
+    import graft.sources.log.{GraftLog, GraftLogMaintain}
+    // the maintain entry points are synchronized per JVM and the
+    // produce path publishes via tmp + atomic rename, so ANY
+    // interleave must leave a readable log with last-writer-wins keys.
+    // A cleaner thread hammers the commit-hook's work (compaction +
+    // a never-expiring retention scan) while the producer appends.
+    val dir = tmp("glog_race") + "/log"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cleanerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val passes = new java.util.concurrent.atomic.AtomicLong(0)
+    val cleaner = new Thread(() =>
+      try while (!stop.get()) {
+        GraftLogMaintain.compact(dir)
+        GraftLogMaintain.applyRetention(dir,
+          retentionMicros = Some(3600L * 1000 * 1000 * 1000))
+        passes.incrementAndGet()
+      } catch { case t: Throwable => cleanerErr.set(t) })
+    (1 to 10).map(i => (s"k${i % 7}", s"v$i")).toDF("key", "value")
+      .write.format("graftlog").option("path", dir)
+      .option("log.partitions", "2").mode("append").save()
+    cleaner.start()
+    try
+      (1 to 8).foreach { b =>
+        ((b * 10 + 1) to (b * 10 + 10)).map(i => (s"k${i % 7}", s"v$i"))
+          .toDF("key", "value")
+          .write.format("graftlog").option("path", dir)
+          .option("log.partitions", "2").mode("append").save()
+      }
+    finally { stop.set(true); cleaner.join() }
+    assert(cleanerErr.get() == null,
+      s"cleaner crashed mid-interleave: ${cleanerErr.get()}")
+    assert(passes.get() > 0, "cleaner never ran — the race was not exercised")
+    // one final compaction so the read below covers a quiesced log
+    GraftLogMaintain.compact(dir)
+    val got = GraftLog.latestByKey(spark, dir)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expect = (1 to 90).map(i => s"k${i % 7}" -> s"v$i").toMap
+    assert(got == expect, s"last-writer-wins broke under the interleave: $got")
+  }
+
   test("SQL DDL surface: CREATE TABLE USING graftlog reads through the catalog") {
     val dir = tmp("glog_sql") + "/log"
     (1 to 40).map(i => (s"k${i % 5}", s"v$i")).toDF("key", "value")
