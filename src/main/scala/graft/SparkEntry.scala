@@ -282,6 +282,22 @@ object SparkEntry {
     "q_ann_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqRerankTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // the FULL production ANN shape: coarse quantizer AND PQ book
+    // trained (3 Lloyd rounds) on a 25% training sample — a
+    // deterministic vec_id % 4 slice standing in for a seeded uniform
+    // sample so the DuckDB oracle can replay the identical training —
+    // composed with the ADC top-40 shortlist + exact-cosine rerank.
+    // Training cost is O(sample); the corpus only ever sees row-local
+    // encode/assign passes against the broadcast trained books.
+    "q_ann_trained_rerank" -> ((s, d) => {
+      val emb = T(s, d)("embeddings")
+      val train = emb.filter(
+        org.apache.spark.sql.functions.pmod(col("vec_id"),
+          org.apache.spark.sql.functions.lit(4L)) === 0)
+      Similarity.ivfPqRerankTopK(emb, col("vec_id") < 8, k = 3, rerank = 40,
+        pivotsOpt = Some(Similarity.kmeansPivotArr(train, k = 16, iters = 3)),
+        bookOpt = Some(Similarity.kmeansCarr(train, k = 16, iters = 3)))
+    }),
     // deterministic distributed k-means (1 Lloyd refinement, exact-
     // agg means): the codebook TRAINER for IVF/PQ and the clustering
     // primitive for mixture balancing — assignment oracle-checked

@@ -410,9 +410,14 @@ object Similarity {
           dot(c("cv"), c("cv"), dim)).as("score"), c("cid").as("cid")))))
       .select(col("vec_id"), col("v"), col("best")("cid").as("cluster_id"))
 
-  /** The one-row seed book: first `k` vectors as centroids. */
+  /** The one-row seed book: the `k` SMALLEST-vec_id vectors of the
+    * training frame as centroids. On the full corpus (dense ids) this
+    * is exactly "vec_id < k"; on a sampled training set (the
+    * production shape — train on a sample, quantize the corpus) it
+    * still yields k seeds, which a raw `vec_id < k` filter would not.
+    */
   private def kmeansSeed(all: DataFrame, k: Int): DataFrame =
-    all.filter(col("vec_id") < k)
+    all.orderBy(col("vec_id")).limit(k)
       .agg(sort_array(collect_list(
         struct(col("vec_id").as("cid"), col("v").as("cv")))).as("carr"))
 
