@@ -294,9 +294,12 @@ object SparkEntry {
       val train = emb.filter(
         org.apache.spark.sql.functions.pmod(col("vec_id"),
           org.apache.spark.sql.functions.lit(4L)) === 0)
+      // ONE trained book (cached) serves as both the coarse quantizer
+      // and the PQ codebook — the Lloyd rounds are paid once.
+      val book = Similarity.kmeansCarr(train, k = 16, iters = 3)
       Similarity.ivfPqRerankTopK(emb, col("vec_id") < 8, k = 3, rerank = 40,
-        pivotsOpt = Some(Similarity.kmeansPivotArr(train, k = 16, iters = 3)),
-        bookOpt = Some(Similarity.kmeansCarr(train, k = 16, iters = 3)))
+        pivotsOpt = Some(Similarity.carrToPivotArr(book)),
+        bookOpt = Some(book))
     }),
     // deterministic distributed k-means (1 Lloyd refinement, exact-
     // agg means): the codebook TRAINER for IVF/PQ and the clustering

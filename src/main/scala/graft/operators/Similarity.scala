@@ -415,11 +415,22 @@ object Similarity {
     * is exactly "vec_id < k"; on a sampled training set (the
     * production shape — train on a sample, quantize the corpus) it
     * still yields k seeds, which a raw `vec_id < k` filter would not.
+    *
+    * Cids are DENSIFIED to the seed's rank (0..k−1), not the raw
+    * vec_id: [[pqBook]]'s positional contract (carr[i].cid == i−1) is
+    * what [[adcDist]]'s `element_at(dts[m], code+1)` lookup assumes,
+    * and a sample-trained book with sparse raw ids (0, 4, 8, …) would
+    * index past the 16-entry ADC table. On dense corpora the rank IS
+    * the vec_id, so full-corpus callers (q_kmeans, q_ann_ivf_trained)
+    * are bit-unchanged; rank order = vec_id order, so id tie-breaks
+    * agree with the oracle either way.
     */
   private def kmeansSeed(all: DataFrame, k: Int): DataFrame =
     all.orderBy(col("vec_id")).limit(k)
       .agg(sort_array(collect_list(
-        struct(col("vec_id").as("cid"), col("v").as("cv")))).as("carr"))
+        struct(col("vec_id").as("cid"), col("v").as("cv")))).as("carr0"))
+      .select(transform(col("carr0"), (c, i) =>
+        struct(i.cast("long").as("cid"), c("cv").as("cv"))).as("carr"))
 
   /** One Lloyd update: assign against `book`, then per-coordinate
     * ExactAgg means per cluster; empty clusters keep the seed's
@@ -468,21 +479,33 @@ object Similarity {
     */
   def kmeansCarr(embeddings: DataFrame, k: Int, iters: Int = 1,
                  dim: Int = Dim): DataFrame = {
-    val all = prepared(embeddings, dim)
+    // tracked like kmeansAssign: the training frame is re-scored every
+    // Lloyd round, and composed callers (trained coarse book + trained
+    // PQ book over one sample) reuse the same cached prep. The trained
+    // one-row book is cached too, so a caller feeding it to BOTH
+    // bookOpt and [[carrToPivotArr]] pays the Lloyd rounds once.
+    val all = OperatorCaches.track(prepared(embeddings, dim))
     val seed = kmeansSeed(all, k)
-    (1 to iters).foldLeft(seed)((b, _) => kmeansUpdate(all, b, seed, dim))
+    OperatorCaches.track(
+      (1 to iters).foldLeft(seed)((b, _) => kmeansUpdate(all, b, seed, dim)))
   }
 
-  /** Trained book adapted to the (pid, pv, pn) pivot shape
-    * [[ivfTopK]]/[[ivfPqTopK]]/[[graft.streaming.StreamAnn]] consume —
-    * k-means upgrading the coarse quantizer.
+  /** Adapt a one-row (cid, cv) carr book to the (pid, pv, pn) pivot
+    * shape [[ivfTopK]]/[[ivfPqTopK]]/[[graft.streaming.StreamAnn]]
+    * consume — lets one trained book serve as BOTH the coarse
+    * quantizer and the PQ codebook without training twice.
+    */
+  def carrToPivotArr(book: DataFrame): DataFrame =
+    book.select(transform(col("carr"), c =>
+      struct(c("cid").as("pid"), c("cv").as("pv"),
+        sqrt(graft.plans.DotProduct(c("cv"), c("cv"))).as("pn"))).as("parr"))
+
+  /** Trained book adapted to the pivot shape — k-means upgrading the
+    * coarse quantizer.
     */
   def kmeansPivotArr(embeddings: DataFrame, k: Int, iters: Int = 1,
                      dim: Int = Dim): DataFrame =
-    kmeansCarr(embeddings, k, iters, dim)
-      .select(transform(col("carr"), c =>
-        struct(c("cid").as("pid"), c("cv").as("pv"),
-          sqrt(graft.plans.DotProduct(c("cv"), c("cv"))).as("pn"))).as("parr"))
+    carrToPivotArr(kmeansCarr(embeddings, k, iters, dim))
 
   /** Sign-bit band key: `bits` consecutive coordinate signs starting at
     * dimension `band*bits` packed into a BIGINT — the random-hyperplane

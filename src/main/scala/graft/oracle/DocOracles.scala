@@ -247,10 +247,17 @@ object DocOracles {
     */
   private def annIvfPqRerankSql: String =
     s"""$ivfPqCandidateCtes,
-       |sl AS (SELECT query_id, neighbor_id FROM (
+       |${pqRerankTail(20)}""".stripMargin
+
+  /** ADC top-`rerank` shortlist → exact-cosine re-score → final top-3;
+    * follows any CTE chain ending in `s` = (query_id, neighbor_id,
+    * adist). Shared by the untrained and trained rerank oracles.
+    */
+  private def pqRerankTail(rerank: Int): String =
+    s"""sl AS (SELECT query_id, neighbor_id FROM (
        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                   ORDER BY adist, neighbor_id) AS arn FROM s)
-       |       WHERE arn <= 20),
+       |       WHERE arn <= $rerank),
        |qv AS (SELECT vec_id AS query_id, v AS q FROM d WHERE vec_id < 8),
        |ex AS (SELECT sl.query_id, sl.neighbor_id,
        |         ${cos("q", "nd.v")} AS cos
@@ -261,10 +268,38 @@ object DocOracles {
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM ex)
        |WHERE rn <= 3""".stripMargin
 
-  /** Shared CTE chain of the IVF-PQ oracles, through `s` =
-    * (query_id, neighbor_id, adist) for every probed candidate.
+  /** Mirror of q_ann_trained_rerank — the FULL production shape: both
+    * the coarse quantizer AND the PQ codebook are ONE k-means book
+    * (k=16, 3 Lloyd rounds) trained on the `vec_id % 4 = 0` sample
+    * with rank-densified cids (0..15 — matching kmeansSeed's
+    * positional contract), then the standard IVF-PQ candidate chain
+    * with the trained book in both roles, ADC top-40 shortlist, exact
+    * rerank, top-3.
     */
-  private def ivfPqCandidateCtes: String = {
+  private def annTrainedRerankSql: String =
+    s"""$embCte,
+       |${kmeansTrainedCte(16, 3, "vec_id % 4 = 0")},
+       |p AS (SELECT cid AS pid, cv AS pv FROM c3),
+       |cb AS (SELECT cid, cv FROM c3),
+       |$ivfPqCandidateBody,
+       |${pqRerankTail(40)}""".stripMargin
+
+  /** Shared CTE chain of the IVF-PQ oracles, through `s` =
+    * (query_id, neighbor_id, adist) for every probed candidate —
+    * the default first-16-vectors codebook in both roles.
+    */
+  private def ivfPqCandidateCtes: String =
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |cb AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 16),
+       |$ivfPqCandidateBody""".stripMargin
+
+  /** The codebook-independent part of the IVF-PQ chain: consumes CTEs
+    * `d` (corpus), `p` (pid, pv coarse pivots) and `cb` (cid, cv PQ
+    * centroids — cids MUST be dense 0..15, the positional-ADC
+    * contract), produces `s` = (query_id, neighbor_id, adist).
+    */
+  private def ivfPqCandidateBody: String = {
     val msub = 8; val dsub = 8
     def sd(a: String, b: String, mi: Int): String =
       (1 to dsub).map { j =>
@@ -281,10 +316,7 @@ object DocOracles {
       s"JOIN qd q$m ON q$m.query_id = qr.query_id AND q$m.m = $m AND q$m.cid = e.c$m")
       .mkString("\n|        ")
     val adChain = (0 until msub).map(m => s"q$m.sdv").mkString(" + ")
-    s"""$embCte,
-       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
-       |cb AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 16),
-       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
+    s"""ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
        |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
        |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
        |       FROM d, p),
@@ -345,6 +377,45 @@ object DocOracles {
        |         FROM c0 CROSS JOIN generate_series(1, 64) g(i)
        |           LEFT JOIN m ON m.cid = c0.cid AND m.pos = g.i)
        |       GROUP BY cid)""".stripMargin
+
+  /** CTE chain t → c0 → (a_i, m_i, c_i)×`iters`: `iters` Lloyd
+    * refinements over the training frame `t` (= d WHERE `trainPred`),
+    * seeds = the `k` smallest-vec_id training vectors with cids
+    * DENSIFIED to ranks 0..k−1 — the SQL mirror of
+    * Similarity.kmeansCarr on a sampled training set (kmeansSeed's
+    * rank-densification contract). Empty clusters COALESCE to the
+    * SEED's coordinates every round, exactly like kmeansUpdate. Ends
+    * with CTE `c<iters>`. Every CTE is MATERIALIZED: DuckDB otherwise
+    * inlines the chain, and the ~130-term dot expressions multiply
+    * through 3 rounds × 2 downstream consumers into an OOM at plan
+    * time (observed at sf0.001; 3 s with materialization).
+    */
+  private def kmeansTrainedCte(k: Int, iters: Int,
+                               trainPred: String): String = {
+    val seed =
+      s"""t AS MATERIALIZED (SELECT vec_id, v FROM d WHERE $trainPred),
+         |c0 AS MATERIALIZED (SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cv FROM (
+         |         SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+         |         FROM t) WHERE srn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |         SELECT t.vec_id, cid, ROW_NUMBER() OVER (
+         |           PARTITION BY t.vec_id
+         |           ORDER BY ${kmScore("t.v", "cv")}, cid) AS rn
+         |         FROM t, c${i - 1}) WHERE rn = 1),
+         |m$i AS MATERIALIZED (SELECT cid, g.i AS pos,
+         |        ${graft.functions.OracleSql.dsum("t.v[g.i]")} / COUNT(*) AS mu
+         |      FROM a$i JOIN t USING (vec_id), generate_series(1, 64) g(i)
+         |      GROUP BY cid, g.i),
+         |c$i AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv FROM (
+         |         SELECT c0.cid, g.i AS pos,
+         |           COALESCE(m$i.mu, c0.cv[g.i]) AS c
+         |         FROM c0 CROSS JOIN generate_series(1, 64) g(i)
+         |           LEFT JOIN m$i ON m$i.cid = c0.cid AND m$i.pos = g.i)
+         |       GROUP BY cid)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
 
   private def kmeansSql: String =
     s"""$embCte,
@@ -1178,6 +1249,7 @@ object DocOracles {
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
+    "q_ann_trained_rerank" -> annTrainedRerankSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,
