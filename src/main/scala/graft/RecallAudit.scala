@@ -49,6 +49,14 @@ object RecallAudit {
       .localCheckpoint(true)
     val trainedBook = Similarity.kmeansCarr(emb, k = 16, iters = 1)
       .localCheckpoint(true)
+    // q_ann_trained_rerank's regime: ONE book, 3 Lloyd rounds on the
+    // 25% sample, in both the coarse and PQ roles, + exact rerank@40
+    val sampleBook = Similarity.kmeansCarr(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === 0), k = 16, iters = 3)
+      .localCheckpoint(true)
+    val samplePivots = Similarity.carrToPivotArr(sampleBook)
+      .localCheckpoint(true)
+    OperatorCaches.releaseAll()
 
     val rows = Seq.newBuilder[(String, Int, Double)]
     for (nprobe <- Seq(1, 2, 4, 8)) {
@@ -69,6 +77,11 @@ object RecallAudit {
       rows += (("ivfpq_rerank40", nprobe,
         recallOf(Similarity.ivfPqRerankTopK(emb, qPred, k, rerank = 40,
           nprobe = nprobe), truth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("trained_rerank40", nprobe,
+        recallOf(Similarity.ivfPqRerankTopK(emb, qPred, k, rerank = 40,
+          nprobe = nprobe, pivotsOpt = Some(samplePivots),
+          bookOpt = Some(sampleBook)), truth, k)))
       OperatorCaches.releaseAll()
     }
     val out = rows.result()

@@ -128,7 +128,81 @@ object ThroughputBench {
     println(f"""{"log_produce_rows_per_sec":${produceRate}%.0f,"log_scan_rows_per_sec":${scanRate}%.0f,"log_consume_rows_per_sec":${consumeRate}%.0f,"rows":$n,"check":${out.getLong(0)},"scan_check":${scanOut.getLong(0)}}""")
   }
 
+  /** Avro vs JSON payload decode through the SAME log boundary — the
+    * wire-loop variant BASELINE.md's throughput story calls for: the
+    * JSON consume leg is decode-bound (~0.7M rows/s), and the Avro
+    * binary payload ([[graft.sources.AvroWire]], the encoding the
+    * reference's schema-registry config declares) is the standard fix.
+    * Both logs carry the SAME 4-field transaction records keyed by
+    * user, materialized pre-clock; each leg is produce (segment I/O)
+    * then consume (partition-parallel scan + payload decode + sum),
+    * measured in one run for a same-host head-to-head.
+    */
+  private def runLogAvro(spark: SparkSession, n: Long, cpus: Int): Unit = {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, DoubleType}
+    def tmpLog(): String = java.nio.file.Files
+      .createTempDirectory("graft_logbench").toFile.getAbsolutePath + "/log"
+    val payload = spark.range(n).select(
+        pmod(col("id"), lit(10000L)).cast("string").as("key"),
+        concat(lit("t"), col("id")).as("transaction_id"),
+        concat(lit("u"), pmod(col("id"), lit(10000L))).as("user_id"),
+        concat(lit("m"), pmod(col("id"), lit(5000L))).as("merchant_id"),
+        (pmod(xxhash64(col("id")), lit(100000L)).cast("double") / 100.0)
+          .as("amount"))
+      .repartition(cpus)
+    val schema = StructType(Seq(
+      StructField("transaction_id", StringType),
+      StructField("user_id", StringType),
+      StructField("merchant_id", StringType),
+      StructField("amount", DoubleType)))
+    val avroRecs = graft.sources.AvroWire.encodeKeyed(payload, "key")
+      .localCheckpoint(true)
+    val jsonRecs = payload.select(col("key"),
+        to_json(struct(col("transaction_id"), col("user_id"),
+          col("merchant_id"), col("amount"))).as("value"))
+      .localCheckpoint(true)
+
+    val avroDir = tmpLog()
+    val tA0 = System.nanoTime()
+    graft.sources.log.GraftLog.write(avroRecs, avroDir, partitions = cpus)
+    val avroProduce = n / ((System.nanoTime() - tA0) / 1e9)
+    val tA1 = System.nanoTime()
+    val avroOut = graft.sources.AvroWire.decode(
+        spark.read.format("graftlog").option("path", avroDir).load(), schema)
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("s")).head()
+    val avroConsume = n / ((System.nanoTime() - tA1) / 1e9)
+
+    val jsonDir = tmpLog()
+    val tJ0 = System.nanoTime()
+    graft.sources.log.GraftLog.write(jsonRecs, jsonDir, partitions = cpus)
+    val jsonProduce = n / ((System.nanoTime() - tJ0) / 1e9)
+    val tJ1 = System.nanoTime()
+    val jsonOut = spark.read.format("graftlog").option("path", jsonDir).load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("r.amount")).as("s")).head()
+    val jsonConsume = n / ((System.nanoTime() - tJ1) / 1e9)
+
+    // parity: both payloads decode to the identical aggregate
+    val parity = avroOut.getLong(0) == jsonOut.getLong(0) &&
+      avroOut.getDouble(1) == jsonOut.getDouble(1)
+    println(f"""{"log_avro_produce_rows_per_sec":${avroProduce}%.0f,"log_avro_consume_rows_per_sec":${avroConsume}%.0f,"log_json_produce_rows_per_sec":${jsonProduce}%.0f,"log_json_consume_rows_per_sec":${jsonConsume}%.0f,"rows":$n,"parity":$parity}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("log-avro")) {
+      val n = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runLogAvro(spark, n, cpus.toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("log")) {
       val n = args.lift(1).map(_.toLong).getOrElse(5000000L)
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -99,6 +99,40 @@ object AvroWire {
     }(Encoders.BINARY).toDF("value")
   }
 
+  /** [[encode]] preserving one column as the record KEY alongside the
+    * Avro-binary payload — the (key, value) producer shape
+    * [[graft.sources.log.GraftLog.write]] consumes. The key column is
+    * excluded from the wire record (Kafka keys travel in the record
+    * key, not the payload), so `decode` over the remaining columns
+    * round-trips exactly.
+    */
+  def encodeKeyed(df: DataFrame, keyCol: String): DataFrame = {
+    val all = df.schema
+    val payload = StructType(all.fields.filter(_.name != keyCol))
+    val json = avroSchemaJson(payload)
+    val keyIdx = all.fieldIndex(keyCol)
+    val srcIdx = payload.fields.map(f => all.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(json)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val bos = new ByteArrayOutputStream()
+      var encoder = EncoderFactory.get().binaryEncoder(bos, null)
+      rows.map { row =>
+        bos.reset()
+        encoder = EncoderFactory.get().binaryEncoder(bos, encoder)
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < srcIdx.length) {
+          rec.put(i, toAvroValue(row.get(srcIdx(i))))
+          i += 1
+        }
+        writer.write(rec, encoder)
+        encoder.flush()
+        (row.getString(keyIdx), bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.STRING, Encoders.BINARY)).toDF("key", "value")
+  }
+
   /** Deserialize a `value` binary column back into typed columns,
     * given the Spark-side target schema (reader schema = writer schema
     * derived from it).

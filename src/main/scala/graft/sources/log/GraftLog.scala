@@ -100,7 +100,9 @@ object GraftLog {
     * (state stays O(LIVE keys), not O(keys ever written)) and the
     * tombstone itself is emitted once so a downstream upsert sink can
     * propagate the delete; afterwards the key never appears in an
-    * update again unless re-inserted. The plain aggregation form above
+    * update again unless re-inserted (a repeated delete of an
+    * already-absent key is dropped — no marker state needed, relying
+    * on per-partition in-order delivery). The plain aggregation form above
     * cannot evict (SS agg state keeps every group), so this face uses
     * `flatMapGroupsWithState` in update mode: per key, the batch's
     * highest-(partition, offset) record challenges the stored latest —
@@ -123,9 +125,16 @@ object GraftLog {
           newest.partition > s.partition ||
             (newest.partition == s.partition && newest.offset > s.offset))
         if (!beatsStored) Iterator.empty
-        else if (newest.value.isEmpty) { // tombstone: evict + propagate once
-          if (state.exists) state.remove()
-          Iterator.single(newest)
+        else if (newest.value.isEmpty) {
+          // tombstone: evict + propagate ONCE. A delete with no stored
+          // state (duplicate tombstone after eviction, or delete of a
+          // never-inserted key) is a no-op and emits nothing — the
+          // materialized-KTable drop Kafka Streams applies when
+          // oldValue and newValue are both null. Without this, a
+          // repeated delete would beat the empty state vacuously and
+          // re-emit, breaking "never appears again unless re-inserted".
+          if (state.exists) { state.remove(); Iterator.single(newest) }
+          else Iterator.empty
         } else {
           state.update(KeyLatest(newest.partition, newest.offset,
             newest.value, newest.timestamp))

@@ -132,9 +132,19 @@ object GraftLogMaintain {
     * which amortizes total compaction work to O(bytes written), never
     * O(live keys) per micro-batch.
     */
-  def dirtyRatio(dir: String, p: Int): Double = {
-    val visible = GraftLogFormat.segments(dir, p)
-    val total = GraftLogFormat.allSegments(dir, p).map(_.file.length()).sum
+  /** `capEnd` scopes the ratio to the at-or-before-cap prefix — the
+    * slice a capped compaction is allowed to merge. Gating a capped
+    * compaction on the WHOLE partition's ratio deadlocks the
+    * amortization when a producer runs ahead of the consumer: the
+    * beyond-cap dirty bytes keep the full-partition ratio pinned above
+    * the gate while the mergeable prefix may be one already-clean
+    * cseg, so every commit re-merges O(live keys) for nothing.
+    */
+  def dirtyRatio(dir: String, p: Int, capEnd: Option[Long] = None): Double = {
+    val inScope = (s: GraftLogFormat.Segment) => capEnd.forall(s.end <= _)
+    val visible = GraftLogFormat.segments(dir, p).filter(inScope)
+    val total = GraftLogFormat.allSegments(dir, p).filter(inScope)
+      .map(_.file.length()).sum
     if (total == 0L) 0.0
     else {
       val clean = visible.filter(_.sparse).map(_.file.length()).sum

@@ -296,9 +296,13 @@ final class GraftLogMicroBatchStream(opts: GraftLogOptions)
         capEnds = ends)
     if (opts.cleanupPolicy("compact"))
       (0 until GraftLogFormat.readPartitions(opts.dir)).foreach { p =>
-        if (GraftLogMaintain.dirtyRatio(opts.dir, p) >= opts.minDirtyRatio)
-          GraftLogMaintain.compactPartition(opts.dir, p,
-            capEnd = if (opts.compactionCapCommitted) ends.get(p) else None)
+        // capped compaction is gated on the dirty ratio of the
+        // <=capEnd prefix it may actually merge — beyond-cap bytes a
+        // fast producer wrote must not hold the gate open (that would
+        // re-merge the clean live-key prefix every micro-batch)
+        val cap = if (opts.compactionCapCommitted) ends.get(p) else None
+        if (GraftLogMaintain.dirtyRatio(opts.dir, p, cap) >= opts.minDirtyRatio)
+          GraftLogMaintain.compactPartition(opts.dir, p, capEnd = cap)
       }
   }
   override def stop(): Unit = ()

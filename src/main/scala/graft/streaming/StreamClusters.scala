@@ -82,9 +82,17 @@ object StreamClusters {
     * [[labels]] views for reads; the raw fields are the ingest path's
     * append targets.
     */
+  /** `labelDeltaRows` is the changelog's row count, maintained
+    * incrementally at ingest (a count over the just-checkpointed
+    * O(touched) slice — no standing-state scan): a big component
+    * touched every batch appends O(component) label rows per batch
+    * while the edge log grows only O(batch), so the compaction trigger
+    * must watch BOTH logs or the changelog (and the per-ingest scans
+    * over it) escapes the corpus-size bound.
+    */
   final case class ClusterState(starBase: DataFrame, edgeDelta: DataFrame,
                                 labelBase: DataFrame, labelDelta: DataFrame,
-                                nextSeq: Long) {
+                                labelDeltaRows: Long, nextSeq: Long) {
     /** Every stored edge: compaction-time star forest + delta log. */
     def edges: DataFrame = starBase.unionAll(edgeDelta)
     /** Resolved current labels — latest changelog entry per node
@@ -122,7 +130,7 @@ object StreamClusters {
 
   def emptyState(spark: SparkSession): ClusterState =
     ClusterState(emptyPairs(spark), emptyPairs(spark),
-      emptyLabels(spark), emptyLabelDelta(spark), 1L)
+      emptyLabels(spark), emptyLabelDelta(spark), 0L, 1L)
 
   /** Fold one batch of (doc_a, doc_b) edges into the state. Materialized
     * work is O(|batch| + |touched components|): the only checkpoints cut
@@ -175,9 +183,12 @@ object StreamClusters {
       .withColumnRenamed("doc_id", "node")
       .withColumn("seq", lit(state.nextSeq))
       .localCheckpoint(true)
+    // count of the just-checkpointed slice — O(touched), no
+    // standing-state scan; feeds the Maintainer's changelog bound
+    val appended = subLabels.count()
     ClusterState(state.starBase, state.edgeDelta.unionAll(pairs),
       state.labelBase, state.labelDelta.unionAll(subLabels),
-      state.nextSeq + 1)
+      state.labelDeltaRows + appended, state.nextSeq + 1)
   }
 
   /** Compact the store: resolve the label changelog into a fresh base
@@ -197,7 +208,7 @@ object StreamClusters {
       .select(col("cluster_id").as("doc_a"), col("node").as("doc_b"))
       .localCheckpoint(true)
     ClusterState(star, emptyPairs(spark), resolved, emptyLabelDelta(spark),
-      state.nextSeq)
+      0L, state.nextSeq)
   }
 
   /** Full label view over a docs frame: paired nodes from the store
@@ -227,8 +238,14 @@ object StreamClusters {
     * corpus-sized count job exists at all (the r9 design spent an
     * observe-metric ride on it; the changelog layout spends nothing).
     * Post-batch invariant (StreamingSpec pins it over a long random
-    * ingest): `edgeLogRows ≤ compactFactor × |paired nodes|`, so state
-    * is bounded by CORPUS size, never by how much was ingested.
+    * ingest): `edgeLogRows ≤ compactFactor × |paired nodes|` AND
+    * `labelDeltaRows ≤ compactFactor × |paired nodes|`, so state is
+    * bounded by CORPUS size, never by how much was ingested. The
+    * label-changelog arm matters independently of the edge arm: one
+    * big component re-touched every batch appends O(component) label
+    * rows per batch against O(batch) edge rows, and the per-ingest
+    * changelog scans grow with it — the edge trigger alone would
+    * never fire.
     */
   final class Maintainer(spark: SparkSession,
                          compactFactor: Double = 3.0) {
@@ -239,12 +256,15 @@ object StreamClusters {
     def state(): ClusterState = st
     /** Rows currently in the edge store (maintained, not re-counted). */
     def edgeLogRows: Long = edgeRows
+    /** Rows currently in the label changelog (maintained by ingest). */
+    def labelDeltaRows: Long = st.labelDeltaRows
     def compactionCount: Long = nCompactions
     def sink(batch: DataFrame, batchId: Long): Unit = {
       val n = batch.count() // micro-batch size: O(batch)
       st = ingest(st, batch)
       edgeRows += n
-      if (edgeRows > compactFactor * math.max(pairedAtCompact, 1L)) {
+      val bound = compactFactor * math.max(pairedAtCompact, 1L)
+      if (edgeRows > bound || st.labelDeltaRows > bound) {
         st = compact(st)
         // both counts ride the compaction's checkpointed frames —
         // amortized into the compaction, never paid per batch

@@ -554,8 +554,21 @@ class GraftLogSpec extends AnyFunSuite {
     assert(stateRows() == 3L) // u1, u3, u4 — still no u2
 
     put("u2" -> "v2-again") // re-insert after delete wins cleanly
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
     assert(perBatch.asScala.last == Map("u2" -> "v2-again"))
+
+    put("u2" -> "") // the real delete: emitted once
+    q.processAllAvailable()
+    assert(perBatch.asScala.last == Map("u2" -> ""))
+    val emitted = perBatch.size()
+    put("u2" -> "") // DUPLICATE delete in a later batch: state is gone,
+    q.processAllAvailable()
+    put("u9" -> "") // ... and a delete of a never-inserted key
+    q.processAllAvailable(); q.stop()
+    // neither may re-emit off the empty state (materialized-KTable
+    // drop); without it the duplicate beats the absent state vacuously
+    assert(perBatch.size() == emitted,
+      s"duplicate/no-op tombstones leaked: ${perBatch.asScala.toSeq.drop(emitted)}")
   }
 
   test("cleanup.policy tokens and retention options are validated, not silently ignored") {
@@ -601,6 +614,19 @@ class GraftLogSpec extends AnyFunSuite {
     // the published cseg covers exactly the capped range
     val sparse = GraftLogFormat.segments(dir, 0).filter(_.sparse)
     assert(sparse.map(s => (s.base, s.endX)) == Seq((0L, 9L)))
+
+    // the capped gate reads the PREFIX ratio: the <=cap slice is now
+    // one clean cseg (ratio 0 — gate closed, no O(live keys) re-merge
+    // per commit), while the full-partition ratio stays pinned high
+    // by the beyond-cap bytes a fast producer wrote
+    assert(GraftLogMaintain.dirtyRatio(dir, 0, Some(9L)) == 0.0,
+      "clean prefix must close the capped compaction gate")
+    assert(GraftLogMaintain.dirtyRatio(dir, 0) > 0.5,
+      "sanity: whole-partition ratio is held open by beyond-cap bytes")
+    // new committed bytes re-open it proportionally, not absolutely
+    put(16, 18) // offsets 15..17
+    val r = GraftLogMaintain.dirtyRatio(dir, 0, Some(18L))
+    assert(r > 0.0 && r < 1.0, s"prefix ratio should see only new dirty bytes: $r")
   }
 
   test("active producer interleaved with a racing cleaner keeps the log consistent") {

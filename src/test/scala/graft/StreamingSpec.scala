@@ -459,6 +459,8 @@ class StreamingSpec extends AnyFunSuite {
       val paired = all.flatMap(e => Seq(e._1, e._2)).distinct.size
       assert(m.edgeLogRows <= 2.0 * paired,
         s"batch $i: log ${m.edgeLogRows} exceeds 2 x $paired paired nodes")
+      assert(m.labelDeltaRows <= 2.0 * paired,
+        s"batch $i: changelog ${m.labelDeltaRows} exceeds 2 x $paired")
     }
     assert(m.compactionCount >= 1, "size trigger never fired")
     val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
@@ -468,6 +470,28 @@ class StreamingSpec extends AnyFunSuite {
     val got = StreamClusters.labelsFor(m.state(), nodes.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect, s"parity after auto-compaction: $got vs $expect")
+  }
+
+  test("maintainer compacts on label-changelog growth alone (big component re-touched per batch)") {
+    import graft.streaming.StreamClusters
+    // adversarial shape for the edge-only trigger: one 30-node
+    // component, then each batch adds ONE edge touching it — the edge
+    // log grows by 1/batch but every ingest appends ~30 label rows
+    // for the re-fixpointed component, so only the changelog arm of
+    // the trigger can bound state (ADVICE r10 medium finding).
+    val m = new StreamClusters.Maintainer(spark, compactFactor = 3.0)
+    m.sink((1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"), 0L)
+    (1 to 8).foreach { i =>
+      m.sink(Seq((1L, (i % 29 + 1).toLong)).toDF("doc_a", "doc_b"), i.toLong)
+      assert(m.labelDeltaRows <= 3.0 * 30,
+        s"batch $i: changelog ${m.labelDeltaRows} escaped the corpus bound")
+    }
+    assert(m.compactionCount >= 1,
+      "label-changelog trigger never fired though edge log stayed tiny")
+    val got = StreamClusters.labelsFor(m.state(),
+        (1L to 30L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), s"labels broken: $got")
   }
 
   test("curation runner: scheduled consolidation preserves classification and labels") {
