@@ -701,6 +701,13 @@ object SparkEntry {
     "q_log_roundtrip" -> ((s, d) =>
       graft.sources.log.GraftLog.eventStatsThroughLog(T(s, d)("events"),
         s"${System.getProperty("java.io.tmpdir")}/graft_qlog_${math.abs(d.hashCode)}")),
+    // same loop with the AVRO payload lane: keyed binary records
+    // through produce → segment → consume → Avro decode — proves the
+    // schema-registry wire encoding is lossless (and it is the
+    // measured fast lane vs JSON decode, BASELINE.md)
+    "q_log_avro" -> ((s, d) =>
+      graft.sources.log.GraftLog.eventStatsThroughAvroLog(T(s, d)("events"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_qloga_${math.abs(d.hashCode)}")),
     // Kafka cleanup.policy=compact twin: orders produced as a
     // per-customer changelog, storage-side key compaction (sparse
     // .cseg segments, original offsets), read back via latestByKey —
@@ -760,6 +767,14 @@ object SparkEntry {
     // segment → consume → JSON-decode loop; the oracle aggregates the
     // parquet directly — equality proves the wire path is lossless
     "q_log_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
+    // the Avro lane must reproduce the identical aggregate — the
+    // oracle is the same direct-parquet read
+    "q_log_avro" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${dsum("value")} AS sum_value,
          |  COUNT(DISTINCT user_id) AS n_users

@@ -162,14 +162,20 @@ object ThroughputBench {
           col("merchant_id"), col("amount"))).as("value"))
       .localCheckpoint(true)
 
+    def avroConsumeOut(dir: String) = graft.sources.AvroWire.decode(
+        spark.read.format("graftlog").option("path", dir).load(), schema)
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("s")).head()
+    def jsonConsumeOut(dir: String) = spark.read.format("graftlog")
+      .option("path", dir).load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("r.amount")).as("s")).head()
+
     val avroDir = tmpLog()
     val tA0 = System.nanoTime()
     graft.sources.log.GraftLog.write(avroRecs, avroDir, partitions = cpus)
     val avroProduce = n / ((System.nanoTime() - tA0) / 1e9)
     val tA1 = System.nanoTime()
-    val avroOut = graft.sources.AvroWire.decode(
-        spark.read.format("graftlog").option("path", avroDir).load(), schema)
-      .agg(count(lit(1)).as("n"), sum(col("amount")).as("s")).head()
+    val avroOut = avroConsumeOut(avroDir)
     val avroConsume = n / ((System.nanoTime() - tA1) / 1e9)
 
     val jsonDir = tmpLog()
@@ -177,15 +183,26 @@ object ThroughputBench {
     graft.sources.log.GraftLog.write(jsonRecs, jsonDir, partitions = cpus)
     val jsonProduce = n / ((System.nanoTime() - tJ0) / 1e9)
     val tJ1 = System.nanoTime()
-    val jsonOut = spark.read.format("graftlog").option("path", jsonDir).load()
-      .select(from_json(col("value").cast("string"), schema).as("r"))
-      .agg(count(lit(1)).as("n"), sum(col("r.amount")).as("s")).head()
+    val jsonOut = jsonConsumeOut(jsonDir)
     val jsonConsume = n / ((System.nanoTime() - tJ1) / 1e9)
+
+    // warm repeats (codegen/JIT compiled, page cache hot, checkpoint
+    // blocks released so heap pressure can't skew the later legs) —
+    // the steadier decode-cost comparison; the cold legs above keep
+    // the end-to-end "first read" story honest. Best-of-2 per lane:
+    // a single rep is at the mercy of one GC pause on this host.
+    avroRecs.unpersist(blocking = true)
+    jsonRecs.unpersist(blocking = true)
+    def best(rep: => Unit): Double = (1 to 2).map { _ =>
+      val t = System.nanoTime(); rep; n / ((System.nanoTime() - t) / 1e9)
+    }.max
+    val avroWarm = best(avroConsumeOut(avroDir))
+    val jsonWarm = best(jsonConsumeOut(jsonDir))
 
     // parity: both payloads decode to the identical aggregate
     val parity = avroOut.getLong(0) == jsonOut.getLong(0) &&
       avroOut.getDouble(1) == jsonOut.getDouble(1)
-    println(f"""{"log_avro_produce_rows_per_sec":${avroProduce}%.0f,"log_avro_consume_rows_per_sec":${avroConsume}%.0f,"log_json_produce_rows_per_sec":${jsonProduce}%.0f,"log_json_consume_rows_per_sec":${jsonConsume}%.0f,"rows":$n,"parity":$parity}""")
+    println(f"""{"log_avro_produce_rows_per_sec":${avroProduce}%.0f,"log_avro_consume_rows_per_sec":${avroConsume}%.0f,"log_avro_consume_warm_rows_per_sec":${avroWarm}%.0f,"log_json_produce_rows_per_sec":${jsonProduce}%.0f,"log_json_consume_rows_per_sec":${jsonConsume}%.0f,"log_json_consume_warm_rows_per_sec":${jsonWarm}%.0f,"rows":$n,"parity":$parity}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -27,7 +27,17 @@ import org.apache.spark.sql.types._
   */
 object AvroWire {
 
-  /** Avro record schema JSON for a flat Spark schema. */
+  /** Avro record schema JSON for a flat Spark schema.
+    *
+    * Every field is emitted as a `["null", T]` union regardless of the
+    * frame's `nullable` flag: Spark nullability is incidental metadata
+    * (a `range()`-derived column is non-nullable, the same column read
+    * back from parquet is nullable), and a wire schema that tracked it
+    * would make writer and reader schemas silently diverge — a binary
+    * decoder that expects a union where none was written misreads the
+    * stream (the branch index is consumed from data bytes). Registry
+    * schemas pin one canonical encoding per topic; so does this.
+    */
   def avroSchemaJson(schema: StructType, name: String = "GraftRecord"): String = {
     def prim(dt: DataType): String = dt match {
       case BooleanType => "\"boolean\""
@@ -43,9 +53,7 @@ object AvroWire {
         throw new IllegalArgumentException(s"unsupported Avro lane type: $other")
     }
     val fields = schema.fields.map { f =>
-      val t = if (f.nullable) s"""["null",${prim(f.dataType)}]"""
-              else prim(f.dataType)
-      s"""{"name":"${f.name}","type":$t}"""
+      s"""{"name":"${f.name}","type":["null",${prim(f.dataType)}]}"""
     }
     s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
   }

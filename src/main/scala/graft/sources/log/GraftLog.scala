@@ -224,4 +224,31 @@ object GraftLog {
         ExactAgg.dsum(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** [[eventStatsThroughLog]] with the AVRO payload lane
+    * ([[graft.sources.AvroWire]], the binary encoding the reference's
+    * schema-registry config declares — JobConfig.java:17): produce
+    * keyed Avro records into the log, consume via the DSv2 scan +
+    * Avro decode, aggregate. The oracle reads the parquet directly,
+    * so a hash match proves the binary wire lane is lossless
+    * end-to-end. This is also the measured FAST consume lane: the
+    * JSON leg is decode-bound, and ThroughputBench's `log-avro` mode
+    * reads both decodes on identical records (BASELINE.md row).
+    */
+  def eventStatsThroughAvroLog(events: DataFrame, dir: String): DataFrame = {
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    write(graft.sources.AvroWire.encodeKeyed(
+        events.select(col("user_id").cast("string").as("key"),
+          col("event_id"), col("user_id"), col("event_type"), col("value")),
+        "key"),
+      dir, partitions = 8)
+    graft.sources.AvroWire.decode(read(events.sparkSession, dir), wireSchema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        ExactAgg.dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 }
