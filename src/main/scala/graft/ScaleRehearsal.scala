@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.OperatorCaches
+
+/** 10× scale rehearsal: replays the heaviest document/embedding/
+  * linkage queries on a corpus ~10× sf0.1 and records observed-vs-
+  * expected scaling (the SCALE artifact the r9/r10 verdicts asked
+  * for). The 10× corpus is derived deterministically from sf0.1:
+  *
+  *   - documents ×10: every token of copy `c` is suffixed `_c`, so
+  *     the copies are DISJOINT in shingle space — the dup/cluster
+  *     structure replicates 10× (10× components of unchanged size),
+  *     which is the scaling regime the incremental designs assume
+  *     (component size bounded, component count grows with corpus).
+  *   - embeddings ×10: vec_id offset per copy, vectors reused —
+  *     queries stay the original 8, candidate lists grow ~10×.
+  *   - customer ×10: c_custkey offset, names/acctbal perturbed per
+  *     copy; the BLOCKING KEYS (c_nationkey, c_mktsegment) are kept,
+  *     so blocks grow 10× and candidate pairs ~100× — the documented
+  *     quadratic-within-block regime (see SCALE_r11.md).
+  *
+  * Each query runs once on sf0.1 and once on the 10× dir (result
+  * forced by count), and the JSON line reports wall ratios. Run:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleRehearsal"
+  */
+object ScaleRehearsal {
+
+  private def gen(spark: SparkSession, base: String, out: String,
+                  factor: Int): Unit = {
+    val copies = (0 until factor)
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.count()
+    copies.map { c =>
+      docs.select(
+        Seq((col("doc_id") + lit(c.toLong * nDocs)).as("doc_id"),
+          (if (c == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1_$c")).as("text")) ++
+          docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
+    }.reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nEmb = emb.count()
+    copies.map { c =>
+      emb.select(
+        Seq((col("vec_id") + lit(c.toLong * nEmb)).as("vec_id")) ++
+          emb.columns.filterNot(_ == "vec_id").map(col): _*)
+    }.reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val nCust = cust.count()
+    copies.map { c =>
+      cust.select(
+        Seq((col("c_custkey") + lit(c.toLong * nCust)).as("c_custkey"),
+          (if (c == 0) col("c_name")
+           else concat(col("c_name"), lit(s"#$c"))).as("c_name"),
+          (col("c_acctbal") + lit(c * 7.0)).as("c_acctbal")) ++
+          cust.columns.filterNot(Set("c_custkey", "c_name", "c_acctbal"))
+            .map(col): _*)
+    }.reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/customer.parquet")
+  }
+
+  private def timeQuery(spark: SparkSession, name: String,
+                        dir: String): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, dir).count()
+    OperatorCaches.releaseAll()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("/tmp/graft_scale10x")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val tg = System.nanoTime()
+      gen(spark, base, out, factor)
+      println(f"[scale] generated ${factor}x corpus in ${(System.nanoTime() - tg) / 1e9}%.1f s at $out")
+    }
+
+    val targets = Seq("q_dedup_simhash", "q_dedup_clusters",
+      "q_cluster_family_shared", "q_ann_ivfpq_rerank", "q_record_linkage")
+    val results = targets.map { q =>
+      // untimed warmup on the 1x corpus: JIT + codegen compile +
+      // classloading land here, so neither timed leg pays them (a
+      // cold 1x leg inflates the baseline and fakes sub-linear
+      // ratios — observed 0.29 on the first query without this)
+      timeQuery(spark, q, base)
+      val (w1, n1) = timeQuery(spark, q, base)
+      val (w10, n10) = timeQuery(spark, q, out)
+      println(f"[scale] $q%-24s 1x ${w1}%6.2f s ($n1%8d rows)  ${factor}x ${w10}%7.2f s ($n10%9d rows)  ratio ${w10 / w1}%5.2f")
+      (q, w1, w10, n1, n10)
+    }
+    val json = results.map { case (q, w1, w10, n1, n10) =>
+      f""""$q":{"wall_1x":$w1%.3f,"wall_${factor}x":$w10%.3f,"ratio":${w10 / w1}%.3f,"rows_1x":$n1,"rows_${factor}x":$n10}"""
+    }.mkString(s"""{"metric":"scale_rehearsal","factor":$factor,"sf_base":"$base",""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
