@@ -49,10 +49,11 @@ object RecallAudit {
       .localCheckpoint(true)
     val trainedBook = Similarity.kmeansCarr(emb, k = 16, iters = 1)
       .localCheckpoint(true)
-    // q_ann_trained_rerank's regime: ONE book, 3 Lloyd rounds on the
+    // q_ann_trained_rerank's regime: ONE book, ONE Lloyd round on the
     // 25% sample, in both the coarse and PQ roles, + exact rerank@40
+    // (one round, not more — see the r11 decomposition in COVERAGE.md)
     val sampleBook = Similarity.kmeansCarr(
-        emb.filter(pmod(col("vec_id"), lit(4L)) === 0), k = 16, iters = 3)
+        emb.filter(pmod(col("vec_id"), lit(4L)) === 0), k = 16, iters = 1)
       .localCheckpoint(true)
     val samplePivots = Similarity.carrToPivotArr(sampleBook)
       .localCheckpoint(true)

@@ -295,8 +295,13 @@ object SparkEntry {
         org.apache.spark.sql.functions.pmod(col("vec_id"),
           org.apache.spark.sql.functions.lit(4L)) === 0)
       // ONE trained book (cached) serves as both the coarse quantizer
-      // and the PQ codebook — the Lloyd rounds are paid once.
-      val book = Similarity.kmeansCarr(train, k = 16, iters = 3)
+      // and the PQ codebook — the Lloyd round is paid once. ONE round,
+      // not more: on this corpus extra sample-Lloyd rounds shrink the
+      // centroids toward the mean and blur the COARSE probe ordering
+      // at low nprobe (recall@10 decomposition in COVERAGE.md r11 log;
+      // the PQ role is insensitive), so deeper training measures WORSE
+      // than the untrained book — 1 round is both cheaper and better.
+      val book = Similarity.kmeansCarr(train, k = 16, iters = 1)
       Similarity.ivfPqRerankTopK(emb, col("vec_id") < 8, k = 3, rerank = 40,
         pivotsOpt = Some(Similarity.carrToPivotArr(book)),
         bookOpt = Some(book))

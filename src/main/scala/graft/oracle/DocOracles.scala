@@ -270,17 +270,18 @@ object DocOracles {
 
   /** Mirror of q_ann_trained_rerank — the FULL production shape: both
     * the coarse quantizer AND the PQ codebook are ONE k-means book
-    * (k=16, 3 Lloyd rounds) trained on the `vec_id % 4 = 0` sample
-    * with rank-densified cids (0..15 — matching kmeansSeed's
-    * positional contract), then the standard IVF-PQ candidate chain
-    * with the trained book in both roles, ADC top-40 shortlist, exact
-    * rerank, top-3.
+    * (k=16, ONE Lloyd round — deeper sample training measurably hurts
+    * the coarse probe ordering, COVERAGE.md r11 log) trained on the
+    * `vec_id % 4 = 0` sample with rank-densified cids (0..15 —
+    * matching kmeansSeed's positional contract), then the standard
+    * IVF-PQ candidate chain with the trained book in both roles, ADC
+    * top-40 shortlist, exact rerank, top-3.
     */
   private def annTrainedRerankSql: String =
     s"""$embCte,
-       |${kmeansTrainedCte(16, 3, "vec_id % 4 = 0")},
-       |p AS (SELECT cid AS pid, cv AS pv FROM c3),
-       |cb AS (SELECT cid, cv FROM c3),
+       |${kmeansTrainedCte(16, 1, "vec_id % 4 = 0")},
+       |p AS (SELECT cid AS pid, cv AS pv FROM c1),
+       |cb AS (SELECT cid, cv FROM c1),
        |$ivfPqCandidateBody,
        |${pqRerankTail(40)}""".stripMargin
 
