@@ -95,8 +95,13 @@ object ScaleRehearsal {
       println(f"[scale] generated ${factor}x corpus in ${(System.nanoTime() - tg) / 1e9}%.1f s at $out")
     }
 
-    val targets = Seq("q_dedup_simhash", "q_dedup_clusters",
-      "q_cluster_family_shared", "q_ann_ivfpq_rerank", "q_record_linkage")
+    // args(2..) override the target list — e.g. the 100x point drops
+    // q_record_linkage, whose fixed-blocking-key stress regime is
+    // quadratic BY CONSTRUCTION (pairs ×10^4 at 100×; the 10× point
+    // already measured per-pair cost flat, SCALE_r11.md)
+    val targets = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q_dedup_simhash", "q_dedup_clusters",
+        "q_cluster_family_shared", "q_ann_ivfpq_rerank", "q_record_linkage")
     val results = targets.map { q =>
       // untimed warmup on the 1x corpus: JIT + codegen compile +
       // classloading land here, so neither timed leg pays them (a
