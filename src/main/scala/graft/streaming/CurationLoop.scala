@@ -34,9 +34,11 @@ import graft.operators.Dedup
   *     `dup_near` ids and the batch×corpus edges). At table scale the
   *     indexes are hash-bucketed tables keyed on `eh` / `(band, bkey)`
   *     and the same probes are bucket-pruned point lookups that read
-  *     only the batch's buckets — [[graft.sources.Bucketing]] is the
-  *     layout; the in-memory frames here stand in for the bucketed
-  *     scan with identical join shapes.
+  *     only the batch's buckets — [[BucketedCuration]] IS that layout,
+  *     executable (BucketedCurationSpec pins batch-by-batch parity
+  *     with this loop plus the pruned-scan plan shape); the in-memory
+  *     frames here are the low-latency face with identical join
+  *     shapes.
   *   - MAINTENANCE is O(|batch|) appends: the exact index appends only
   *     the batch's not-already-present hashes (an anti-join of two
   *     batch-sized frames), the band index appends the batch's
