@@ -35,9 +35,14 @@ import graft.operators.Dedup
   *     regime), so [[consolidate]] compacts the table on the same
   *     amortized schedule [[CurationLoop.consolidate]] uses.
   *
-  * At 100 TB the probe cost per batch is |batch buckets| bucket reads
-  * — independent of corpus size — where the in-memory face's probe is
-  * a full index scan per batch (cheap locally, linear at scale). The
+  * At 100 TB the probe reads ≤ |batch's distinct keys| buckets of
+  * ~corpus/nBuckets rows each — corpus-independent once nBuckets is
+  * sized so buckets stay bounded (the standard bucket-count rule;
+  * locally 16, at scale O(corpus/target-bucket-size)) — and the
+  * within-bucket read is further cut by parquet row-group stats (the
+  * writes sort within buckets, and the probe's IN filter is pushed to
+  * the scan). The in-memory face's probe is a full index scan per
+  * batch — cheap locally, linear at scale. The
   * statuses/edges produced are IDENTICAL to [[CurationLoop.ingest]]'s
   * (BucketedCurationSpec pins parity batch-by-batch over a random
   * ingest, plus the pruned-scan and no-corpus-shuffle plan shape).
@@ -79,6 +84,7 @@ final class BucketedCurationStore(spark: SparkSession, prefix: String,
                             mode: String = "overwrite"): Unit =
     df.repartition(buckets, col(key))
       .write.mode(mode).format("parquet").bucketBy(buckets, key)
+      .sortBy(key) // row-group stats serve the pushed IN filter
       .saveAsTable(table)
 
   /** Distinct key values of a one-column batch frame — the bounded
