@@ -104,6 +104,83 @@ class BucketedCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("probe I/O is bounded by the batch's buckets, not the corpus (stage-metrics audit)") {
+    // SelectedBucketsCount (pinned above) is plan metadata; this test
+    // pins the ACTUAL I/O: records read by the probe's jobs equal the
+    // rows living in the batch's buckets (bucket id =
+    // pmod(murmur3(bkey), n) — the same hash Spark's bucketing uses),
+    // never the whole table. With the corpus spread over all 16
+    // buckets and a one-doc probe touching <= 8, that is a real skip.
+    val store = new BucketedCurationStore(spark, "bc_io", nBuckets)
+    store.init()
+    val stageIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val group = "bc-probe-audit"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => stageIds.add(id))
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stageIds.contains(sc.stageInfo.stageId)) {
+          val m = sc.stageInfo.taskMetrics
+          records.addAndGet(
+            m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead)
+        }
+    }
+    def settle(): Long = {
+      val deadline = System.nanoTime() + 8L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && records.get() != last) {
+        last = records.get(); Thread.sleep(250)
+      }
+      last
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      (0 until 12).foreach { b =>
+        val docs = (0 until 10).map(i =>
+          (b * 100L + i, (1 to 20).map(j => s"io${b}_${i}_$j").mkString(" ")))
+        BucketedCuration.ingest(store, docs.toDF("doc_id", "text"))
+      }
+      val probeBatch = Seq((9100L, (1 to 20).map(j => s"pp$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val keys = graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignatures(probeBatch), 8, 2)
+        .localCheckpoint(true)
+      val nKeys = keys.count()
+      val band = spark.table(store.bandTable)
+      val totalRows = band.count()
+      // rows living in the batch's buckets — what a bucket-level skip
+      // reads at most; row-group stats may read even less
+      val batchBuckets = keys
+        .select(pmod(hash(col("bkey")), lit(nBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(batchBuckets.size < nBuckets,
+        s"probe keys must not cover every bucket: $batchBuckets")
+      val rowsInBatchBuckets = band
+        .filter(pmod(hash(col("bkey")), lit(nBuckets))
+          .isin(batchBuckets.toSeq: _*)).count()
+      records.set(0); stageIds.clear()
+      spark.sparkContext.setJobGroup(group, "bucketed probe audit")
+      try store.probeBand(keys).count()
+      finally spark.sparkContext.clearJobGroup()
+      val read = settle()
+      assert(read > 0L, "probe jobs untagged?")
+      // batch side (cached keys frame) also counts as input records
+      assert(read <= rowsInBatchBuckets + 4 * nKeys,
+        s"probe read $read records; the batch's buckets hold only " +
+          s"$rowsInBatchBuckets of $totalRows")
+      assert(rowsInBatchBuckets < totalRows,
+        "corpus must span more buckets than the probe touches")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      store.drop()
+    }
+  }
+
   test("appends land in the right buckets and consolidate compacts files") {
     val store = new BucketedCurationStore(spark, "bc_files", nBuckets)
     store.init()
