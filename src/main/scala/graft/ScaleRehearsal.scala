@@ -89,9 +89,20 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // the reuse check must validate WHAT was generated, not just that
+    // something exists — a rerun at a different factor (or base dir)
+    // into the same out dir would otherwise silently time the stale
+    // corpus while reporting the requested factor
+    val marker = new java.io.File(s"$out/_generated_for.txt")
+    val want = s"base=$base factor=$factor"
+    val have =
+      if (marker.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath))
+      else ""
+    if (have != want) {
       val tg = System.nanoTime()
       gen(spark, base, out, factor)
+      java.nio.file.Files.write(marker.toPath, want.getBytes)
       println(f"[scale] generated ${factor}x corpus in ${(System.nanoTime() - tg) / 1e9}%.1f s at $out")
     }
 

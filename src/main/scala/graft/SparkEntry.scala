@@ -283,7 +283,7 @@ object SparkEntry {
       Similarity.ivfPqRerankTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // the FULL production ANN shape: coarse quantizer AND PQ book
-    // trained (3 Lloyd rounds) on a 25% training sample — a
+    // trained (one Lloyd round) on a 25% training sample — a
     // deterministic vec_id % 4 slice standing in for a seeded uniform
     // sample so the DuckDB oracle can replay the identical training —
     // composed with the ADC top-40 shortlist + exact-cosine rerank.

@@ -155,44 +155,56 @@ object ThroughputBench {
       StructField("user_id", StringType),
       StructField("merchant_id", StringType),
       StructField("amount", DoubleType)))
-    val avroRecs = graft.sources.AvroWire.encodeKeyed(payload, "key")
-      .localCheckpoint(true)
-    val jsonRecs = payload.select(col("key"),
-        to_json(struct(col("transaction_id"), col("user_id"),
-          col("merchant_id"), col("amount"))).as("value"))
-      .localCheckpoint(true)
-
+    // the parity sums must be ORDER-INDEPENDENT: the two logs are
+    // written by independent task sets and read back in nondeterminate
+    // merge order, so a plain sum(double) could round differently in
+    // the last ulp on a perfectly lossless run and flip parity to
+    // false spuriously — ExactAgg.dsum is the repo-wide fix
     def avroConsumeOut(dir: String) = graft.sources.AvroWire.decode(
         spark.read.format("graftlog").option("path", dir).load(), schema)
-      .agg(count(lit(1)).as("n"), sum(col("amount")).as("s")).head()
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactAgg.dsum(col("amount")).as("s")).head()
     def jsonConsumeOut(dir: String) = spark.read.format("graftlog")
       .option("path", dir).load()
       .select(from_json(col("value").cast("string"), schema).as("r"))
-      .agg(count(lit(1)).as("n"), sum(col("r.amount")).as("s")).head()
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactAgg.dsum(col("r.amount")).as("s")).head()
 
     val avroDir = tmpLog()
-    val tA0 = System.nanoTime()
-    graft.sources.log.GraftLog.write(avroRecs, avroDir, partitions = cpus)
-    val avroProduce = n / ((System.nanoTime() - tA0) / 1e9)
-    val tA1 = System.nanoTime()
-    val avroOut = avroConsumeOut(avroDir)
-    val avroConsume = n / ((System.nanoTime() - tA1) / 1e9)
-
     val jsonDir = tmpLog()
-    val tJ0 = System.nanoTime()
-    graft.sources.log.GraftLog.write(jsonRecs, jsonDir, partitions = cpus)
-    val jsonProduce = n / ((System.nanoTime() - tJ0) / 1e9)
-    val tJ1 = System.nanoTime()
-    val jsonOut = jsonConsumeOut(jsonDir)
-    val jsonConsume = n / ((System.nanoTime() - tJ1) / 1e9)
-
-    // warm repeats (codegen/JIT compiled, page cache hot, checkpoint
-    // blocks released so heap pressure can't skew the later legs) —
-    // the steadier decode-cost comparison; the cold legs above keep
-    // the end-to-end "first read" story honest. Best-of-2 per lane:
-    // a single rep is at the mercy of one GC pause on this host.
-    avroRecs.unpersist(blocking = true)
-    jsonRecs.unpersist(blocking = true)
+    // the checkpointed input frames are needed by the produce legs
+    // only; scope them so the references die here — Dataset.unpersist
+    // would NOT free localCheckpoint blocks (it only drops SQL-cache
+    // entries), the ContextCleaner reclaims them once unreachable
+    val (avroProduce, avroOut, avroConsume, jsonProduce, jsonOut,
+         jsonConsume) = {
+      val avroRecs = graft.sources.AvroWire.encodeKeyed(payload, "key")
+        .localCheckpoint(true)
+      val jsonRecs = payload.select(col("key"),
+          to_json(struct(col("transaction_id"), col("user_id"),
+            col("merchant_id"), col("amount"))).as("value"))
+        .localCheckpoint(true)
+      val tA0 = System.nanoTime()
+      graft.sources.log.GraftLog.write(avroRecs, avroDir, partitions = cpus)
+      val aP = n / ((System.nanoTime() - tA0) / 1e9)
+      val tA1 = System.nanoTime()
+      val aOut = avroConsumeOut(avroDir)
+      val aC = n / ((System.nanoTime() - tA1) / 1e9)
+      val tJ0 = System.nanoTime()
+      graft.sources.log.GraftLog.write(jsonRecs, jsonDir, partitions = cpus)
+      val jP = n / ((System.nanoTime() - tJ0) / 1e9)
+      val tJ1 = System.nanoTime()
+      val jOut = jsonConsumeOut(jsonDir)
+      val jC = n / ((System.nanoTime() - tJ1) / 1e9)
+      (aP, aOut, aC, jP, jOut, jC)
+    }
+    // warm repeats (codegen/JIT compiled, page cache hot, input
+    // checkpoint blocks now unreferenced — GC nudged below so the
+    // cleaner can land before these legs) — the steadier decode-cost
+    // comparison; the cold legs above keep the end-to-end "first
+    // read" story honest. Best-of-2 per lane: a single rep is at the
+    // mercy of one GC pause on this host.
+    System.gc()
     def best(rep: => Unit): Double = (1 to 2).map { _ =>
       val t = System.nanoTime(); rep; n / ((System.nanoTime() - t) / 1e9)
     }.max

@@ -57,16 +57,20 @@ final class BucketedCurationStore(spark: SparkSession, prefix: String,
   /** (Re)create both index tables empty with their bucket specs.
     *
     * Also pins `spark.sql.sources.bucketing.autoBucketedScan.enabled`
-    * to false for the session: Spark's `DisableUnnecessaryBucketedScan`
+    * to false while the store lives ([[drop]] restores the prior
+    * value): Spark's `DisableUnnecessaryBucketedScan`
     * un-buckets a scan whenever no upstream operator requires the
     * hash distribution — which is ALWAYS true for a broadcast-probed
     * point lookup — and an un-bucketed scan forfeits bucket-filter
     * pruning (the whole point of this layout). The probes here want
     * the pruning, not the distribution.
     */
+  private var priorAutoBucketedScan: Option[String] = None
+
   def init(): Unit = {
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    priorAutoBucketedScan = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
     spark.sql(s"DROP TABLE IF EXISTS $exactTable")
     spark.sql(s"DROP TABLE IF EXISTS $bandTable")
     writeBucketed(Seq.empty[String].toDF("eh"), exactTable, "eh")
@@ -135,9 +139,18 @@ final class BucketedCurationStore(spark: SparkSession, prefix: String,
     writeBucketed(b, bandTable, "bkey")
   }
 
+  /** Drops the tables and restores the session's prior
+    * autoBucketedScan setting (the probes needed it off; other users
+    * of the session should not inherit that).
+    */
   def drop(): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $exactTable")
     spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    priorAutoBucketedScan match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
 

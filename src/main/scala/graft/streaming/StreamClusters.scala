@@ -179,13 +179,25 @@ object StreamClusters {
     val subNodes = sub.select(col("doc_a").as("node"))
       .unionAll(sub.select(col("doc_b").as("node"))).distinct()
       .withColumnRenamed("node", "doc_id")
+    val obs = new org.apache.spark.sql.Observation()
     val subLabels = Dedup.connectedComponents(sub, subNodes)
       .withColumnRenamed("doc_id", "node")
       .withColumn("seq", lit(state.nextSeq))
+      .observe(obs, count(lit(1)).as("rows"))
       .localCheckpoint(true)
-    // count of the just-checkpointed slice — O(touched), no
-    // standing-state scan; feeds the Maintainer's changelog bound
-    val appended = subLabels.count()
+    // the appended-changelog count (O(touched), feeds the Maintainer's
+    // changelog bound) RIDES the slice's own checkpoint job as an
+    // observe metric — the Dedup CC probe pattern — instead of costing
+    // every ingest an extra count job; bounded wait, direct-count
+    // fallback, identical value either way
+    val appended =
+      try {
+        import scala.concurrent.Await
+        import scala.concurrent.duration.DurationInt
+        Await.result(obs.future, 30.seconds).getAs[Long]("rows")
+      } catch {
+        case _: scala.concurrent.TimeoutException => subLabels.count()
+      }
     ClusterState(state.starBase, state.edgeDelta.unionAll(pairs),
       state.labelBase, state.labelDelta.unionAll(subLabels),
       state.labelDeltaRows + appended, state.nextSeq + 1)
