@@ -171,6 +171,39 @@ object StreamAnn {
       k, state.msub)
   }
 
+  /** The production two-stage serving layout over the maintained code
+    * index: [[queryPq]] ranks the probed candidates on compressed
+    * codes, then the top-`rerank` survivors per query are re-scored by
+    * exact cosine against their FULL vectors read from
+    * `corpusVectors` — the raw-vector store the codes were encoded
+    * from (at scale a parquet/bucketed table; the join touches only
+    * the |Q|·rerank shortlist, never a scan — the code index stays the
+    * only corpus-sized thing in memory). Ranking and result shape are
+    * identical to [[graft.operators.Similarity.ivfPqRerankTopK]];
+    * StreamAnnSpec pins equality against the batch operator across a
+    * build + two ingests.
+    */
+  def queryPqRerank(state: PqAnnState, queries: DataFrame,
+                    corpusVectors: DataFrame, k: Int, rerank: Int = 20,
+                    nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = queryPq(state, queries, rerank, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qsrc = Similarity.prepared(queries, state.dim)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val corpus = Similarity.prepared(corpusVectors, state.dim)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val scored = shortlist.join(qsrc, "query_id").join(corpus, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"),
+          state.dim).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
   /** Segment compaction for the code index. */
   def consolidatePq(state: PqAnnState): PqAnnState =
     state.copy(codes = state.codes.localCheckpoint(true))

@@ -55,6 +55,15 @@ class StreamAnnSpec extends AnyFunSuite {
     val got = key(StreamAnn.queryPq(st, emb.filter(queryPred), k = 5))
     val want = key(Similarity.ivfPqTopK(emb, queryPred, k = 5))
     assert(got == want)
+    // the exact-rerank refine stage over the SAME maintained store:
+    // ADC shortlist from the code index, full vectors read from the
+    // raw-vector store only for the shortlist — must equal the batch
+    // two-stage operator bit-for-bit (same frozen first-16 books)
+    val gotRr = key(StreamAnn.queryPqRerank(st, emb.filter(queryPred), emb,
+      k = 3, rerank = 10))
+    val wantRr = key(Similarity.ivfPqRerankTopK(emb, queryPred, k = 3,
+      rerank = 10))
+    assert(gotRr == wantRr)
     graft.operators.OperatorCaches.releaseAll()
   }
 
