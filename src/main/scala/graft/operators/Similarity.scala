@@ -350,7 +350,6 @@ object Similarity {
                       msub: Int = 8, ksub: Int = 16, dim: Int = Dim,
                       pivotsOpt: Option[DataFrame] = None,
                       bookOpt: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val all = OperatorCaches.track(prepared(embeddings, dim))
     val shortlist = ivfPqTopK(embeddings, queryPred, rerank, nlist, nprobe,
         msub, ksub, dim, pivotsOpt, bookOpt)
@@ -358,12 +357,24 @@ object Similarity {
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-    val scored = shortlist
-      .join(q, "query_id")
+    exactRerank(shortlist.join(q, "query_id")
       .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-        "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"), dim).as("cos"))
+        "neighbor_id"), k, dim)
+  }
+
+  /** The exact-rerank ranking tail shared by every two-stage serving
+    * operator (batch [[ivfPqRerankTopK]] and the streaming store's
+    * `StreamAnn.queryPqRerank`): score (query_id, neighbor_id, qv,
+    * qnrm, v, nrm) pairs by exact cosine and keep the top `k` per
+    * query, ties to the smaller neighbor id. ONE definition so the
+    * pinned batch≡stream bit-equality holds by construction — a
+    * tie-break or column change lands in both operators or neither.
+    */
+  private[graft] def exactRerank(pairs: DataFrame, k: Int,
+                                 dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pairs.select(col("query_id"), col("neighbor_id"),
+      pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"), dim).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

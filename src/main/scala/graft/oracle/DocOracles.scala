@@ -862,13 +862,19 @@ object DocOracles {
     * sf0.1 (>30 min on one query) — this form runs the same query in
     * ~3 s there and is measured bit-identical to the Spark fixpoint at
     * every SF (labels already stable at 8 rounds on sf0.1). The
-    * fixpoint is unique, so any sufficient round count is exact; an
-    * INSUFFICIENT count cannot pass silently — non-converged labels
-    * hash-mismatch Spark's exact pointer-jumping fixpoint at the gate.
+    * fixpoint is unique, so any sufficient round count is exact; and
+    * an INSUFFICIENT count is a self-describing ORACLE error, not a
+    * misattributed Spark mismatch: one extra guard round (l$k+1) runs
+    * after the committed budget and any label it still moves raises
+    * `error('CC oracle: not converged…')` — the investigator is sent
+    * at the oracle's round budget, never at the Spark operator. (The
+    * guard is necessary-condition only — l_k = l_{k+1} at a true
+    * fixpoint; a stable-but-wrong label is impossible because the
+    * min-label fixpoint is unique.)
     */
   private def simhashClustersSql: String = {
     val k = 12
-    val rounds = (1 to k).map { i =>
+    val rounds = (1 to (k + 1)).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT l.node, LEAST(l.lbl, COALESCE(nm.m, l.lbl),
          |                       COALESCE(j.lbl, l.lbl)) AS lbl
@@ -878,13 +884,20 @@ object DocOracles {
          |             GROUP BY 1) nm ON nm.node = l.node
          |  LEFT JOIN l${i - 1} j ON j.node = l.lbl)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+    s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
        |sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
        |        UNION ALL SELECT doc_b, doc_a FROM p),
        |l0 AS MATERIALIZED (SELECT a AS node, LEAST(a, MIN(b)) AS lbl
        |       FROM sym GROUP BY a),
        |$rounds,
-       |m AS (SELECT node AS doc_id, lbl AS mn FROM l$k)
+       |chk AS MATERIALIZED (SELECT COUNT(*) AS moved
+       |       FROM l$k a JOIN l${k + 1} b
+       |         ON a.node = b.node AND a.lbl <> b.lbl),
+       |m AS (SELECT node AS doc_id,
+       |        CASE WHEN (SELECT moved FROM chk) > 0
+       |             THEN error('CC oracle: not converged in $k rounds — raise the unroll budget')
+       |             ELSE lbl END AS mn
+       |      FROM l$k)
        |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
   }

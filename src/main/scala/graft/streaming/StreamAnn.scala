@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -29,10 +29,11 @@ import graft.operators.Similarity
   * the seed — the batch twin derives its codebook from the full
   * corpus by the same `vec_id < nlist` rule). The divergence to know:
   * a batch recompute could RETRAIN the codebook on the grown corpus;
-  * the stream deliberately does not. [[IngestAudit.meanBestCos]] is
-  * the drift signal that decides when an offline retrain + reindex is
-  * due — falling assignment quality means the frozen pivots no longer
-  * cover the distribution.
+  * the INGEST path deliberately does not. [[IngestAudit.meanBestCos]]
+  * is the drift signal that decides when a retrain + reindex is due —
+  * falling assignment quality means the frozen pivots no longer cover
+  * the distribution — and [[retrainPq]] is that maintenance op,
+  * executable in-engine.
   */
 object StreamAnn {
 
@@ -160,8 +161,15 @@ object StreamAnn {
     * lookups.
     */
   def queryPq(state: PqAnnState, queries: DataFrame, k: Int,
-              nprobe: Int = 4): DataFrame = {
-    val qsrc = Similarity.prepared(queries, state.dim)
+              nprobe: Int = 4): DataFrame =
+    queryPqOn(state, Similarity.prepared(queries, state.dim), k, nprobe)
+
+  /** [[queryPq]] over an already-[[Similarity.prepared]] query frame,
+    * so composing operators (the rerank stage) prepare the queries
+    * exactly once.
+    */
+  private def queryPqOn(state: PqAnnState, qsrc: DataFrame, k: Int,
+                        nprobe: Int): DataFrame = {
     val cand = Similarity.probeLists(qsrc, state.pivots, nprobe, state.dim)
       .join(state.codes, col("plist") === col("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -176,35 +184,78 @@ object StreamAnn {
     * codes, then the top-`rerank` survivors per query are re-scored by
     * exact cosine against their FULL vectors read from
     * `corpusVectors` — the raw-vector store the codes were encoded
-    * from (at scale a parquet/bucketed table; the join touches only
-    * the |Q|·rerank shortlist, never a scan — the code index stays the
-    * only corpus-sized thing in memory). Ranking and result shape are
-    * identical to [[graft.operators.Similarity.ivfPqRerankTopK]];
+    * from (at scale a parquet/bucketed table). The shortlist joins to
+    * the RAW store before any per-vector math, so only the
+    * |Q|·rerank joined rows are cast and normed — the corpus-sized
+    * thing in memory stays the code index, and the full-vector store
+    * is touched only through the bounded keyed join (bucket/partition
+    * pruning on `vec_id` applies when the store is laid out for it).
+    * The two stores are maintained independently at scale, so a
+    * shortlist id MISSING from the raw store is an out-of-sync bug,
+    * not a degraded result: the join is left-outer and a missing
+    * vector raises with the offending id rather than silently
+    * promoting worse neighbors. Ranking and result shape are
+    * identical to [[graft.operators.Similarity.ivfPqRerankTopK]] —
+    * both operators share [[Similarity.exactRerank]], and
     * StreamAnnSpec pins equality against the batch operator across a
     * build + two ingests.
     */
   def queryPqRerank(state: PqAnnState, queries: DataFrame,
                     corpusVectors: DataFrame, k: Int, rerank: Int = 20,
                     nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val shortlist = queryPq(state, queries, rerank, nprobe)
+    val qsrc = graft.operators.OperatorCaches.track(
+      Similarity.prepared(queries, state.dim))
+    val shortlist = queryPqOn(state, qsrc, rerank, nprobe)
       .select(col("query_id"), col("neighbor_id"))
-    val qsrc = Similarity.prepared(queries, state.dim)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    val corpus = Similarity.prepared(corpusVectors, state.dim)
-      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
-    val scored = shortlist.join(qsrc, "query_id").join(corpus, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.pairCos(col("qv"), col("qnrm"), col("v"), col("nrm"),
-          state.dim).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "cos", "rn")
+    val q = qsrc.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val raw = corpusVectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding"))
+    val withVec = shortlist.join(q, "query_id")
+      .join(raw, Seq("neighbor_id"), "left")
+      .withColumn("v", when(col("embedding").isNull,
+          raise_error(concat(
+            lit("queryPqRerank: vec_id "), col("neighbor_id"),
+            lit(" is in the code index but missing from the raw-vector " +
+              "store — stores out of sync"))))
+        .otherwise(Similarity.asDouble(col("embedding"))))
+      .withColumn("nrm", Similarity.norm(col("v"), state.dim))
+    Similarity.exactRerank(withVec, k, state.dim)
   }
 
   /** Segment compaction for the code index. */
   def consolidatePq(state: PqAnnState): PqAnnState =
     state.copy(codes = state.codes.localCheckpoint(true))
+
+  /** The RETRAIN + REINDEX the drift signal decides — the maintenance
+    * op [[IngestAudit.meanBestCos]]'s scaladoc defers to "offline":
+    * when assignment quality against the frozen books has fallen
+    * (the ingested distribution moved away from the build-time
+    * corpus), train ONE fresh book on the grown corpus
+    * ([[Similarity.kmeansCarr]], `iters` Lloyd rounds over the
+    * `samplePred` training sample — the production shape: train on a
+    * sample, quantize everything) and re-encode every vector against
+    * it, the book serving both the coarse and PQ roles exactly as the
+    * batch trained stack (q_ann_trained_rerank) composes it.
+    *
+    * Cost is O(corpus) — one row-local encode pass over the raw-vector
+    * store (the ONE op that re-reads it; ingest/query never do) plus
+    * the Lloyd rounds on the sample — paid only when the drift signal
+    * fires, amortized like consolidation. The returned state is fully
+    * consolidated (one codes segment) and serves [[queryPq]] /
+    * [[queryPqRerank]] unchanged; StreamAnnSpec pins it bit-equal to
+    * the batch operator under the same trained books.
+    */
+  def retrainPq(state: PqAnnState, corpusVectors: DataFrame,
+                ksub: Int = 16, iters: Int = 1,
+                samplePred: Column = lit(true)): PqAnnState = {
+    val book = Similarity.kmeansCarr(corpusVectors.filter(samplePred),
+      ksub, iters, state.dim).localCheckpoint(true)
+    val pivots = Similarity.carrToPivotArr(book).localCheckpoint(true)
+    val codes = Similarity.pqEncode(
+        Similarity.prepared(corpusVectors, state.dim),
+        pivots, book, state.msub, state.dim)
+      .localCheckpoint(true)
+    PqAnnState(pivots, book, codes, nlist = ksub, state.msub, state.dim)
+  }
 }

@@ -64,6 +64,54 @@ class StreamAnnSpec extends AnyFunSuite {
     val wantRr = key(Similarity.ivfPqRerankTopK(emb, queryPred, k = 3,
       rerank = 10))
     assert(gotRr == wantRr)
+    // out-of-sync stores are an ERROR, not a degraded result: a
+    // shortlist id whose raw vector is missing from the vector store
+    // raises with the offending id instead of silently promoting a
+    // worse neighbor into the top-k
+    val holed = emb.filter(col("vec_id") =!= lit(wantRr.head._2))
+    val ex = intercept[Exception] {
+      StreamAnn.queryPqRerank(st, emb.filter(queryPred), holed,
+        k = 3, rerank = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("missing from the raw-vector")))
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("drift-triggered retrain + reindex equals the batch trained-book stack") {
+    // grow the store from a seed that misses most of the corpus, then
+    // retrain on the full grown corpus: the refreshed state must serve
+    // queries bit-identically to the batch operator composed with the
+    // SAME trained books (one kmeansCarr book in both roles — the
+    // q_ann_trained_rerank composition)
+    val seed = emb.filter(col("vec_id") < 40)
+    val rest = emb.filter(col("vec_id") >= 40)
+    var st = StreamAnn.buildPq(seed)
+    st = StreamAnn.ingestPq(st, rest)
+    val trainPred = col("vec_id") % 4 === 0
+    val st2 = StreamAnn.retrainPq(st, emb, ksub = 16, iters = 1,
+      samplePred = trainPred)
+    // retrain re-encoded every vector: same count, codes only
+    assert(st2.codes.count() == emb.count())
+    assert(st2.codes.schema.fieldNames.toSeq ==
+      Seq("vec_id", "list_id", "codes"))
+    val queryPred = col("vec_id") < 8
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val book = Similarity.kmeansCarr(emb.filter(trainPred), k = 16,
+      iters = 1)
+    val wantPq = key(Similarity.ivfPqTopK(emb, queryPred, k = 5,
+      pivotsOpt = Some(Similarity.carrToPivotArr(book)),
+      bookOpt = Some(book)))
+    assert(key(StreamAnn.queryPq(st2, emb.filter(queryPred), k = 5)) ==
+      wantPq)
+    val wantRr = key(Similarity.ivfPqRerankTopK(emb, queryPred, k = 3,
+      rerank = 10, pivotsOpt = Some(Similarity.carrToPivotArr(book)),
+      bookOpt = Some(book)))
+    assert(key(StreamAnn.queryPqRerank(st2, emb.filter(queryPred), emb,
+      k = 3, rerank = 10)) == wantRr)
     graft.operators.OperatorCaches.releaseAll()
   }
 
