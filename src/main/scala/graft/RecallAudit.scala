@@ -59,6 +59,15 @@ object RecallAudit {
       .localCheckpoint(true)
     OperatorCaches.releaseAll()
 
+    // trained RESIDUAL book (the production IVFADC shape): one Lloyd
+    // round of k-means over the residual frame itself
+    val residuals = Similarity.residualFrame(emb).localCheckpoint(true)
+    val residualBook = Similarity.kmeansCarr(
+        residuals.select(col("vec_id"), col("r").as("embedding")),
+        k = 16, iters = 1)
+      .localCheckpoint(true)
+    OperatorCaches.releaseAll()
+
     val rows = Seq.newBuilder[(String, Int, Double)]
     for (nprobe <- Seq(1, 2, 4, 8)) {
       rows += (("ivf_first16", nprobe,
@@ -75,6 +84,14 @@ object RecallAudit {
         recallOf(Similarity.ivfPqTopK(emb, qPred, k, nprobe = nprobe,
           pivotsOpt = Some(trained), bookOpt = Some(trainedBook)), truth, k)))
       OperatorCaches.releaseAll()
+      rows += (("ivfpq_residual", nprobe,
+        recallOf(Similarity.ivfPqResidualTopK(emb, qPred, k,
+          nprobe = nprobe), truth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("ivfpq_residual_trained", nprobe,
+        recallOf(Similarity.ivfPqResidualTopK(emb, qPred, k,
+          nprobe = nprobe, bookOpt = Some(residualBook)), truth, k)))
+      OperatorCaches.releaseAll()
       rows += (("ivfpq_rerank40", nprobe,
         recallOf(Similarity.ivfPqRerankTopK(emb, qPred, k, rerank = 40,
           nprobe = nprobe), truth, k)))
@@ -85,6 +102,52 @@ object RecallAudit {
           bookOpt = Some(sampleBook)), truth, k)))
       OperatorCaches.releaseAll()
     }
+    // ---- clustered-regime twin --------------------------------------
+    // Residual encoding pays exactly when the corpus CONCENTRATES
+    // around the coarse cells (the IVFADC premise); the near-uniform
+    // synthetic embeddings above are the opposite regime. Derive a
+    // 16-cluster corpus from the first 16 corpus vectors (cluster
+    // centers = the operator's default pivots) with 40 hash-perturbed
+    // points each — residuals are then pure within-cell offsets and
+    // the residual book quantizes THEM instead of re-describing the
+    // cells.
+    val centers = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding"))
+        .as("embedding"))
+    def noisyCopies(copies: Int): DataFrame =
+      (1 to copies).map { c =>
+        val withD = centers.select(col("vec_id"), col("embedding"),
+          md5(concat(lit(s"clu:$c:a:"), col("vec_id").cast("string")))
+            .as("da"),
+          md5(concat(lit(s"clu:$c:b:"), col("vec_id").cast("string")))
+            .as("db"))
+        def eps(j: Int) = {
+          val digest = if (j <= 32) col("da") else col("db")
+          val pos = (j - 1) % 32 + 1
+          val a = ascii(substring(digest, pos, 1))
+          val nib = when(a >= 97, a - 87).otherwise(a - 48)
+          (nib.cast("double") - lit(7.5)) / lit(128.0)
+        }
+        withD.select((col("vec_id") + lit(16L * c)).as("vec_id"),
+          array((1 to 64).map(j =>
+            element_at(col("embedding"), j) + eps(j)): _*).as("embedding"))
+      }.reduce(_ unionByName _)
+    val clustered = centers.unionByName(noisyCopies(40))
+      .localCheckpoint(true)
+    val cqPred = col("vec_id") >= 320 && col("vec_id") < 328
+    val ctruth = topkSets(Similarity.bruteForceTopK(clustered, cqPred, k))
+    OperatorCaches.releaseAll()
+    for (nprobe <- Seq(1, 2, 4)) {
+      rows += (("clustered_pq_raw", nprobe,
+        recallOf(Similarity.ivfPqTopK(clustered, cqPred, k,
+          nprobe = nprobe), ctruth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("clustered_pq_residual", nprobe,
+        recallOf(Similarity.ivfPqResidualTopK(clustered, cqPred, k,
+          nprobe = nprobe), ctruth, k)))
+      OperatorCaches.releaseAll()
+    }
+
     val out = rows.result()
     println("variant,nprobe,recall_at_10")
     out.foreach { case (v, np, r) => println(f"$v,$np,$r%.4f") }

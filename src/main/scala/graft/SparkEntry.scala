@@ -282,6 +282,13 @@ object SparkEntry {
     "q_ann_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqRerankTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // IVFADC residual encoding: the PQ book quantizes v - c(list)
+    // so the code bytes describe the offset WITHIN the coarse cell
+    // (the published residual layout; ADC tables per (query, probed
+    // list))
+    "q_ann_ivfpq_residual" -> ((s, d) =>
+      Similarity.ivfPqResidualTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // the FULL production ANN shape: coarse quantizer AND PQ book
     // trained (one Lloyd round) on a 25% training sample — a
     // deterministic vec_id % 4 slice standing in for a seeded uniform

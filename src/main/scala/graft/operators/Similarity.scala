@@ -381,6 +381,119 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** The pivot vector of the list keyed by `key`, looked up in a
+    * broadcast (pid, pv, pn) parr column.
+    */
+  private def centroidOf(key: Column, parr: Column): Column =
+    element_at(filter(parr, p => p("pid") === key), 1)("pv")
+
+  /** (vec_id, list_id, r): coarse-assign the prepared frame against
+    * `pivots`, then subtract the assigned centroid element-wise — the
+    * residual projection of the IVFADC layout, all row-local.
+    */
+  private def residualOf(all: DataFrame, pivots: DataFrame,
+                         dim: Int): DataFrame =
+    assignBy(all, pivots, dim)
+      .crossJoin(broadcast(pivots))
+      .withColumn("cvec", centroidOf(col("list_id"), col("parr")))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r"))
+
+  /** The residual projection over a raw embeddings frame — exposed so
+    * a trainer can fit a residual book (k-means over the residuals,
+    * the production IVFADC shape) that then feeds
+    * [[ivfPqResidualTopK]]'s `bookOpt`.
+    */
+  def residualFrame(embeddings: DataFrame, nlist: Int = 16,
+                    dim: Int = Dim,
+                    pivotsOpt: Option[DataFrame] = None): DataFrame = {
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    residualOf(all, pivotsOpt.getOrElse(pivotArr(all, nlist)), dim)
+  }
+
+  /** IVF-PQ over RESIDUALS — the published IVFADC layout (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", §V):
+    * the PQ book quantizes r = v − c(list) instead of the raw vector,
+    * so the code bytes describe the vector's offset WITHIN its coarse
+    * cell rather than re-describing the cell itself — at equal code
+    * budget the quantization error drops and recall rises (measured
+    * against the raw-PQ rung in COVERAGE.md's recall table). The
+    * price: ADC tables become per-(query, probed list) —
+    * ||(q − c_list)_m − r_cm||² — i.e. |Q|·nprobe tables of
+    * msub×ksub entries instead of |Q|; still a broadcast-sized frame
+    * for any real query batch.
+    *
+    * Book convention (oracle reproducibility, like [[pqBook]] — but
+    * shifted): the residuals of corpus vectors `nlist..nlist+ksub`,
+    * cid = vec_id − nlist. NOT the first `ksub`: vectors 0..nlist−1
+    * ARE the coarse pivots, so their residuals are identically zero —
+    * a book of 16 zero vectors makes every ADC distance
+    * candidate-independent and the ranking degenerate (measured:
+    * recall@10 0.03, nprobe-invariant). A trained residual book plugs
+    * into `bookOpt` in the same one-row carr shape (cids dense
+    * 0..ksub−1). Determinism: the residual subtraction is
+    * element-wise IEEE (zip_with a−b ≡ the SQL mirror's v[i]−pv[i]),
+    * sub-distances and the ADC sum are the shared fixed
+    * left-associated chains, ranking ties to the smaller neighbor
+    * id — q_ann_ivfpq_residual mirrors every step.
+    *
+    * Plan shape: identical to [[ivfPqTopK]] — coarse assignment,
+    * residual projection, and encoding are ONE row-local pass against
+    * two broadcast one-row frames (no corpus shuffle; the residual
+    * exists only as a projected column), the candidate join is keyed
+    * on the probed list, and the per-(query, probe) ADC tables
+    * broadcast.
+    */
+  def ivfPqResidualTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
+                        ksub: Int = 16, dim: Int = Dim,
+                        pivotsOpt: Option[DataFrame] = None,
+                        bookOpt: Option[DataFrame] = None): DataFrame = {
+    require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
+    val dsub = dim / msub
+    import org.apache.spark.sql.expressions.Window
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val pivots = pivotsOpt.getOrElse(pivotArr(all, nlist))
+    // cached: feeds the residual-book derivation and the encode pass
+    val resid = OperatorCaches.track(residualOf(all, pivots, dim))
+    val book = bookOpt.getOrElse(
+      resid.filter(col("vec_id") >= nlist && col("vec_id") < nlist + ksub)
+        .agg(sort_array(collect_list(
+          struct((col("vec_id") - nlist).as("cid"),
+            col("r").as("cv")))).as("carr")))
+    val encoded = resid.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("list_id"),
+        array((0 until msub).map { mi =>
+          array_min(transform(col("carr"), c =>
+            struct(subDist(col("r"), c("cv"), mi, dsub).as("d"),
+                   c("cid").as("cid"))))("cid")
+        }: _*).as("codes"))
+    val qsrc = all.filter(queryPred)
+    val probes = OperatorCaches.track(
+      probeLists(qsrc, pivots, nprobe, dim))
+    val qadc = probes
+      .join(qsrc.select(col("vec_id").as("query_id"), col("v")), "query_id")
+      .crossJoin(broadcast(pivots))
+      .withColumn("cvec", centroidOf(col("plist"), col("parr")))
+      .withColumn("qr", zip_with(col("v"), col("cvec"), (a, b) => a - b))
+      .drop("parr")
+      .crossJoin(broadcast(book))
+      .select(col("query_id"), col("plist"),
+        array((0 until msub).map { mi =>
+          transform(col("carr"), c => subDist(col("qr"), c("cv"), mi, dsub))
+        }: _*).as("dts"))
+    val cand = probes.join(encoded, col("plist") === col("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("plist"),
+        col("vec_id").as("neighbor_id"), col("codes"))
+    val scored = cand.join(broadcast(qadc), Seq("query_id", "plist"))
+      .select(col("query_id"), col("neighbor_id"), adcDist(msub).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "adist", "rn")
+  }
+
   /** Deterministic distributed k-means (Lloyd) over the embedding
     * corpus — the clustering primitive behind mixture balancing,
     * SemDeDup partitioning, and TRAINED IVF/PQ codebooks (the

@@ -268,6 +268,82 @@ object DocOracles {
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM ex)
        |WHERE rn <= 3""".stripMargin
 
+  /** Mirror of Similarity.ivfPqResidualTopK — the IVFADC residual
+    * layout: same coarse assignment and probe order as annIvfSql; the
+    * PQ book is the RESIDUALS of vectors 16..31 (cid = vec_id − 16;
+    * NOT the first 16 — those are the pivots themselves, whose
+    * residuals are identically zero and would degenerate the ADC;
+    * r = v − centroid-of-assigned-list, element-wise), corpus codes
+    * are per-subspace argmins over residual sub-distances, and the
+    * ADC tables are per (query, probed list) over (q − c_plist). All
+    * arithmetic uses the shared explicit left-associated chains, so
+    * codes, approx distances and ranks are bit-identical to Spark's.
+    * Residual frames are MATERIALIZED: inlining the 64-term
+    * list_value through the enc/qd consumers multiplies the
+    * expression tree exactly like the kmeans CTEs (see
+    * kmeansTrainedCte's note).
+    */
+  private def annIvfPqResidualSql: String = {
+    val msub = 8; val dsub = 8
+    def rsub(va: String, pa: String): String =
+      (1 to 64).map(i => s"($va[$i] - $pa[$i])")
+        .mkString("list_value(", ", ", ")")
+    def sd(a: String, b: String, mi: Int): String =
+      (1 to dsub).map { j =>
+        val i = mi * dsub + j
+        s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"
+      }.mkString(" + ")
+    def caseSd(vec: String): String =
+      (0 until msub).map(mi => s"WHEN $mi THEN ${sd(vec, "cv", mi)}")
+        .mkString("CASE ms.m ", " ", " END")
+    val msVals = (0 until msub).map(m => s"($m)").mkString(", ")
+    val encCols = (0 until msub)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val qdJoins = (0 until msub).map(m =>
+      s"JOIN qd q$m ON q$m.query_id = qr.query_id AND q$m.plist = qr.plist AND q$m.m = $m AND q$m.cid = e.c$m")
+      .mkString("\n|        ")
+    val adChain = (0 until msub).map(m => s"q$m.sdv").mkString(" + ")
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS (SELECT vec_id, pid AS list_id FROM ar WHERE prn = 1),
+       |qr AS (SELECT vec_id AS query_id, pid AS plist
+       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
+       |rv AS MATERIALIZED (SELECT d.vec_id, a.list_id,
+       |        ${rsub("d.v", "p.pv")} AS r
+       |      FROM d JOIN a USING (vec_id) JOIN p ON p.pid = a.list_id),
+       |cb AS MATERIALIZED (SELECT vec_id - 16 AS cid, r AS cv
+       |      FROM rv WHERE vec_id >= 16 AND vec_id < 32),
+       |ms AS (SELECT * FROM (VALUES $msVals) AS t(m)),
+       |enc AS (SELECT rv.vec_id, ms.m, cid, ${caseSd("rv.r")} AS sdv
+       |        FROM rv, cb, ms),
+       |encp AS (SELECT vec_id, $encCols
+       |         FROM (SELECT vec_id, m, cid AS code,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                   ORDER BY sdv, cid) AS rn
+       |               FROM enc) WHERE rn = 1 GROUP BY vec_id),
+       |qrv AS MATERIALIZED (SELECT qr.query_id, qr.plist,
+       |        ${rsub("d.v", "p.pv")} AS r
+       |      FROM qr JOIN d ON d.vec_id = qr.query_id
+       |        JOIN p ON p.pid = qr.plist),
+       |qd AS MATERIALIZED (SELECT qrv.query_id, qrv.plist, ms.m, cid,
+       |        ${caseSd("qrv.r")} AS sdv
+       |      FROM qrv, cb, ms),
+       |s AS (SELECT qr.query_id, a.vec_id AS neighbor_id,
+       |        $adChain AS adist
+       |      FROM qr JOIN a ON plist = list_id
+       |        JOIN encp e ON e.vec_id = a.vec_id
+       |        $qdJoins
+       |      WHERE a.vec_id <> qr.query_id)
+       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY adist, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+  }
+
   /** Mirror of q_ann_trained_rerank — the FULL production shape: both
     * the coarse quantizer AND the PQ codebook are ONE k-means book
     * (k=16, ONE Lloyd round — deeper sample training measurably hurts
@@ -1280,6 +1356,7 @@ object DocOracles {
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
+    "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
     "q_ann_trained_rerank" -> annTrainedRerankSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
