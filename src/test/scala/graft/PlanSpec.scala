@@ -601,6 +601,20 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("residual IVF-PQ: keyed candidate join, per-probe ADC tables broadcast, no cartesian") {
+    val plan = explainStr(Similarity.ivfPqResidualTopK(t("embeddings"),
+      org.apache.spark.sql.functions.col("vec_id") < 8, 3))
+    assert(!plan.contains("CartesianProduct"),
+      s"residual IVF-PQ degenerated to all-pairs:\n$plan")
+    // the (query_id, plist)-keyed ADC-table join and the probe→list
+    // candidate join must be equi-joins; nested loops appear only as
+    // the 1-row pivot/book broadcasts
+    assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"candidate/ADC joins must be keyed:\n$plan")
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("graftlog scan: reader parallelism equals the log's partition count") {
     val dir = java.nio.file.Files.createTempDirectory("glog_plan")
       .toFile.getAbsolutePath + "/log"
