@@ -368,6 +368,12 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(T(s, d)("documents"),
         Seq("spark", "join", "window"))),
+    // hybrid retrieval (the RAG serving layout): BM25 lexical leg +
+    // IVF-ANN vector leg fused by reciprocal rank, Σ 1/(60+rank) —
+    // rank arithmetic only, no cross-scale score normalization
+    "q_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(T(s, d)("documents"), T(s, d)("embeddings"),
+        Seq("spark", "join", "window"), queryVecId = 0L)),
     // positional inverted-index build: long-form postings, term
     // filter dies row-locally at the scan — nothing shuffles
     "q_inverted_index" -> ((s, d) =>

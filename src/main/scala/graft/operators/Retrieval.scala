@@ -132,4 +132,56 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    * serving layout (Cormack et al., "Reciprocal Rank Fusion
+    * outperforms Condorcet..."): a LEXICAL leg ([[bm25TopK]] over the
+    * query terms) and a VECTOR leg ([[Similarity.ivfTopK]] over the
+    * query embedding, `doc_id` ≡ `vec_id` — the corpus convention the
+    * curation loop already uses) each produce a bounded top list, and
+    * documents rank by Σ_legs 1/(rrfK + rank) — rank arithmetic only,
+    * so no score normalization across incomparable scales is needed
+    * (the reason production stacks prefer RRF over score blending).
+    *
+    * Scale shape: each leg keeps its own at-scale plan (BM25's
+    * pushed-term scan + broadcast stats; IVF's broadcast codebook +
+    * keyed inverted-list probe); the fusion itself is a full-outer
+    * join of two ≤`kLex`/`kVec`-row frames — driver-trivial, and the
+    * only global windows run over those bounded frames. Determinism:
+    * ranks are ints, 1.0/(60+rank) is one IEEE division, the two-leg
+    * sum is a fixed left-to-right chain, ties to the smaller doc_id —
+    * q_hybrid_rrf mirrors it exactly.
+    *
+    * The vector leg excludes the query vector itself (the ANN
+    * convention); the lexical leg has no notion of the query doc, so
+    * the query's own document may surface through it — the honest RAG
+    * behavior (the query text matching its own source is a feature).
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                terms: Seq[String], queryVecId: Long, k: Int = 10,
+                kLex: Int = 20, kVec: Int = 20, rrfK: Int = 60,
+                nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both legs are bounded top lists; the windows below run on ≤k*
+    // rows (post-limit), so the single-partition exchange is over a
+    // driver-sized frame — not a scale hazard
+    val lex = bm25TopK(docs, terms, kLex)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = Similarity.ivfTopK(embeddings, col("vec_id") === queryVecId,
+        kVec, nprobe = nprobe)
+      .select(col("neighbor_id").as("vdoc_id"), col("rn").as("vec_rank"))
+    val rr = (rank: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (rank + lit(rrfK)).cast("double"), lit(0.0))
+    val fused = lex.join(vec, col("doc_id") === col("vdoc_id"),
+        "full_outer")
+      .select(coalesce(col("doc_id"), col("vdoc_id")).as("doc_id"),
+        (rr(col("lex_rank")) + rr(col("vec_rank"))).as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+    fused.withColumn("rn", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("doc_id", "rrf", "lex_rank", "vec_rank", "rn")
+  }
 }

@@ -699,6 +699,80 @@ object DocOracles {
        |FROM g ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Mirror of Retrieval.hybridRrf: the bm25Sql chain (renamed CTEs)
+    * as the lexical leg, a single-query IVF chain (query vec_id = 0,
+    * nprobe 4, top-20 — annIvfSql's shapes) as the vector leg, then
+    * reciprocal-rank fusion: Σ 1/(60 + rank) over a FULL OUTER join
+    * of the two bounded top lists. Ranks are ints, the division is
+    * one IEEE op on an exactly-cast int, the two-leg sum is a fixed
+    * left-to-right chain — bit-identical cross-engine without any
+    * rounding.
+    */
+  private def hybridRrfSql: String = {
+    val terms = Seq("spark", "join", "window")
+    val k1 = graft.operators.Retrieval.K1
+    val b = graft.operators.Retrieval.B
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN c END) AS c_$i" }.mkString(",\n  ")
+    val total = terms.indices.map(i => s"COALESCE(c_$i, 0.0)")
+      .mkString(" + ")
+    s"""WITH bs AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |           FROM documents),
+       |bst AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |         CAST(SUM(CAST(len(ts) AS BIGINT)) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM bs),
+       |be AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+       |        UNNEST(ts) AS term FROM bs),
+       |be2 AS (SELECT * FROM be WHERE term IN ($inList)),
+       |bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+       |          FROM (SELECT DISTINCT doc_id, term FROM be2) GROUP BY 1),
+       |btf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM be2 GROUP BY 1, 2, 3),
+       |bc AS (SELECT doc_id, term,
+       |        ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |          * (tf * ${k1 + 1.0})
+       |          / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS c
+       |      FROM btf JOIN bdf USING (term) CROSS JOIN bst),
+       |bg AS (SELECT doc_id,
+       |  $perTerm
+       |  FROM bc GROUP BY 1),
+       |lexr AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (SELECT doc_id, ROUND($total, 6) AS bm25
+       |        FROM bg ORDER BY bm25 DESC, doc_id LIMIT 20)),
+       |hd AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |hp AS (SELECT vec_id AS pid, v AS pv FROM hd WHERE vec_id < 16),
+       |har AS (SELECT hd.vec_id, hd.v, pid,
+       |         ROW_NUMBER() OVER (PARTITION BY hd.vec_id
+       |           ORDER BY ${cos("hd.v", "pv")} DESC, pid) AS prn
+       |       FROM hd, hp),
+       |ha AS (SELECT vec_id, v, pid AS list_id FROM har WHERE prn = 1),
+       |hqr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
+       |       FROM har WHERE vec_id = 0 AND prn <= 4),
+       |hs AS (SELECT query_id, ha.vec_id AS neighbor_id,
+       |        ${cos("qv", "ha.v")} AS cos
+       |      FROM hqr JOIN ha ON plist = list_id
+       |      WHERE ha.vec_id <> query_id),
+       |vecr AS (SELECT neighbor_id, rn AS vec_rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM hs)
+       |  WHERE rn <= 20),
+       |f AS (SELECT COALESCE(l.doc_id, v.neighbor_id) AS doc_id,
+       |        COALESCE(1.0 / CAST(l.lex_rank + 60 AS DOUBLE), 0.0)
+       |          + COALESCE(1.0 / CAST(v.vec_rank + 60 AS DOUBLE), 0.0)
+       |          AS rrf,
+       |        l.lex_rank, v.vec_rank
+       |      FROM lexr l FULL OUTER JOIN vecr v
+       |        ON v.neighbor_id = l.doc_id)
+       |SELECT doc_id, rrf, lex_rank, vec_rank, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM f)
+       |WHERE rn <= 10""".stripMargin
+  }
+
   /** Mirror of Similarity.quantizeInt8: per-index error terms with the
     * identical clamp/round/div shapes, mse as the explicit
     * left-associated 64-term chain (the fold's order), max error via
@@ -1361,6 +1435,7 @@ object DocOracles {
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,
+    "q_hybrid_rrf" -> hybridRrfSql,
     "q_inverted_index" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
         |           FROM documents),

@@ -118,4 +118,27 @@ class RetrievalSpec extends AnyFunSuite {
     // the rarer (b,a) continuation strictly higher
     assert(tBA > tAB)
   }
+
+  test("hybrid RRF: fuses both legs, score is exactly the rank formula") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val terms = Seq("spark", "join", "window")
+    val out = Retrieval.hybridRrf(d, emb, terms, queryVecId = 0L, k = 10)
+      .collect()
+    // ranks are 1..k, unique, ordered by the fused score
+    assert(out.map(_.getInt(4)).toSeq == (1 to out.length))
+    // every fused row carries at least one leg rank, and the score is
+    // exactly 1/(60+lex) + 1/(60+vec) with absent legs contributing 0
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val vec = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(lex.isDefined || vec.isDefined)
+      val want = lex.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+      assert(r.getDouble(1) == want)
+    }
+    // both legs contribute to the fused top-k on this corpus
+    assert(out.exists(!_.isNullAt(2)) && out.exists(!_.isNullAt(3)))
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
