@@ -96,6 +96,10 @@ object RecallAudit {
         recallOf(Similarity.ivfPqRerankTopK(emb, qPred, k, rerank = 40,
           nprobe = nprobe), truth, k)))
       OperatorCaches.releaseAll()
+      rows += (("residual_rerank40", nprobe,
+        recallOf(Similarity.ivfPqResidualRerankTopK(emb, qPred, k,
+          rerank = 40, nprobe = nprobe), truth, k)))
+      OperatorCaches.releaseAll()
       rows += (("trained_rerank40", nprobe,
         recallOf(Similarity.ivfPqRerankTopK(emb, qPred, k, rerank = 40,
           nprobe = nprobe, pivotsOpt = Some(samplePivots),
@@ -145,6 +149,10 @@ object RecallAudit {
       rows += (("clustered_pq_residual", nprobe,
         recallOf(Similarity.ivfPqResidualTopK(clustered, cqPred, k,
           nprobe = nprobe), ctruth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("clustered_residual_rerank40", nprobe,
+        recallOf(Similarity.ivfPqResidualRerankTopK(clustered, cqPred, k,
+          rerank = 40, nprobe = nprobe), ctruth, k)))
       OperatorCaches.releaseAll()
     }
 

@@ -289,6 +289,12 @@ object SparkEntry {
     "q_ann_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // the full IVFADC serving stack: residual-ADC top-40 shortlist,
+    // exact-cosine rerank, final top-3
+    "q_ann_residual_rerank" -> ((s, d) =>
+      Similarity.ivfPqResidualRerankTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3,
+        rerank = 40)),
     // the FULL production ANN shape: coarse quantizer AND PQ book
     // trained (one Lloyd round) on a 25% training sample — a
     // deterministic vec_id % 4 slice standing in for a seeded uniform

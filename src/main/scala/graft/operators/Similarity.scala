@@ -494,6 +494,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rn")
   }
 
+  /** The full IVFADC serving stack: coarse probe → residual-ADC
+    * shortlist ([[ivfPqResidualTopK]], top `rerank`) → exact-cosine
+    * rerank of the survivors ([[exactRerank]], one bounded keyed join
+    * back to the full vectors) → top-k on the exact score. The same
+    * two-stage composition as [[ivfPqRerankTopK]] with the residual
+    * codes underneath; q_ann_residual_rerank mirrors it via the
+    * shared rerank-tail SQL.
+    */
+  def ivfPqResidualRerankTopK(embeddings: DataFrame, queryPred: Column,
+                              k: Int, rerank: Int = 20, nlist: Int = 16,
+                              nprobe: Int = 4, msub: Int = 8,
+                              ksub: Int = 16, dim: Int = Dim,
+                              pivotsOpt: Option[DataFrame] = None,
+                              bookOpt: Option[DataFrame] = None): DataFrame = {
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val shortlist = ivfPqResidualTopK(embeddings, queryPred, rerank, nlist,
+        nprobe, msub, ksub, dim, pivotsOpt, bookOpt)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = all.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    exactRerank(shortlist.join(q, "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id"), k, dim)
+  }
+
   /** Deterministic distributed k-means (Lloyd) over the embedding
     * corpus — the clustering primitive behind mixture balancing,
     * SemDeDup partitioning, and TRAINED IVF/PQ codebooks (the

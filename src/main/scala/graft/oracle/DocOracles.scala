@@ -283,7 +283,28 @@ object DocOracles {
     * expression tree exactly like the kmeans CTEs (see
     * kmeansTrainedCte's note).
     */
-  private def annIvfPqResidualSql: String = {
+  private def annIvfPqResidualSql: String =
+    s"""$annIvfPqResidualCtes
+       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY adist, neighbor_id) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+
+  /** Mirror of Similarity.ivfPqResidualRerankTopK: the residual-ADC
+    * top-40 shortlist re-scored by exact cosine — the full IVFADC
+    * serving stack (coarse probe → residual ADC → exact rerank);
+    * shares [[pqRerankTail]] with the raw-PQ and trained rerank
+    * oracles.
+    */
+  private def annResidualRerankSql: String =
+    s"""$annIvfPqResidualCtes,
+       |${pqRerankTail(40)}""".stripMargin
+
+  /** The residual-ADC candidate chain through `s` = (query_id,
+    * neighbor_id, adist); also defines `d` (corpus) for the rerank
+    * tail.
+    */
+  private def annIvfPqResidualCtes: String = {
     val msub = 8; val dsub = 8
     def rsub(va: String, pa: String): String =
       (1 to 64).map(i => s"($va[$i] - $pa[$i])")
@@ -337,11 +358,7 @@ object DocOracles {
        |      FROM qr JOIN a ON plist = list_id
        |        JOIN encp e ON e.vec_id = a.vec_id
        |        $qdJoins
-       |      WHERE a.vec_id <> qr.query_id)
-       |SELECT query_id, neighbor_id, adist, rn FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |            ORDER BY adist, neighbor_id) AS rn FROM s)
-       |WHERE rn <= 3""".stripMargin
+       |      WHERE a.vec_id <> qr.query_id)""".stripMargin
   }
 
   /** Mirror of q_ann_trained_rerank — the FULL production shape: both
@@ -1431,6 +1448,7 @@ object DocOracles {
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
+    "q_ann_residual_rerank" -> annResidualRerankSql,
     "q_ann_trained_rerank" -> annTrainedRerankSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
