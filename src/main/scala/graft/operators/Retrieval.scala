@@ -160,17 +160,28 @@ object Retrieval {
   def hybridRrf(docs: DataFrame, embeddings: DataFrame,
                 terms: Seq[String], queryVecId: Long, k: Int = 10,
                 kLex: Int = 20, kVec: Int = 20, rrfK: Int = 60,
-                nprobe: Int = 4): DataFrame = {
+                nprobe: Int = 4): DataFrame =
+    rrfFuse(bm25TopK(docs, terms, kLex),
+      Similarity.ivfTopK(embeddings, col("vec_id") === queryVecId,
+        kVec, nprobe = nprobe).select(col("neighbor_id"), col("rn")),
+      k, rrfK)
+
+  /** The fusion tail shared by the batch operator and the streaming
+    * twin (`StreamServe.hybridRrf`), so their pinned equality holds
+    * by construction: rank the bounded lexical top list (doc_id,
+    * bm25), take the vector leg's ranks as given, full-outer join,
+    * score Σ 1/(rrfK + rank) with absent legs contributing 0, final
+    * top-k by (score desc, doc_id). All windows run over post-limit
+    * bounded frames — the single-partition exchanges are
+    * driver-sized, not a scale hazard.
+    */
+  private[graft] def rrfFuse(lexTop: DataFrame, vecTop: DataFrame,
+                             k: Int, rrfK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // both legs are bounded top lists; the windows below run on ≤k*
-    // rows (post-limit), so the single-partition exchange is over a
-    // driver-sized frame — not a scale hazard
-    val lex = bm25TopK(docs, terms, kLex)
-      .withColumn("lex_rank", row_number().over(
+    val lex = lexTop.withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
-    val vec = Similarity.ivfTopK(embeddings, col("vec_id") === queryVecId,
-        kVec, nprobe = nprobe)
+    val vec = vecTop
       .select(col("neighbor_id").as("vdoc_id"), col("rn").as("vec_rank"))
     val rr = (rank: org.apache.spark.sql.Column) =>
       coalesce(lit(1.0) / (rank + lit(rrfK)).cast("double"), lit(0.0))

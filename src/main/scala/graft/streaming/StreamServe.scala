@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Hybrid serving over the MAINTAINED streaming indexes — the
+  * continuous-ingest face of [[graft.operators.Retrieval.hybridRrf]]:
+  * the lexical leg queries the incrementally-grown BM25 segments
+  * ([[StreamIndex]], scores bit-identical to the batch operator by
+  * shared `bm25Score`), the vector leg queries the frozen-codebook
+  * IVF store ([[StreamAnn]], row-identical to `ivfTopK` by shared
+  * assignment), and the fusion is [[Retrieval.rrfFuse]] VERBATIM — so
+  * the streamed hybrid result equals the batch operator over the
+  * final corpus by construction at every ingest point
+  * (StreamServeSpec pins it across a build + two ingests on both
+  * stores).
+  */
+object StreamServe {
+
+  /** Reciprocal-rank fusion over the two maintained indexes. The
+    * query is (terms, query-vector rows); `queries` must select the
+    * single query vector the batch twin addresses by `queryVecId`.
+    */
+  def hybridRrf(idx: StreamIndex.IndexState, ann: StreamAnn.AnnState,
+                terms: Seq[String], queries: DataFrame, k: Int = 10,
+                kLex: Int = 20, kVec: Int = 20, rrfK: Int = 60,
+                nprobe: Int = 4): DataFrame =
+    Retrieval.rrfFuse(
+      StreamIndex.query(idx, terms, kLex),
+      StreamAnn.query(ann, queries, kVec, nprobe)
+        .select(col("neighbor_id"), col("rn")),
+      k, rrfK)
+}
