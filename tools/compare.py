@@ -19,6 +19,7 @@ import json
 import math
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -137,8 +138,17 @@ def main():
     # twice produced a spurious mid-suite "Out of Memory Error" (once
     # a segfault) that none of the queries reproduce standalone.
     # Views are cheap to recreate; correctness is unaffected.
+    # threads=8: the container transiently refuses thread creation
+    # (EAGAIN — jemalloc "background thread creation failed (11)"),
+    # which DuckDB surfaces as bogus tiny-block "Out of Memory"
+    # errors or a std::system_error abort when it spawns its default
+    # 32 workers per fresh connection; 8 is plenty for oracle-sized
+    # data and cuts the flake's surface 4x. Each query additionally
+    # gets ONE retry on a fresh connection (see below) — every flake
+    # observed to date passes on the immediate retry.
     def fresh_con():
         c = duckdb.connect()
+        c.execute("SET threads TO 8")
         for t in TABLES:
             p = f"{sfdir}/{t}.parquet"
             if Path(p).exists():
@@ -157,18 +167,30 @@ def main():
         if since_reset > 25:
             con.close(); con = fresh_con(); since_reset = 0
         spark_glob = f"{outdir}/{name}/*.parquet"
+
+        def read_both(c):
+            sarrow = c.sql(f"SELECT * FROM '{spark_glob}'").arrow()
+            oarrow = c.sql(sql).arrow()
+            return sarrow, oarrow
         try:
-            srel = con.sql(f"SELECT * FROM '{spark_glob}'")
-            sarrow = srel.arrow()
-            sdf = sarrow.to_pandas()
+            try:
+                sarrow, oarrow = read_both(con)
+            except Exception:
+                # transient allocator/thread flake: one retry on a
+                # fresh connection after letting the pressure drain
+                time.sleep(2)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con(); since_reset = 0
+                sarrow, oarrow = read_both(con)
         except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
-        try:
-            orel = con.sql(sql)
-            oarrow = orel.arrow()
-            odf = oarrow.to_pandas()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle/dump read error: {e}")
+            n_fail += 1
+            continue
+        sdf = sarrow.to_pandas()
+        odf = oarrow.to_pandas()
         issues = compare(name, sdf, odf)
         if strict:
             issues += dtype_issues(sarrow.schema, oarrow.schema)
