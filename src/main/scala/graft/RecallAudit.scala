@@ -60,10 +60,18 @@ object RecallAudit {
     OperatorCaches.releaseAll()
 
     // trained RESIDUAL book (the production IVFADC shape): one Lloyd
-    // round of k-means over the residual frame itself
+    // round of k-means over the residual frame itself. Train on
+    // vec_id >= 16 ONLY: the first 16 residuals are identically zero
+    // (the pivots' own residuals), and kmeansCarr seeds on the first
+    // 16 rows — zero seeds collapse every assignment to cluster 0 and
+    // the "trained" book to [global mean, 15 zeros], the same
+    // degenerate-book trap the operator's default book convention
+    // documents (an earlier audit row measured that artifact at 0.066
+    // recall and misread it as a training conclusion).
     val residuals = Similarity.residualFrame(emb).localCheckpoint(true)
     val residualBook = Similarity.kmeansCarr(
-        residuals.select(col("vec_id"), col("r").as("embedding")),
+        residuals.filter(col("vec_id") >= 16)
+          .select(col("vec_id"), col("r").as("embedding")),
         k = 16, iters = 1)
       .localCheckpoint(true)
     OperatorCaches.releaseAll()

@@ -349,15 +349,27 @@ object Similarity {
                       rerank: Int = 20, nlist: Int = 16, nprobe: Int = 4,
                       msub: Int = 8, ksub: Int = 16, dim: Int = Dim,
                       pivotsOpt: Option[DataFrame] = None,
-                      bookOpt: Option[DataFrame] = None): DataFrame = {
+                      bookOpt: Option[DataFrame] = None): DataFrame =
+    rerankShortlist(embeddings, queryPred,
+      ivfPqTopK(embeddings, queryPred, rerank, nlist, nprobe,
+        msub, ksub, dim, pivotsOpt, bookOpt), k, dim)
+
+  /** The rerank scaffold shared by every batch two-stage operator
+    * (raw-PQ and residual-PQ shortlists): project the queries off the
+    * tracked prepared corpus, join the shortlist back to the full
+    * vectors, and rank through [[exactRerank]] — one definition so a
+    * join-shape change cannot land in one rerank operator and not
+    * the other.
+    */
+  private def rerankShortlist(embeddings: DataFrame, queryPred: Column,
+                              shortlist: DataFrame, k: Int,
+                              dim: Int): DataFrame = {
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val shortlist = ivfPqTopK(embeddings, queryPred, rerank, nlist, nprobe,
-        msub, ksub, dim, pivotsOpt, bookOpt)
-      .select(col("query_id"), col("neighbor_id"))
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-    exactRerank(shortlist.join(q, "query_id")
+    exactRerank(shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(q, "query_id")
       .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
         "neighbor_id"), k, dim)
   }
@@ -507,18 +519,10 @@ object Similarity {
                               nprobe: Int = 4, msub: Int = 8,
                               ksub: Int = 16, dim: Int = Dim,
                               pivotsOpt: Option[DataFrame] = None,
-                              bookOpt: Option[DataFrame] = None): DataFrame = {
-    val all = OperatorCaches.track(prepared(embeddings, dim))
-    val shortlist = ivfPqResidualTopK(embeddings, queryPred, rerank, nlist,
-        nprobe, msub, ksub, dim, pivotsOpt, bookOpt)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = all.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    exactRerank(shortlist.join(q, "query_id")
-      .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-        "neighbor_id"), k, dim)
-  }
+                              bookOpt: Option[DataFrame] = None): DataFrame =
+    rerankShortlist(embeddings, queryPred,
+      ivfPqResidualTopK(embeddings, queryPred, rerank, nlist,
+        nprobe, msub, ksub, dim, pivotsOpt, bookOpt), k, dim)
 
   /** Deterministic distributed k-means (Lloyd) over the embedding
     * corpus — the clustering primitive behind mixture balancing,

@@ -200,25 +200,40 @@ object DocOracles {
        |WHERE rn <= 3""".stripMargin
   }
 
+  /** IVF probe chain (prefix-parameterized CTE names) ending in
+    * `<p>s` = (query_id, neighbor_id, cos) for queries satisfying
+    * `queryWhere` — nlist=16 first-vector pivots, max-cosine
+    * assignment, nprobe=4, exact verify. ONE definition feeding
+    * [[annIvfSql]] and [[hybridRrfSql]] so a probe-chain change
+    * cannot diverge the two mirrors.
+    */
+  private def ivfCosCtes(p: String, queryWhere: String): String =
+    s"""${p}d AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${p}p AS (SELECT vec_id AS pid, v AS pv FROM ${p}d
+       |       WHERE vec_id < 16),
+       |${p}ar AS (SELECT ${p}d.vec_id, ${p}d.v, pid,
+       |         ${cos(s"${p}d.v", "pv")} AS pcos,
+       |         ROW_NUMBER() OVER (PARTITION BY ${p}d.vec_id
+       |           ORDER BY ${cos(s"${p}d.v", "pv")} DESC, pid) AS prn
+       |       FROM ${p}d, ${p}p),
+       |${p}a AS (SELECT vec_id, v, pid AS list_id FROM ${p}ar
+       |       WHERE prn = 1),
+       |${p}qr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
+       |       FROM ${p}ar WHERE ($queryWhere) AND prn <= 4),
+       |${p}s AS (SELECT query_id, ${p}a.vec_id AS neighbor_id,
+       |        ${cos("qv", s"${p}a.v")} AS cos
+       |      FROM ${p}qr JOIN ${p}a ON plist = list_id
+       |      WHERE ${p}a.vec_id <> query_id)""".stripMargin
+
   /** Mirror of Similarity.ivfTopK (nlist=16 pivot codebook, max-cosine
     * assignment, nprobe=4, exact verify): assignment, probe order and
     * final ranking all use the identical dot/sqrt shapes, so the
     * probed candidate set and ranks are engine-independent.
     */
   private def annIvfSql: String =
-    s"""$embCte,
-       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
-       |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
-       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
-       |       FROM d, p),
-       |a AS (SELECT vec_id, v, pid AS list_id FROM ar WHERE prn = 1),
-       |qr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
-       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
-       |s AS (SELECT query_id, a.vec_id AS neighbor_id,
-       |        ${cos("qv", "a.v")} AS cos
-       |      FROM qr JOIN a ON plist = list_id
-       |      WHERE a.vec_id <> query_id)
+    s"""WITH ${ivfCosCtes("", "vec_id < 8")}
        |SELECT query_id, neighbor_id, cos, rn FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
@@ -683,8 +698,12 @@ object DocOracles {
     * term, same left-associated arithmetic, fixed-order per-term
     * conditional sums, same rounded-score + doc_id ranking.
     */
-  private def bm25Sql: String = {
-    val terms = Seq("spark", "join", "window")
+  /** BM25 CTE chain (prefix-parameterized) ending in `<p>top` =
+    * (doc_id, bm25), the ordered top-`k` lexical list. ONE definition
+    * feeding [[bm25Sql]] and [[hybridRrfSql]] so a scoring-chain
+    * change cannot diverge the two mirrors.
+    */
+  private def bm25TopCtes(p: String, terms: Seq[String], k: Int): String = {
     val k1 = graft.operators.Retrieval.K1
     val b = graft.operators.Retrieval.B
     val inList = terms.map(t => s"'$t'").mkString(", ")
@@ -692,87 +711,52 @@ object DocOracles {
       s"SUM(CASE WHEN term = '$t' THEN c END) AS c_$i" }.mkString(",\n  ")
     val total = terms.indices.map(i => s"COALESCE(c_$i, 0.0)")
       .mkString(" + ")
-    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
+    s"""${p}s AS (SELECT doc_id, string_split(text, ' ') AS ts
        |           FROM documents),
-       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |${p}st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
        |         CAST(SUM(CAST(len(ts) AS BIGINT)) AS DOUBLE)
-       |           / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM s),
-       |e AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
-       |        UNNEST(ts) AS term FROM s),
-       |e2 AS (SELECT * FROM e WHERE term IN ($inList)),
-       |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
-       |          FROM (SELECT DISTINCT doc_id, term FROM e2) GROUP BY 1),
-       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
-       |       FROM e2 GROUP BY 1, 2, 3),
-       |c AS (SELECT doc_id, term,
+       |           / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM ${p}s),
+       |${p}e AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+       |        UNNEST(ts) AS term FROM ${p}s),
+       |${p}e2 AS (SELECT * FROM ${p}e WHERE term IN ($inList)),
+       |${p}dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+       |          FROM (SELECT DISTINCT doc_id, term FROM ${p}e2)
+       |          GROUP BY 1),
+       |${p}tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM ${p}e2 GROUP BY 1, 2, 3),
+       |${p}c AS (SELECT doc_id, term,
        |        ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
        |          * (tf * ${k1 + 1.0})
        |          / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS c
-       |      FROM tf JOIN dfreq USING (term) CROSS JOIN st),
-       |g AS (SELECT doc_id,
+       |      FROM ${p}tf JOIN ${p}dfreq USING (term) CROSS JOIN ${p}st),
+       |${p}g AS (SELECT doc_id,
        |  $perTerm
-       |  FROM c GROUP BY 1)
-       |SELECT doc_id, ROUND($total, 6) AS bm25
-       |FROM g ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM ${p}c GROUP BY 1),
+       |${p}top AS (SELECT doc_id, ROUND($total, 6) AS bm25
+       |  FROM ${p}g ORDER BY bm25 DESC, doc_id LIMIT $k)""".stripMargin
   }
 
-  /** Mirror of Retrieval.hybridRrf: the bm25Sql chain (renamed CTEs)
-    * as the lexical leg, a single-query IVF chain (query vec_id = 0,
-    * nprobe 4, top-20 — annIvfSql's shapes) as the vector leg, then
-    * reciprocal-rank fusion: Σ 1/(60 + rank) over a FULL OUTER join
-    * of the two bounded top lists. Ranks are ints, the division is
-    * one IEEE op on an exactly-cast int, the two-leg sum is a fixed
-    * left-to-right chain — bit-identical cross-engine without any
-    * rounding.
+  private def bm25Sql: String =
+    s"""WITH ${bm25TopCtes("", Seq("spark", "join", "window"), 20)}
+       |SELECT doc_id, bm25 FROM top ORDER BY bm25 DESC, doc_id""".stripMargin
+
+  /** Mirror of Retrieval.hybridRrf: the SHARED [[bm25TopCtes]] chain
+    * (prefix `b`) as the lexical leg, the SHARED [[ivfCosCtes]] chain
+    * (prefix `h`, query vec_id = 0, nprobe 4, top-20) as the vector
+    * leg — one definition per leg with bm25Sql/annIvfSql, so a
+    * scoring- or probe-chain change lands in every mirror or none —
+    * then reciprocal-rank fusion: Σ 1/(60 + rank) over a FULL OUTER
+    * join of the two bounded top lists. Ranks are ints, the division
+    * is one IEEE op on an exactly-cast int, the two-leg sum is a
+    * fixed left-to-right chain — bit-identical cross-engine without
+    * any rounding.
     */
-  private def hybridRrfSql: String = {
-    val terms = Seq("spark", "join", "window")
-    val k1 = graft.operators.Retrieval.K1
-    val b = graft.operators.Retrieval.B
-    val inList = terms.map(t => s"'$t'").mkString(", ")
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      s"SUM(CASE WHEN term = '$t' THEN c END) AS c_$i" }.mkString(",\n  ")
-    val total = terms.indices.map(i => s"COALESCE(c_$i, 0.0)")
-      .mkString(" + ")
-    s"""WITH bs AS (SELECT doc_id, string_split(text, ' ') AS ts
-       |           FROM documents),
-       |bst AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-       |         CAST(SUM(CAST(len(ts) AS BIGINT)) AS DOUBLE)
-       |           / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM bs),
-       |be AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
-       |        UNNEST(ts) AS term FROM bs),
-       |be2 AS (SELECT * FROM be WHERE term IN ($inList)),
-       |bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
-       |          FROM (SELECT DISTINCT doc_id, term FROM be2) GROUP BY 1),
-       |btf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
-       |       FROM be2 GROUP BY 1, 2, 3),
-       |bc AS (SELECT doc_id, term,
-       |        ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-       |          * (tf * ${k1 + 1.0})
-       |          / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS c
-       |      FROM btf JOIN bdf USING (term) CROSS JOIN bst),
-       |bg AS (SELECT doc_id,
-       |  $perTerm
-       |  FROM bc GROUP BY 1),
+  private def hybridRrfSql: String =
+    s"""WITH ${bm25TopCtes("b", Seq("spark", "join", "window"), 20)},
        |lexr AS (SELECT doc_id,
        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-       |  FROM (SELECT doc_id, ROUND($total, 6) AS bm25
-       |        FROM bg ORDER BY bm25 DESC, doc_id LIMIT 20)),
-       |hd AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |hp AS (SELECT vec_id AS pid, v AS pv FROM hd WHERE vec_id < 16),
-       |har AS (SELECT hd.vec_id, hd.v, pid,
-       |         ROW_NUMBER() OVER (PARTITION BY hd.vec_id
-       |           ORDER BY ${cos("hd.v", "pv")} DESC, pid) AS prn
-       |       FROM hd, hp),
-       |ha AS (SELECT vec_id, v, pid AS list_id FROM har WHERE prn = 1),
-       |hqr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
-       |       FROM har WHERE vec_id = 0 AND prn <= 4),
-       |hs AS (SELECT query_id, ha.vec_id AS neighbor_id,
-       |        ${cos("qv", "ha.v")} AS cos
-       |      FROM hqr JOIN ha ON plist = list_id
-       |      WHERE ha.vec_id <> query_id),
+       |  FROM btop),
+       |${ivfCosCtes("h", "vec_id = 0")},
        |vecr AS (SELECT neighbor_id, rn AS vec_rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM hs)
@@ -788,7 +772,6 @@ object DocOracles {
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
        |  FROM f)
        |WHERE rn <= 10""".stripMargin
-  }
 
   /** Mirror of Similarity.quantizeInt8: per-index error terms with the
     * identical clamp/round/div shapes, mse as the explicit

@@ -21,15 +21,24 @@ object StreamServe {
 
   /** Reciprocal-rank fusion over the two maintained indexes. The
     * query is (terms, query-vector rows); `queries` must select the
-    * single query vector the batch twin addresses by `queryVecId`.
+    * single query vector the batch twin addresses by `queryVecId` —
+    * [[Retrieval.rrfFuse]] drops the vector leg's query_id, so a
+    * multi-vector frame would silently blend per-query rank lists
+    * into garbage; the precondition is enforced, not documented
+    * (the count is over the tiny query frame — one bounded job).
     */
   def hybridRrf(idx: StreamIndex.IndexState, ann: StreamAnn.AnnState,
                 terms: Seq[String], queries: DataFrame, k: Int = 10,
                 kLex: Int = 20, kVec: Int = 20, rrfK: Int = 60,
-                nprobe: Int = 4): DataFrame =
+                nprobe: Int = 4): DataFrame = {
+    val n = queries.limit(2).count()
+    require(n == 1,
+      s"hybridRrf fuses ONE query vector against one term list; " +
+        s"got ${if (n == 0) "an empty" else "a multi-row"} query frame")
     Retrieval.rrfFuse(
       StreamIndex.query(idx, terms, kLex),
       StreamAnn.query(ann, queries, kVec, nprobe)
         .select(col("neighbor_id"), col("rn")),
       k, rrfK)
+  }
 }

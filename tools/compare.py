@@ -167,30 +167,48 @@ def main():
         if since_reset > 25:
             con.close(); con = fresh_con(); since_reset = 0
         spark_glob = f"{outdir}/{name}/*.parquet"
+        if not list(Path(f"{outdir}/{name}").glob("*.parquet")):
+            # deterministic: the Verify dump is absent — no retry
+            print(f"FAIL {name}: no spark output (missing dump)")
+            n_fail += 1
+            continue
 
-        def read_both(c):
-            sarrow = c.sql(f"SELECT * FROM '{spark_glob}'").arrow()
-            oarrow = c.sql(sql).arrow()
-            return sarrow, oarrow
-        try:
+        # Transient allocator/thread flakes (see fresh_con's note) can
+        # hit any DuckDB call, including arrow→pandas; each side gets
+        # ONE retry on a fresh connection. If both attempts fail, the
+        # FIRST exception is reported (the retry's is usually the less
+        # informative cascade).
+        def with_retry(run):
+            nonlocal con, since_reset
             try:
-                sarrow, oarrow = read_both(con)
-            except Exception:
-                # transient allocator/thread flake: one retry on a
-                # fresh connection after letting the pressure drain
+                return run()
+            except Exception as first:
                 time.sleep(2)
                 try:
                     con.close()
                 except Exception:
                     pass
                 con = fresh_con(); since_reset = 0
-                sarrow, oarrow = read_both(con)
+                try:
+                    return run()
+                except Exception:
+                    raise first
+        try:
+            sarrow = with_retry(
+                lambda: con.sql(f"SELECT * FROM '{spark_glob}'").arrow())
         except Exception as e:
-            print(f"FAIL {name}: oracle/dump read error: {e}")
+            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+        try:
+            oarrow = with_retry(lambda: con.sql(sql).arrow())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        try:
+            sdf = sarrow.to_pandas()
+            odf = oarrow.to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: arrow->pandas error: {e}")
             n_fail += 1
             continue
-        sdf = sarrow.to_pandas()
-        odf = oarrow.to_pandas()
         issues = compare(name, sdf, odf)
         if strict:
             issues += dtype_issues(sarrow.schema, oarrow.schema)
