@@ -117,6 +117,26 @@ class DocOpsSpec extends AnyFunSuite {
     assert((pq & bf).size >= 3, s"recall ${(pq & bf).size}/${bf.size}")
   }
 
+  test("rerank-everything collapses both two-stage stacks to exact IVF") {
+    // with rerank >= every probed candidate, the exact-cosine refine
+    // re-ranks the FULL probed set — so the two-stage operators must
+    // equal ivfTopK bit-for-bit regardless of what the ADC pass did
+    // (raw or residual codes): the quantization can only reorder the
+    // shortlist CUT, and there is no cut. Ties this session's
+    // residual stack (and the raw one) to the exact twin by algebra,
+    // not by sampled recall.
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val all = emb.count().toInt
+    val exact = key(Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5))
+    assert(key(Similarity.ivfPqRerankTopK(emb, col("vec_id") < 8, k = 5,
+      rerank = all)) == exact)
+    assert(key(Similarity.ivfPqResidualRerankTopK(emb, col("vec_id") < 8,
+      k = 5, rerank = all)) == exact)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("k-means assignment equals an exact in-Scala Lloyd mirror (quantized means)") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val vecs = emb.select(col("vec_id"),
