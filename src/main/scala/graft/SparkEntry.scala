@@ -380,6 +380,12 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) =>
       Retrieval.hybridRrf(T(s, d)("documents"), T(s, d)("embeddings"),
         Seq("spark", "join", "window"), queryVecId = 0L)),
+    // MMR diversification over the IVF shortlist (RAG serving pass):
+    // greedy lambda*rel - (1-lambda)*max-sim-to-selected, k=5 picks
+    // from a top-20 pool, unrolled bounded-frame rounds
+    "q_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8)),
     // positional inverted-index build: long-form postings, term
     // filter dies row-locally at the scan — nothing shuffles
     "q_inverted_index" -> ((s, d) =>

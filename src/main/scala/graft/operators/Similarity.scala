@@ -524,6 +524,77 @@ object Similarity {
       ivfPqResidualTopK(embeddings, queryPred, rerank, nlist,
         nprobe, msub, ksub, dim, pivotsOpt, bookOpt), k, dim)
 
+  /** MMR (maximal-marginal-relevance) diversification over an ANN
+    * shortlist — the standard RAG serving pass that trades raw
+    * relevance for coverage (Carbonell & Goldstein, SIGIR'98): pick
+    * greedily, each round scoring every unselected candidate as
+    * λ·rel − (1−λ)·max-cosine-to-already-selected, so near-duplicate
+    * results stop crowding the context window.
+    *
+    * Plan shape: the shortlist is [[ivfTopK]]'s bounded top-`pool`
+    * per query; pairwise similarities are a self-join of that
+    * bounded list (pool² rows per query — driver-trivial) with the
+    * full vectors read through one keyed join; the k−1 greedy rounds
+    * unroll as DataFrame ops over those bounded frames (the same
+    * unrolled-fixpoint discipline as the CC oracle). Nothing
+    * corpus-sized is touched beyond the IVF probe itself.
+    *
+    * Determinism: rel and pairwise cosines are the shared exact
+    * chains; MAX over doubles is order-independent; the score's λ
+    * literals are emitted from the same Scala doubles the SQL mirror
+    * interpolates; ties to the smaller neighbor id. Round 1 scores
+    * λ·rel (empty selected set ⇒ maxsim 0).
+    */
+  def mmrTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+              pool: Int = 20, lam: Double = 0.7, nlist: Int = 16,
+              nprobe: Int = 4, dim: Int = Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val short = OperatorCaches.track(
+      ivfTopK(embeddings, queryPred, pool, nlist, nprobe, dim)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")))
+    val withVec = short
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm")), "neighbor_id")
+    val aSide = withVec.select(col("query_id"),
+      col("neighbor_id").as("na"), col("v").as("va"), col("nrm").as("nna"))
+    val bSide = withVec.select(col("query_id"),
+      col("neighbor_id").as("nb"), col("v").as("vb"), col("nrm").as("nnb"))
+    val sims = OperatorCaches.track(aSide.join(bSide, Seq("query_id"))
+      .filter(col("na") =!= col("nb"))
+      .select(col("query_id"), col("na"), col("nb"),
+        pairCos(col("va"), col("nna"), col("vb"), col("nnb"), dim)
+          .as("sim")))
+    def pickTop(scored: DataFrame, round: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("mmr").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("mmr"),
+          lit(round).as("pick"))
+    var sel = pickTop(short.select(col("query_id"), col("neighbor_id"),
+      (lit(lam) * col("rel")).as("mmr")), 1)
+    for (r <- 2 to k) {
+      val selIds = sel.select(col("query_id"), col("neighbor_id"))
+      val maxsim = sims
+        .join(selIds.withColumnRenamed("neighbor_id", "nb"),
+          Seq("query_id", "nb"))
+        .groupBy(col("query_id"), col("na"))
+        .agg(max(col("sim")).as("maxsim"))
+      val cand = short.join(selIds, Seq("query_id", "neighbor_id"),
+        "left_anti")
+      val scored = cand
+        .join(maxsim, cand("query_id") === maxsim("query_id") &&
+          col("neighbor_id") === col("na"))
+        .select(cand("query_id"), col("neighbor_id"),
+          (lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim"))
+            .as("mmr"))
+      sel = sel.unionByName(pickTop(scored, r))
+    }
+    sel.select("query_id", "neighbor_id", "mmr", "pick")
+  }
+
   /** Deterministic distributed k-means (Lloyd) over the embedding
     * corpus — the clustering primitive behind mixture balancing,
     * SemDeDup partitioning, and TRAINED IVF/PQ codebooks (the

@@ -773,6 +773,63 @@ object DocOracles {
        |  FROM f)
        |WHERE rn <= 10""".stripMargin
 
+  /** Mirror of Similarity.mmrTopK: the SHARED [[ivfCosCtes]] probe
+    * chain feeds a bounded top-`pool` shortlist per query; pairwise
+    * cosines are a self-join of the shortlist against the corpus
+    * vectors (same cos chain); the greedy MMR selection unrolls as
+    * k−1 MATERIALIZED pick/sel rounds — λ literals interpolated from
+    * the SAME Scala doubles the operator's Catalyst literals hold,
+    * MAX over doubles order-independent, ties to the smaller id, so
+    * every pick is bit-identical cross-engine.
+    */
+  private def mmrRerankSql: String = {
+    val k = 5; val pool = 20; val lam = 0.7
+    val oneMinus = 1.0 - lam
+    val rounds = (2 to k).map { r =>
+      s"""pick$r AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, mmr, $r AS pick FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |           $lam * c.rel - $oneMinus * m.maxsim AS mmr,
+         |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |             ORDER BY ($lam * c.rel - $oneMinus * m.maxsim)
+         |               DESC, c.neighbor_id) AS rn
+         |    FROM short c
+         |    JOIN (SELECT s2.query_id, s2.na, MAX(s2.sim) AS maxsim
+         |          FROM sims s2 JOIN sel${r - 1} t
+         |            ON t.query_id = s2.query_id
+         |           AND t.neighbor_id = s2.nb
+         |          GROUP BY 1, 2) m
+         |      ON m.query_id = c.query_id AND m.na = c.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} t2
+         |          WHERE t2.query_id = c.query_id
+         |            AND t2.neighbor_id = c.neighbor_id))
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfCosCtes("", "vec_id < 8")},
+       |short AS MATERIALIZED (SELECT query_id, neighbor_id, cos AS rel
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |  WHERE rn <= $pool),
+       |sims AS MATERIALIZED (SELECT sa.query_id,
+       |    sa.neighbor_id AS na, sb.neighbor_id AS nb,
+       |    ${cos("da.v", "db.v")} AS sim
+       |  FROM short sa
+       |  JOIN short sb ON sa.query_id = sb.query_id
+       |               AND sa.neighbor_id <> sb.neighbor_id
+       |  JOIN d da ON da.vec_id = sa.neighbor_id
+       |  JOIN d db ON db.vec_id = sb.neighbor_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, $lam * rel AS mmr, 1 AS pick
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY ($lam * rel) DESC, neighbor_id) AS rn
+       |        FROM short) WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, neighbor_id, mmr, pick FROM sel$k""".stripMargin
+  }
+
   /** Mirror of Similarity.quantizeInt8: per-index error terms with the
     * identical clamp/round/div shapes, mse as the explicit
     * left-associated 64-term chain (the fold's order), max error via
@@ -1437,6 +1494,7 @@ object DocOracles {
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,
     "q_hybrid_rrf" -> hybridRrfSql,
+    "q_mmr_rerank" -> mmrRerankSql,
     "q_inverted_index" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
         |           FROM documents),

@@ -137,6 +137,29 @@ class DocOpsSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("MMR skips the near-duplicate that pure relevance ranks second") {
+    import spark.implicits._
+    // ids 1 and 2 are near-clones of the query; 3 is moderately
+    // relevant but different. Relevance alone ranks (2, 1, 3); MMR at
+    // a diversity-leaning lambda keeps the top pick and then jumps to
+    // 3 instead of the near-duplicate 1.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.19, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.21, 0.0, 0.0)),
+      (3L, Seq(0.6, 0.8, 0.0, 0.0)),
+      (100L, Seq(1.0, 0.2, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val relOrder = Similarity.ivfTopK(emb, col("vec_id") === 100L, k = 2,
+        nlist = 16, nprobe = 4, dim = 4)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(relOrder == Seq(2L, 1L), s"relevance order was $relOrder")
+    graft.operators.OperatorCaches.releaseAll()
+    val picks = Similarity.mmrTopK(emb, col("vec_id") === 100L, k = 2,
+        pool = 3, lam = 0.3, nlist = 16, nprobe = 4, dim = 4)
+      .orderBy("pick").collect().map(_.getLong(1)).toSeq
+    assert(picks == Seq(2L, 3L), s"expected diversity pick, got $picks")
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("k-means assignment equals an exact in-Scala Lloyd mirror (quantized means)") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val vecs = emb.select(col("vec_id"),
