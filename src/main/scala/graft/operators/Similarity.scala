@@ -573,8 +573,13 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("mmr"),
           lit(round).as("pick"))
+    // per-round lineage cut (the CC-loop discipline): each round
+    // references the running selection THREE times (union arm,
+    // max-sim join, anti join), so a lazy `sel` re-evaluates earlier
+    // rounds ~3^k times — measured 33 s at sf0.1 before the cut, and
+    // the frame is ≤ |Q|·r rows, so the eager checkpoint is free.
     var sel = pickTop(short.select(col("query_id"), col("neighbor_id"),
-      (lit(lam) * col("rel")).as("mmr")), 1)
+      (lit(lam) * col("rel")).as("mmr")), 1).localCheckpoint(true)
     for (r <- 2 to k) {
       val selIds = sel.select(col("query_id"), col("neighbor_id"))
       val maxsim = sims
@@ -590,7 +595,7 @@ object Similarity {
         .select(cand("query_id"), col("neighbor_id"),
           (lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim"))
             .as("mmr"))
-      sel = sel.unionByName(pickTop(scored, r))
+      sel = sel.unionByName(pickTop(scored, r)).localCheckpoint(true)
     }
     sel.select("query_id", "neighbor_id", "mmr", "pick")
   }
