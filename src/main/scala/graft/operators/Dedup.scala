@@ -424,7 +424,8 @@ object Dedup {
     val b = df.select(col(id).as("id_b"), blk.as("blk2"), col(text).as("t_b"))
     a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b") &&
         abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .withColumn("dist",
+        graft.plans.BoundedLevenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
@@ -467,7 +468,8 @@ object Dedup {
       .reduce(_ && _)
     val nameScore = when(
       abs(length(col("n_a")) - length(col("n_b"))) <= nameMaxDist &&
-        levenshtein(col("n_a"), col("n_b"), nameMaxDist).between(0, nameMaxDist),
+        graft.plans.BoundedLevenshtein(col("n_a"), col("n_b"),
+          nameMaxDist) >= 0,
       lit(4)).otherwise(lit(-2))
     val numScore = when(abs(col("v_a") - col("v_b")) <= numTol, lit(2))
       .otherwise(lit(-1))
