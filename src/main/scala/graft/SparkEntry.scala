@@ -386,6 +386,11 @@ object SparkEntry {
     "q_mmr_rerank" -> ((s, d) =>
       Similarity.mmrTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8)),
+    // contrastive-training hard negatives: ANN shortlist minus
+    // same-label positives, top-k by cosine per query
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8)),
     // positional inverted-index build: long-form postings, term
     // filter dies row-locally at the scan — nothing shuffles
     "q_inverted_index" -> ((s, d) =>

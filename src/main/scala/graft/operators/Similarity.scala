@@ -600,6 +600,60 @@ object Similarity {
     sel.select("query_id", "neighbor_id", "mmr", "pick")
   }
 
+  /** Hard-negative mining over the ANN shortlist — the contrastive-
+    * training feed (retrieval/embedding fine-tuning): for each query
+    * vector, the highest-cosine candidates that carry a DIFFERENT
+    * label are its hard negatives (near in embedding space, wrong by
+    * supervision), the pairs that sharpen a contrastive loss far more
+    * than random negatives. Same-label shortlist members are
+    * positives and are excluded, not sampled around.
+    *
+    * Scale shape: candidates come from the bounded IVF probe
+    * ([[ivfTopK]] at `pool`), never a corpus scan per query; the
+    * |Q|·pool shortlist then BROADCASTS against the (vec_id, label)
+    * projection — a 100-TB corpus contributes one pruned 2-column
+    * scan per label lookup, with the bounded side always the build
+    * side. Output is deterministic: cos desc, ties to the smaller
+    * neg_id, top `k` per query.
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+                    pool: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+                    dim: Int = Dim): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    hardNegativesTail(
+      ivfTopK(embeddings, queryPred, pool, nlist, nprobe, dim)
+        .select(col("query_id"), col("neighbor_id"), col("cos")),
+      embeddings.select(col("vec_id"), col("label")), k)
+  }
+
+  /** Label-filter + re-rank tail shared verbatim by the batch
+    * operator and [[graft.streaming.StreamServe.hardNegatives]] (the
+    * shared-tail pattern of exactRerank/bm25Score: batch ≡ stream by
+    * construction). `shortlist` = (query_id, neighbor_id, cos),
+    * bounded at |Q|·pool, so it is always the broadcast build side
+    * against the (vec_id, label) projection.
+    */
+  private[graft] def hardNegativesTail(shortlist: DataFrame,
+                                       labels0: DataFrame,
+                                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = labels0.select(col("vec_id"), col("label"))
+    val withQ = labels
+      .join(broadcast(shortlist), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("label").as("q_label"))
+    val negs = labels
+      .join(broadcast(withQ), col("vec_id") === col("neighbor_id"))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("label").as("neg_label"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    negs.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select("query_id", "neg_id", "neg_label", "cos", "neg_rank")
+  }
+
   /** Deterministic distributed k-means (Lloyd) over the embedding
     * corpus — the clustering primitive behind mixture balancing,
     * SemDeDup partitioning, and TRAINED IVF/PQ codebooks (the

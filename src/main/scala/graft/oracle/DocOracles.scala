@@ -773,6 +773,32 @@ object DocOracles {
        |  FROM f)
        |WHERE rn <= 10""".stripMargin
 
+  /** Mirror of Similarity.hardNegatives: the SHARED [[ivfCosCtes]]
+    * probe chain → top-`pool` shortlist per query → label lookups for
+    * both pair ends, same-label positives dropped, re-ranked cos DESC
+    * with ties to the smaller neg_id, top `k` per query. The cosine
+    * is the shared exact chain, so the shortlist and every rank are
+    * engine-identical.
+    */
+  private def hardNegativesSql: String = {
+    val k = 5; val pool = 20
+    s"""WITH ${ivfCosCtes("", "vec_id < 8")},
+       |sl AS (SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+       |  WHERE rn <= $pool),
+       |neg AS (SELECT sl.query_id, sl.neighbor_id AS neg_id,
+       |          nl.label AS neg_label, sl.cos
+       |        FROM sl
+       |        JOIN embeddings ql ON ql.vec_id = sl.query_id
+       |        JOIN embeddings nl ON nl.vec_id = sl.neighbor_id
+       |        WHERE nl.label <> ql.label)
+       |SELECT query_id, neg_id, neg_label, cos, neg_rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neg_id) AS neg_rank FROM neg)
+       |WHERE neg_rank <= $k""".stripMargin
+  }
+
   /** Mirror of Similarity.mmrTopK: the SHARED [[ivfCosCtes]] probe
     * chain feeds a bounded top-`pool` shortlist per query; pairwise
     * cosines are a self-join of the shortlist against the corpus
@@ -1495,6 +1521,7 @@ object DocOracles {
     "q_bm25" -> bm25Sql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_mmr_rerank" -> mmrRerankSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_inverted_index" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
         |           FROM documents),

@@ -41,4 +41,24 @@ object StreamServe {
         .select(col("neighbor_id"), col("rn")),
       k, rrfK)
   }
+
+  /** Hard-negative mining off the MAINTAINED vector index: the same
+    * contrastive-training feed as
+    * [[graft.operators.Similarity.hardNegatives]], but the shortlist
+    * probe runs against the streaming [[StreamAnn.AnnState]] — newly
+    * ingested vectors become mineable negatives without reindexing.
+    * The label-filter + re-rank tail IS the batch operator's tail
+    * (shared by construction), so with id-aligned stores the stream
+    * result equals the batch result over the same corpus
+    * (StreamServeSpec pins the equality).
+    */
+  def hardNegatives(ann: StreamAnn.AnnState, labels: DataFrame,
+                    queries: DataFrame, k: Int = 5, pool: Int = 20,
+                    nprobe: Int = 4): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    graft.operators.Similarity.hardNegativesTail(
+      StreamAnn.query(ann, queries, pool, nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("cos")),
+      labels, k)
+  }
 }

@@ -160,6 +160,25 @@ class DocOpsSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("hard negatives exclude the same-label nearest neighbor") {
+    import spark.implicits._
+    // id 1 is the NEAREST shortlist member but shares the query's
+    // label (a positive) — mining must skip it and return the
+    // different-label 2 then 3, ranked by cosine.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.2, 0.0, 0.0), 0),
+      (2L, Seq(1.0, 0.3, 0.0, 0.0), 1),
+      (3L, Seq(0.6, 0.8, 0.0, 0.0), 1),
+      (100L, Seq(1.0, 0.2, 0.0, 0.0), 0)).toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(emb, col("vec_id") === 100L,
+        k = 2, pool = 3, nlist = 16, nprobe = 4, dim = 4)
+      .orderBy("neg_rank").collect()
+    assert(negs.map(_.getLong(1)).toSeq == Seq(2L, 3L),
+      s"expected (2, 3), got ${negs.mkString(", ")}")
+    assert(negs.forall(_.getInt(2) == 1))
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("k-means assignment equals an exact in-Scala Lloyd mirror (quantized means)") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val vecs = emb.select(col("vec_id"),

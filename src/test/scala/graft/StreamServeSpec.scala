@@ -46,4 +46,23 @@ class StreamServeSpec extends AnyFunSuite {
     assert(got == want)
     graft.operators.OperatorCaches.releaseAll()
   }
+
+  test("streamed hard negatives equal the batch operator over the final corpus") {
+    def vecPart(m: Long) = col("vec_id") % 3 === m
+    var ann = StreamAnn.build(emb.filter(vecPart(0) || col("vec_id") < 16))
+    ann = StreamAnn.ingest(ann, emb.filter(vecPart(1) && col("vec_id") >= 16))
+    ann = StreamAnn.ingest(ann, emb.filter(vecPart(2) && col("vec_id") >= 16))
+    ann = StreamAnn.consolidate(ann)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))
+    }.toSet
+    val got = key(StreamServe.hardNegatives(ann,
+      emb.select(col("vec_id"), col("label")),
+      emb.filter(col("vec_id") < 8)))
+    val want = key(graft.operators.Similarity.hardNegatives(
+      emb, col("vec_id") < 8))
+    assert(got == want)
+    assert(got.nonEmpty)
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
