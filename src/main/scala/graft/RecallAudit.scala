@@ -113,6 +113,12 @@ object RecallAudit {
           nprobe = nprobe, pivotsOpt = Some(samplePivots),
           bookOpt = Some(sampleBook)), truth, k)))
       OperatorCaches.releaseAll()
+      // RP rung has no nprobe; its dial is the shortlist pool —
+      // reuse the loop variable as pool = 10·nprobe for the sweep
+      rows += (("rp16_rerank_pool10x", nprobe,
+        recallOf(Similarity.rpRerankTopK(emb, qPred, k,
+          pool = 10 * nprobe), truth, k)))
+      OperatorCaches.releaseAll()
     }
     // ---- clustered-regime twin --------------------------------------
     // Residual encoding pays exactly when the corpus CONCENTRATES
@@ -161,6 +167,10 @@ object RecallAudit {
       rows += (("clustered_residual_rerank40", nprobe,
         recallOf(Similarity.ivfPqResidualRerankTopK(clustered, cqPred, k,
           rerank = 40, nprobe = nprobe), ctruth, k)))
+      OperatorCaches.releaseAll()
+      rows += (("clustered_rp16_rerank_pool10x", nprobe,
+        recallOf(Similarity.rpRerankTopK(clustered, cqPred, k,
+          pool = 10 * nprobe), ctruth, k)))
       OperatorCaches.releaseAll()
     }
 

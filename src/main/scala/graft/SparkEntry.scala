@@ -391,6 +391,10 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8)),
+    // JL random-projection prefilter (64 -> 16 dims) + exact rerank
+    "q_ann_rp_rerank" -> ((s, d) =>
+      Similarity.rpRerankTopK(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8)),
     // positional inverted-index build: long-form postings, term
     // filter dies row-locally at the scan — nothing shuffles
     "q_inverted_index" -> ((s, d) =>

@@ -600,6 +600,62 @@ object Similarity {
     sel.select("query_id", "neighbor_id", "mmr", "pick")
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: sign(j, i)
+    * is +1 iff md5("rp:<j>:<i>") has its top bit set — the engine's
+    * established reproducible-hash trick, computed DRIVER-side once
+    * at plan build and embedded as literals in both the Catalyst
+    * plan and the SQL mirror. ±1 products are IEEE-exact (sign
+    * flips), so cross-engine parity needs only the shared
+    * left-associated sum order every dot in this file already uses.
+    */
+  private[graft] def rpSigns(pdim: Int, dim: Int): IndexedSeq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until pdim).map { j =>
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-projection (JL) compressed prefilter + exact rerank —
+    * the dimensionality-reduction rung of the ANN ladder: project
+    * 64-dim vectors to `pdim` (default 16) with a deterministic ±1
+    * sign matrix, take the top-`pool` shortlist by PROJECTED cosine,
+    * then re-rank the shortlist by exact full-dim cosine.
+    *
+    * Scale story: the projection is row-local (no shuffle — the sign
+    * matrix rides in the plan as literals), shrinks every candidate
+    * scan's FLOPs and candidate bytes 4×, and composes with the
+    * other rungs (the rp view can feed [[signBucket]] LSH or an IVF
+    * build unchanged). JL distortion is the recall dial: RecallAudit
+    * measures shortlist recall vs the exact baseline.
+    */
+  def rpRerankTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
+                   pool: Int = 20, pdim: Int = 16,
+                   dim: Int = Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val signs = rpSigns(pdim, dim)
+    val rp = OperatorCaches.track(all.select(col("vec_id"),
+        array(signs.map(s => dot(col("v"), lit(s), dim)): _*).as("pv"))
+      .withColumn("pnrm", norm(col("pv"), pdim)))
+    val q = rp.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"),
+        col("pnrm").as("qpnrm"))
+    val scored = q.crossJoin(rp)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pairCos(col("qpv"), col("qpnrm"), col("pv"), col("pnrm"), pdim)
+          .as("pcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("prn", row_number().over(w))
+      .filter(col("prn") <= pool)
+    rerankShortlist(embeddings, queryPred, shortlist, k, dim)
+  }
+
   /** Hard-negative mining over the ANN shortlist — the contrastive-
     * training feed (retrieval/embedding fine-tuning): for each query
     * vector, the highest-cosine candidates that carry a DIFFERENT

@@ -773,6 +773,42 @@ object DocOracles {
        |  FROM f)
        |WHERE rn <= 10""".stripMargin
 
+  /** Mirror of Similarity.rpRerankTopK: the ±1 sign matrix is the
+    * SAME Scala array the operator embeds as Catalyst literals (±1
+    * products are IEEE-exact; the projected sums share the standard
+    * left-associated chain), so the projected vectors, the
+    * pool-shortlist and the exact-rerank ranks are engine-identical.
+    */
+  private def annRpRerankSql: String = {
+    val pdim = 16; val pool = 20; val k = 3
+    val signs = graft.operators.Similarity.rpSigns(pdim, 64)
+    def proj(j: Int): String = (1 to 64).map { i =>
+      s"v[$i] * (${if (signs(j)(i - 1) > 0) "1.0" else "-1.0"})"
+    }.mkString(" + ")
+    val pvList = (0 until pdim).map(j => s"(${proj(j)})")
+      .mkString("[", ", ", "]")
+    def pdot(a: String, b: String): String =
+      (1 to pdim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    s"""$embCte,
+       |rp AS (SELECT vec_id, v, pv, SQRT(${pdot("pv", "pv")}) AS pnrm
+       |       FROM (SELECT vec_id, v, $pvList AS pv FROM d)),
+       |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv,
+       |        pnrm AS qpnrm FROM rp WHERE vec_id < 8),
+       |s AS (SELECT query_id, rp.vec_id AS neighbor_id, qv, rp.v,
+       |        (${pdot("qpv", "rp.pv")}) / (qpnrm * rp.pnrm) AS pcos
+       |      FROM q, rp WHERE rp.vec_id <> query_id),
+       |sl AS (SELECT query_id, neighbor_id, qv, v FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY pcos DESC, neighbor_id) AS prn FROM s)
+       |  WHERE prn <= $pool)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT query_id, neighbor_id, ${cos("qv", "v")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${cos("qv", "v")} DESC, neighbor_id) AS rn
+       |  FROM sl)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** Mirror of Similarity.hardNegatives: the SHARED [[ivfCosCtes]]
     * probe chain → top-`pool` shortlist per query → label lookups for
     * both pair ends, same-label positives dropped, re-ranked cos DESC
@@ -1522,6 +1558,7 @@ object DocOracles {
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_hard_negatives" -> hardNegativesSql,
+    "q_ann_rp_rerank" -> annRpRerankSql,
     "q_inverted_index" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts
         |           FROM documents),
