@@ -523,6 +523,9 @@ object SparkEntry {
     // (oracle computes the same fixpoint by recursive closure)
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.simhashClusters(T(s, d)("documents"))),
+    // soft dedup: keep every member, weight = 1/cluster_size
+    "q_soft_dedup" -> ((s, d) =>
+      Dedup.softDedupWeights(T(s, d)("documents"))),
     // hashing-trick bag-of-words: fixed-width feature slots, ±1 signs
     "q_feature_hash" -> ((s, d) =>
       FeatureEng.hashedFeatures(T(s, d)("documents"))),

@@ -763,6 +763,26 @@ object Dedup {
   def clusterLabels(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     OperatorCaches.track(simhashClusters(docs, maxHamming))
 
+  /** Soft dedup: keep EVERY near-dup cluster member but emit a
+    * training sampling weight of 1/cluster_size — the downweighting
+    * alternative to dropping duplicates (repeated content contributes
+    * ~one document's worth of expected gradient instead of being
+    * either discarded or over-trained). Rides the SHARED materialized
+    * cluster-label view ([[clusterLabels]]), so the simhash→CC
+    * fixpoint is not recomputed; the size count and the weight join
+    * are both keyed on cluster_id (one bounded shuffle, no
+    * per-document fan-out). 1/n on identical operands is
+    * IEEE-identical cross-engine.
+    */
+  def softDedupWeights(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val labels = clusterLabels(docs, maxHamming)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   /** Cross-source near-dup overlap matrix — which corpus sources
     * duplicate into which (the dedup-planning view: a crawl snapshot
     * vs a curated set, two snapshots of the same crawl, etc.):

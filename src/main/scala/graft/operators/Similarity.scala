@@ -548,15 +548,26 @@ object Similarity {
   def mmrTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
               pool: Int = 20, lam: Double = 0.7, nlist: Int = 16,
               nprobe: Int = 4, dim: Int = Dim): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val short = OperatorCaches.track(
-      ivfTopK(embeddings, queryPred, pool, nlist, nprobe, dim)
-        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")))
-    val withVec = short
-      .join(all.select(col("vec_id").as("neighbor_id"), col("v"),
-        col("nrm")), "neighbor_id")
+    mmrTail(
+      OperatorCaches.track(
+        ivfTopK(embeddings, queryPred, pool, nlist, nprobe, dim)
+          .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))),
+      all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+      k, lam, dim)
+  }
+
+  /** Greedy MMR selection tail shared verbatim by the batch operator
+    * and [[graft.streaming.StreamServe.mmrTopK]] (the shared-tail
+    * pattern: batch ≡ stream by construction). `short` =
+    * (query_id, neighbor_id, rel) bounded at |Q|·pool; `vecs` =
+    * (neighbor_id, v, nrm) for at least every shortlist member.
+    */
+  private[graft] def mmrTail(short: DataFrame, vecs: DataFrame, k: Int,
+                             lam: Double, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withVec = short.join(vecs, "neighbor_id")
     val aSide = withVec.select(col("query_id"),
       col("neighbor_id").as("na"), col("v").as("va"), col("nrm").as("nna"))
     val bSide = withVec.select(col("query_id"),

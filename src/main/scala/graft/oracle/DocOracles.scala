@@ -1171,6 +1171,18 @@ object DocOracles {
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
   }
 
+  /** Mirror of Dedup.softDedupWeights: unrolled-fixpoint clusters +
+    * per-cluster size + 1/size weight (identical-operand division —
+    * IEEE-exact cross-engine).
+    */
+  private def softDedupWeightsSql: String =
+    s"""WITH cl AS (SELECT * FROM ($simhashClustersSql)),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl
+       |       GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  1.0 / CAST(sz.cluster_size AS DOUBLE) AS weight
+       |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id""".stripMargin
+
   /** Mirror of TextAnalysis.splitLeakage: unrolled-fixpoint clusters +
     * the salted-md5 split rule; multi-doc clusters with split spread.
     */
@@ -1504,6 +1516,7 @@ object DocOracles {
     "q_substring_dedup" -> repeatedSubstringsSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,
+    "q_soft_dedup" -> softDedupWeightsSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_text_repetition" -> repetitionSql,
     "q_feature_hash" -> hashedFeaturesSql,

@@ -61,4 +61,24 @@ object StreamServe {
         .select(col("query_id"), col("neighbor_id"), col("cos")),
       labels, k)
   }
+
+  /** MMR-diversified serving off the MAINTAINED vector index: the
+    * batch [[graft.operators.Similarity.mmrTopK]] greedy selection
+    * (ONE shared tail — λ·rel − (1−λ)·max-sim over the bounded
+    * shortlist, per-round lineage cuts included) with the shortlist
+    * probe and the pairwise vectors both read from the streaming
+    * [[StreamAnn.AnnState]]. StreamServeSpec pins stream ≡ batch
+    * over the final corpus.
+    */
+  def mmrTopK(ann: StreamAnn.AnnState, queries: DataFrame, k: Int = 5,
+              pool: Int = 20, lam: Double = 0.7,
+              nprobe: Int = 4): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    graft.operators.Similarity.mmrTail(
+      StreamAnn.query(ann, queries, pool, nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")),
+      ann.index.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm")),
+      k, lam, ann.dim)
+  }
 }

@@ -65,4 +65,21 @@ class StreamServeSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     graft.operators.OperatorCaches.releaseAll()
   }
+
+  test("streamed MMR equals the batch operator over the final corpus") {
+    def vecPart(m: Long) = col("vec_id") % 3 === m
+    var ann = StreamAnn.build(emb.filter(vecPart(0) || col("vec_id") < 16))
+    ann = StreamAnn.ingest(ann, emb.filter(vecPart(1) && col("vec_id") >= 16))
+    ann = StreamAnn.ingest(ann, emb.filter(vecPart(2) && col("vec_id") >= 16))
+    ann = StreamAnn.consolidate(ann)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    }.toSet
+    val got = key(StreamServe.mmrTopK(ann, emb.filter(col("vec_id") < 4)))
+    val want = key(graft.operators.Similarity.mmrTopK(
+      emb, col("vec_id") < 4))
+    assert(got == want)
+    assert(got.nonEmpty)
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
