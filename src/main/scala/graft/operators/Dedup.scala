@@ -776,9 +776,12 @@ object Dedup {
     */
   def softDedupWeights(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val labels = clusterLabels(docs, maxHamming)
-    val sizes = labels.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
+    // size via a window, not groupBy+self-join: the label view is
+    // consumed ONCE (the CC fixpoint materializes once even uncached)
+    // and the whole tail is a single cluster_id-keyed exchange
+    val w = Window.partitionBy(col("cluster_id"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
