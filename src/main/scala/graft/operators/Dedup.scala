@@ -774,15 +774,22 @@ object Dedup {
     * per-document fan-out). 1/n on identical operands is
     * IEEE-identical cross-engine.
     */
-  def softDedupWeights(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val labels = clusterLabels(docs, maxHamming)
-    // size via a window, not groupBy+self-join: the label view is
-    // consumed ONCE (the CC fixpoint materializes once even uncached)
-    // and the whole tail is a single cluster_id-keyed exchange
+  def softDedupWeights(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    weightsFromLabels(clusterLabels(docs, maxHamming))
+
+  /** Size-window + 1/size tail shared verbatim by the batch operator
+    * and [[graft.streaming.StreamClusters.softWeightsFor]] (batch ≡
+    * stream by construction). Size via a window, not
+    * groupBy+self-join: the label view is consumed ONCE (the CC
+    * fixpoint materializes once even uncached) and the whole tail is
+    * a single cluster_id-keyed exchange.
+    */
+  private[graft] def weightsFromLabels(labels: DataFrame,
+                                       idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
 

@@ -112,6 +112,34 @@ object StreamAnn {
   def consolidate(state: AnnState): AnnState =
     state.copy(index = state.index.localCheckpoint(true))
 
+  /** Persist the maintained store as parquet — codebook, inverted
+    * lists, and the (nlist, dim) config as a one-row meta table — so
+    * a restart (or a different cluster) serves and keeps ingesting
+    * WITHOUT re-deriving the index from the corpus: at 100 TB the
+    * inverted lists are the expensive artifact, and the codebook
+    * must ride along bit-for-bit or every stored assignment silently
+    * disagrees with later probes. Round-trip is exact: vectors are
+    * array<double> in parquet, so [[load]] restores bit-identical
+    * state (StreamAnnSpec pins query equality and post-load ingest).
+    */
+  def save(state: AnnState, dir: String): Unit = {
+    state.pivots.write.mode("overwrite").parquet(s"$dir/pivots")
+    state.index.write.mode("overwrite").parquet(s"$dir/index")
+    val spark = state.index.sparkSession
+    import spark.implicits._
+    Seq((state.nlist, state.dim)).toDF("nlist", "dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[save]]d store. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): AnnState = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    AnnState(
+      pivots = spark.read.parquet(s"$dir/pivots"),
+      index = spark.read.parquet(s"$dir/index"),
+      nlist = meta.getInt(0), dim = meta.getInt(1))
+  }
+
   // ---- PQ leg: the compressed production layout, maintained online --
 
   /** Frozen pivots + frozen PQ book + append-only CODE index

@@ -235,6 +235,20 @@ object StreamClusters {
       .select(col("node").as(idCol),
         coalesce(col("cluster_id"), col("node")).as("cluster_id"))
 
+  /** Soft-dedup sampling weights off the MAINTAINED label store: the
+    * batch [[graft.operators.Dedup.softDedupWeights]] view (weight =
+    * 1/cluster_size, every member kept) with labels read from the
+    * incremental state instead of a full-corpus CC run — newly
+    * ingested near-dup edges reweight the affected documents without
+    * re-clustering the corpus. The size-window tail IS the batch
+    * operator's tail, so with the same edge set the views are equal
+    * (DocOpsSpec pins it).
+    */
+  def softWeightsFor(state: ClusterState, docs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame =
+    graft.operators.Dedup.weightsFromLabels(
+      labelsFor(state, docs, idCol), idCol)
+
   /** Streaming wiring: foreachBatch folds each micro-batch of edges
     * into the state via [[ingest]] — the caller reads `state()` for
     * the current labels between/after batches.

@@ -579,6 +579,17 @@ class DocOpsSpec extends AnyFunSuite {
     val want = Dedup.clusterLabels(d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
+    // the soft-dedup weight view rides the same state: maintained
+    // weights equal the batch operator's over the same edge set
+    val gotW = graft.streaming.StreamClusters
+      .softWeightsFor(m.state(), d.select("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val wantW = Dedup.softDedupWeights(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(gotW == wantW)
+    assert(gotW.exists(_._3 > 1L), "expected at least one multi-doc cluster")
     graft.operators.OperatorCaches.releaseAll()
   }
 

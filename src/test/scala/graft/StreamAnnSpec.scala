@@ -139,4 +139,30 @@ class StreamAnnSpec extends AnyFunSuite {
     assert(got == expect)
     graft.operators.OperatorCaches.releaseAll()
   }
+
+  test("save/load round-trips the store: queries equal, ingest continues") {
+    def vecPart(m: Long) = col("vec_id") % 3 === m
+    var ann = StreamAnn.build(emb.filter(vecPart(0) || col("vec_id") < 16))
+    ann = StreamAnn.ingest(ann, emb.filter(vecPart(1) && col("vec_id") >= 16))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annstore")
+      .toFile.getAbsolutePath
+    StreamAnn.save(ann, dir)
+    val loaded = StreamAnn.load(spark, dir)
+    assert(loaded.nlist == ann.nlist && loaded.dim == ann.dim)
+    val queries = emb.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    }.toSet
+    assert(key(StreamAnn.query(loaded, queries, k = 5)) ==
+      key(StreamAnn.query(ann, queries, k = 5)))
+    // ingest keeps working against the reloaded (frozen) codebook and
+    // lands the final corpus in the same state as never having saved
+    val grown = StreamAnn.ingest(loaded,
+      emb.filter(vecPart(2) && col("vec_id") >= 16))
+    val never = StreamAnn.ingest(ann,
+      emb.filter(vecPart(2) && col("vec_id") >= 16))
+    assert(key(StreamAnn.query(grown, queries, k = 5)) ==
+      key(StreamAnn.query(never, queries, k = 5)))
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
