@@ -68,10 +68,16 @@ object Lev {
     while (j <= m) {
       val tj = t.getByte(pre + j - 1)
       d(0) = if (j <= k) j else inf
+      // band bounds; lo <= hi always holds here (m - n <= k implies
+      // j - k <= n for every j <= m), so no early exit is needed
       val lo = math.max(1, j - k)
       val hi = math.min(n, j + k)
-      if (lo > hi) return -1
+      // seed BOTH band edges with inf: the next row's viaDel reads
+      // p(i) one past this row's band on each side, and a stale slot
+      // (0 from array init, or a value two rows old) must never leak
+      // in as a real cost
       if (lo > 1) d(lo - 1) = inf
+      if (hi < n) d(hi + 1) = inf
       var i = lo
       while (i <= hi) {
         val cost =

@@ -137,7 +137,7 @@ object StreamAnn {
     AnnState(
       pivots = spark.read.parquet(s"$dir/pivots"),
       index = spark.read.parquet(s"$dir/index"),
-      nlist = meta.getInt(0), dim = meta.getInt(1))
+      nlist = meta.getAs[Int]("nlist"), dim = meta.getAs[Int]("dim"))
   }
 
   // ---- PQ leg: the compressed production layout, maintained online --
