@@ -39,6 +39,17 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object GraftExtensions {
+  /** `bounded_levenshtein(l, r, k)` — k must be a foldable INT
+    * literal (it parameterizes the band width at plan time, exactly
+    * like the built-in three-argument `levenshtein`).
+    */
+  private[plans] val boundedLevBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, Literal(k: Int, IntegerType)) => BoundedLevenshtein(a, b, k)
+    case other => throw new IllegalArgumentException(
+      "bounded_levenshtein expects (string, string, int literal), got " +
+        s"${other.size} argument(s)")
+  }
+
   /** Install into an already-running session (builder extensions only
     * apply to new SparkContexts): temp-function registration + the
     * rewrite via experimental extra optimizations.
@@ -60,6 +71,8 @@ object GraftExtensions {
           s"dot_d expects 2 arguments, got ${children.size}")
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_levenshtein", boundedLevBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
@@ -92,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"dot_d expects 2 arguments, got ${children.size}")
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bounded_levenshtein"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BoundedLevenshtein].getName, "bounded_levenshtein"),
+      GraftExtensions.boundedLevBuilder))
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

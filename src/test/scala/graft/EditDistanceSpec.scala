@@ -62,6 +62,14 @@ class EditDistanceSpec extends AnyFunSuite {
       assert(ours(a, b, k) == ref(a, b, k), s"($a, $b, $k)")
   }
 
+  test("bounded_levenshtein is SQL-callable via GraftExtensions") {
+    graft.plans.GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT bounded_levenshtein('kitten', 'sitting', 3) AS d," +
+        " bounded_levenshtein('kitten', 'sitting', 2) AS over").head()
+    assert(got.getInt(0) == 3 && got.getInt(1) == -1)
+  }
+
   test("Expression matches the built-in through codegen, nulls included") {
     val df = Seq(
       ("kitten", "sitting"), ("same", "same"), ("a", "abcd"),
