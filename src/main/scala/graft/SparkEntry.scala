@@ -513,6 +513,9 @@ object SparkEntry {
     // quality scoring
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(T(s, d)("documents"))),
+    // per-source quality cut: keep top 50% of EACH source by quality
+    "q_quality_prune" -> ((s, d) =>
+      TextAnalysis.qualityPrune(T(s, d)("documents"))),
     // stopword language heuristic
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(T(s, d)("documents"))),
     // rolling-window document fingerprint

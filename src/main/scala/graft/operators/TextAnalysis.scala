@@ -59,6 +59,31 @@ object TextAnalysis {
       score.as("quality"))
   }
 
+  /** Per-source quality pruning — the curation cut that keeps the
+    * top `keepPct`% of EACH source by quality score (a global cut
+    * would let one high-quality source crowd out every other
+    * domain). Rank-based, not threshold-based: kept ⟺
+    * 100·rank ≤ n·keepPct + 99 (⟺ rank ≤ ⌈n·keepPct/100⌉), all
+    * integer math, so the cut is exact cross-engine; quality ties
+    * break to the smaller doc_id. One exchange keyed on source pays
+    * for rank and count together (two window functions, same
+    * partitioning); the quality score itself is row-local.
+    */
+  def qualityPrune(docs: DataFrame, keepPct: Int = 50): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct=$keepPct out of range")
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val joined = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    val bySrc = Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("quality").desc, col("doc_id"))
+    joined
+      .withColumn("q_rank", row_number().over(w))
+      .withColumn("src_n", count(lit(1)).over(bySrc))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("q_rank"),
+        (col("q_rank") * 100L <= col("src_n") * keepPct + 99L).as("kept"))
+  }
+
   /** Stopword-count language heuristic: argmax over per-language
     * marker hits, ties resolved by StopWords order.
     */

@@ -1035,6 +1035,25 @@ object DocOracles {
        |FROM b""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.qualityPrune: the qualitySql score,
+    * per-source rank (quality DESC, doc_id) and count, integer cut
+    * 100·rank ≤ n·keepPct + 99.
+    */
+  private def qualityPruneSql: String = {
+    val keepPct = 50
+    s"""WITH q AS (SELECT doc_id, quality FROM ($qualitySql)),
+       |j AS (SELECT d.doc_id, d.source, q.quality
+       |      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |r AS (SELECT doc_id, source, quality,
+       |        ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY quality DESC, doc_id) AS q_rank,
+       |        COUNT(*) OVER (PARTITION BY source) AS src_n
+       |      FROM j)
+       |SELECT doc_id, source, quality, q_rank,
+       |  q_rank * 100 <= src_n * $keepPct + 99 AS kept
+       |FROM r""".stripMargin
+  }
+
   /** Exact mean via scaled-BIGINT sum / count — the shared OracleSql
     * twin of ExactAgg.davg (never re-implemented here, so the two
     * sides cannot drift).
@@ -1684,6 +1703,7 @@ object DocOracles {
         |FROM documents""".stripMargin,
 
     "q_text_quality" -> qualitySql,
+    "q_quality_prune" -> qualityPruneSql,
     "q_text_langid" -> langIdSql,
 
     "q_text_fingerprint" ->

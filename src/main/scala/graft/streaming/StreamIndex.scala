@@ -101,4 +101,25 @@ object StreamIndex {
         .localCheckpoint(true),
       state.totals.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len")).localCheckpoint(true))
+
+  /** Persist the maintained lexical store as parquet (postings +
+    * per-term df + corpus totals) — the BM25 twin of
+    * [[StreamAnn.save]]: a restart serves and keeps ingesting without
+    * re-tokenizing the corpus. Counts are exact longs, so [[load]]
+    * restores bit-identical state (StreamIndexSpec pins query
+    * equality and post-load ingest).
+    */
+  def save(state: IndexState, dir: String): Unit = {
+    state.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    state.termDf.write.mode("overwrite").parquet(s"$dir/term_df")
+    state.totals.write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  /** Reload a [[save]]d store. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): IndexState =
+    IndexState(
+      postings = spark.read.parquet(s"$dir/postings"),
+      termDf = spark.read.parquet(s"$dir/term_df"),
+      totals = spark.read.parquet(s"$dir/totals"))
 }

@@ -31,6 +31,24 @@ class StreamIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("save/load round-trips the lexical store: queries equal, ingest continues") {
+    var st = StreamIndex.emptyState(spark)
+    (0 to 1).foreach { i =>
+      st = StreamIndex.ingest(st,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxstore")
+      .toFile.getAbsolutePath
+    StreamIndex.save(st, dir)
+    val loaded = StreamIndex.load(spark, dir)
+    assert(key(StreamIndex.query(loaded, terms, k = 20)) ==
+      key(StreamIndex.query(st, terms, k = 20)))
+    val grown = StreamIndex.ingest(loaded,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+    assert(key(StreamIndex.query(grown, terms, k = 20)) ==
+      key(Retrieval.bm25TopK(docs, terms, k = 20)))
+  }
+
   test("df segments sum to the corpus document frequency") {
     var st = StreamIndex.emptyState(spark)
     (0 to 2).foreach { i =>
