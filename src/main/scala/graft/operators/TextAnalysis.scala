@@ -44,7 +44,12 @@ object TextAnalysis {
     * composite score in [0,1]. All ratios are int/int or int/double
     * divisions — bit-identical across engines.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** `carry` appends passthrough input columns to the output — the
+    * single-scan hook for consumers that need the score NEXT TO
+    * another column (qualityPrune carries `source`) without a second
+    * scan + doc_id join to recover it.
+    */
+  def qualityScore(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val nTok = size(toks).cast(DoubleType)
     val nStop = countIn(StopWords.head._2).cast(DoubleType)
     val meanLen =
@@ -54,9 +59,9 @@ object TextAnalysis {
       lit(0.3) * least(lit(1.0), nTok / lit(100.0)) +
       lit(0.4) * (lit(1.0) - stopRatio) +
       lit(0.3) * least(lit(1.0), meanLen / lit(8.0))
-    fan(docs).select(col("doc_id"), nTok.as("n_tokens"),
-      stopRatio.as("stopword_ratio"), meanLen.as("mean_token_len"),
-      score.as("quality"))
+    fan(docs).select(col("doc_id") +: nTok.as("n_tokens") +:
+      stopRatio.as("stopword_ratio") +: meanLen.as("mean_token_len") +:
+      score.as("quality") +: carry.map(col): _*)
   }
 
   /** Per-source quality pruning — the curation cut that keeps the
@@ -72,8 +77,10 @@ object TextAnalysis {
   def qualityPrune(docs: DataFrame, keepPct: Int = 50): DataFrame = {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct=$keepPct out of range")
     import org.apache.spark.sql.expressions.Window
-    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
-    val joined = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    // source carried through the ONE quality scan — no second scan,
+    // no doc_id join; the only exchange is the source-keyed window
+    val joined = qualityScore(docs, carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"))
     val bySrc = Window.partitionBy(col("source"))
     val w = bySrc.orderBy(col("quality").desc, col("doc_id"))
     joined

@@ -40,14 +40,20 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   */
 object GraftExtensions {
   /** `bounded_levenshtein(l, r, k)` — k must be a foldable INT
-    * literal (it parameterizes the band width at plan time, exactly
-    * like the built-in three-argument `levenshtein`).
+    * constant (it parameterizes the band width at plan time, exactly
+    * like the built-in three-argument `levenshtein`); builders run
+    * before constant folding, so foldable non-literals (`1+2`, `-1`
+    * parsed as UnaryMinus) are evaluated here.
     */
   private[plans] val boundedLevBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b, Literal(k: Int, IntegerType)) => BoundedLevenshtein(a, b, k)
+    case Seq(a, b, k)
+        if k.foldable && k.dataType == IntegerType && k.eval() != null =>
+      BoundedLevenshtein(a, b, k.eval().asInstanceOf[Int])
     case other => throw new IllegalArgumentException(
-      "bounded_levenshtein expects (string, string, int literal), got " +
-        s"${other.size} argument(s)")
+      "bounded_levenshtein expects (string, string, constant int); got " +
+        (if (other.size != 3) s"${other.size} argument(s)"
+         else s"a third argument of type ${other(2).dataType.simpleString}" +
+           (if (other(2).foldable) "" else " that is not a constant")))
   }
 
   /** Install into an already-running session (builder extensions only

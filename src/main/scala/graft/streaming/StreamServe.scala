@@ -74,9 +74,13 @@ object StreamServe {
               pool: Int = 20, lam: Double = 0.7,
               nprobe: Int = 4): DataFrame = {
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    // cached like the batch twin's shortlist: mmrTail consumes the
+    // shortlist ~k+1 times, and each uncached consumption would
+    // re-run the whole index-wide probe
     graft.operators.Similarity.mmrTail(
-      StreamAnn.query(ann, queries, pool, nprobe)
-        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")),
+      graft.operators.OperatorCaches.track(
+        StreamAnn.query(ann, queries, pool, nprobe)
+          .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))),
       ann.index.select(col("vec_id").as("neighbor_id"), col("v"),
         col("nrm")),
       k, lam, ann.dim)
