@@ -529,6 +529,9 @@ object SparkEntry {
     // soft dedup: keep every member, weight = 1/cluster_size
     "q_soft_dedup" -> ((s, d) =>
       Dedup.softDedupWeights(T(s, d)("documents"))),
+    // quality-aware canonicals: the cluster rep is the BEST member
+    "q_dedup_best_rep" -> ((s, d) =>
+      Dedup.bestOfCluster(T(s, d)("documents"))),
     // hashing-trick bag-of-words: fixed-width feature slots, ±1 signs
     "q_feature_hash" -> ((s, d) =>
       FeatureEng.hashedFeatures(T(s, d)("documents"))),

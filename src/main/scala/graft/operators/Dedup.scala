@@ -793,6 +793,31 @@ object Dedup {
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
 
+  /** Quality-aware canonical selection: per near-dup cluster the
+    * representative is the HIGHEST-QUALITY member (ties to the
+    * smaller doc_id) — the curation-grade upgrade over min-id
+    * canonicals: when boilerplate variants cluster together, the kept
+    * copy should be the best-written one, not the one that happened
+    * to get the smallest id. Rides the shared materialized
+    * cluster-label view; the quality score is row-local
+    * ([[TextAnalysis.qualityScore]]); one cluster-keyed exchange pays
+    * for the rank and the representative broadcast together
+    * (first_value over the same window frame).
+    */
+  def bestOfCluster(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val labels = clusterLabels(docs, maxHamming)
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.join(quality, "doc_id")
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        col("quality"), (col("doc_id") === col("canonical_id"))
+          .as("is_canonical"))
+  }
+
   /** Cross-source near-dup overlap matrix — which corpus sources
     * duplicate into which (the dedup-planning view: a crawl snapshot
     * vs a curated set, two snapshots of the same crawl, etc.):

@@ -1202,6 +1202,27 @@ object DocOracles {
        |  1.0 / CAST(sz.cluster_size AS DOUBLE) AS weight
        |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id""".stripMargin
 
+  /** Mirror of Dedup.bestOfCluster: unrolled-fixpoint clusters +
+    * qualitySql scores + FIRST_VALUE over (quality DESC, doc_id) with
+    * an unbounded frame — the same deterministic representative.
+    */
+  private def bestOfClusterSql: String =
+    s"""WITH cl AS (SELECT * FROM ($simhashClustersSql)),
+       |q AS (SELECT doc_id, quality FROM ($qualitySql)),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+       |      FROM cl JOIN q ON cl.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS canonical_id,
+       |  quality,
+       |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS is_canonical
+       |FROM j""".stripMargin
+
   /** Mirror of TextAnalysis.splitLeakage: unrolled-fixpoint clusters +
     * the salted-md5 split rule; multi-doc clusters with split spread.
     */
@@ -1536,6 +1557,7 @@ object DocOracles {
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,
     "q_soft_dedup" -> softDedupWeightsSql,
+    "q_dedup_best_rep" -> bestOfClusterSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_text_repetition" -> repetitionSql,
     "q_feature_hash" -> hashedFeaturesSql,

@@ -160,6 +160,22 @@ class DocOpsSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("bestOfCluster canonicals are the max-quality members") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val rows = Dedup.bestOfCluster(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.exists(_._2.length > 1), "need a multi-doc cluster")
+    for ((_, members) <- byCluster) {
+      val canon = members.head._3
+      assert(members.forall(_._3 == canon), "one canonical per cluster")
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(canon == best._1,
+        s"canonical $canon is not the quality-best member ${best._1}")
+    }
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("hard negatives exclude the same-label nearest neighbor") {
     import spark.implicits._
     // id 1 is the NEAREST shortlist member but shares the query's
