@@ -132,6 +132,76 @@ object Layout {
         nullable = false))
   }
 
+  /** PER-KEY RANK + PER-KEY COUNT, partition-parallel — the keyed
+    * sibling of [[globalIndex]], and the scalable spelling of
+    * `row_number().over(Window.partitionBy(key).orderBy(...))` +
+    * `count().over(Window.partitionBy(key))`. The window spelling
+    * hash-partitions on the key, which puts EVERY row of a key in ONE
+    * task — at 100 TB with a handful of keys (e.g. corpus sources)
+    * that is a single-task sort per key, a straggler by construction.
+    *
+    * Here the key participates in the RANGE partitioning together
+    * with the sort columns, so one key spans as many partitions as
+    * its mass needs; per-partition per-key counts ride ONE tiny job
+    * to the driver (≤ numPartitions + #keys − 1 rows total, because a
+    * key's rows are contiguous across range partitions), per-key
+    * prefix offsets seed a map-side running counter, and per-key
+    * totals come from the same collected counts. No data moves twice.
+    *
+    * `sortCols` must make (key, sortCols) a TOTAL order (include a
+    * tiebreaker) for deterministic ranks. Output appends `rankCol`
+    * (1-based long) and `countCol` (long) to the input schema.
+    */
+  def keyedRank(df: DataFrame, keyCol: String, sortCols: Seq[Column],
+                rankCol: String = "key_rank", countCol: String = "key_n",
+                numPartitions: Int = 0): DataFrame = {
+    val order = col(keyCol) +: sortCols
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
+      else df.repartitionByRange(order: _*)
+    // tracked cache: the sorted frame is consumed twice (counts job +
+    // final pass); released by the caller via OperatorCaches
+    val sorted = OperatorCaches.track(
+      ranged.sortWithinPartitions(order: _*))
+    // bounded collect: (pid, key) pairs, not data — a key's rows are
+    // contiguous under range partitioning, so the pair count is at
+    // most numPartitions + #keys - 1
+    val perPart = sorted
+      .groupBy(spark_partition_id().as("pid"), col(keyCol))
+      .count().collect()
+      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
+    val totals: Map[Any, Long] =
+      perPart.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val offsets: Map[(Int, Any), Long] =
+      perPart.keys.groupBy(_._2).flatMap { case (k, pks) =>
+        var acc = 0L
+        pks.map(_._1).toSeq.sorted.map { p =>
+          val o = ((p, k), acc); acc += perPart((p, k)); o
+        }
+      }
+    val kIdx = sorted.schema.fieldIndex(keyCol)
+    val bc = sorted.sparkSession.sparkContext.broadcast((offsets, totals))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (off, tot) = bc.value
+      var cur: Any = null
+      var curSet = false
+      var running = 0L
+      it.map { row =>
+        val k = row.get(kIdx)
+        if (!curSet || k != cur) {
+          cur = k; curSet = true
+          running = off.getOrElse((pid, k), 0L)
+        }
+        running += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ running :+ tot(k))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd,
+      sorted.schema
+        .add(rankCol, org.apache.spark.sql.types.LongType, nullable = false)
+        .add(countCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** The layout write recipe: range-partition on the layout key so
     * each output file owns a disjoint key span (file-level pruning),
     * sort within partitions so row groups within a file are also

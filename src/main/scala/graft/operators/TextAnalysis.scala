@@ -76,16 +76,19 @@ object TextAnalysis {
     */
   def qualityPrune(docs: DataFrame, keepPct: Int = 50): DataFrame = {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct=$keepPct out of range")
-    import org.apache.spark.sql.expressions.Window
     // source carried through the ONE quality scan — no second scan,
-    // no doc_id join; the only exchange is the source-keyed window
+    // no doc_id join. The rank is Layout.keyedRank's two-phase form,
+    // NOT a source-keyed window: a window partitioned by source puts
+    // an entire source in one task — at 100 TB with a handful of
+    // sources that is a single-task sort per source. keyedRank
+    // range-partitions on (source, quality desc, doc_id) so a heavy
+    // source spans many partitions, and delivers rank + src_n from
+    // the same exchange.
     val joined = qualityScore(docs, carry = Seq("source"))
       .select(col("doc_id"), col("source"), col("quality"))
-    val bySrc = Window.partitionBy(col("source"))
-    val w = bySrc.orderBy(col("quality").desc, col("doc_id"))
-    joined
-      .withColumn("q_rank", row_number().over(w))
-      .withColumn("src_n", count(lit(1)).over(bySrc))
+    graft.operators.Layout
+      .keyedRank(joined, "source", Seq(col("quality").desc, col("doc_id")),
+        rankCol = "q_rank", countCol = "src_n")
       .select(col("doc_id"), col("source"), col("quality"),
         col("q_rank"),
         (col("q_rank") * 100L <= col("src_n") * keepPct + 99L).as("kept"))

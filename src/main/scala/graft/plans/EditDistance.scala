@@ -56,22 +56,28 @@ object Lev {
     if (n > m) { val tmp = n; n = m; m = tmp; s = b; t = a }
     if (m - n > k) return -1
     if (n == 0) return m // m - n <= k already established
-    // banded two-row DP over the short window, saturated at k+1
-    val inf = k + 1
+    // clamp the threshold to the remaining distance ceiling: the
+    // trimmed windows are at most m apart, so k beyond m buys
+    // nothing — and an unclamped k near Int.MaxValue would wrap the
+    // band arithmetic (inf = k+1, hi = j+k) negative. Semantics
+    // unchanged: distance <= m <= original k whenever kk = m.
+    val kk = math.min(k, m)
+    // banded two-row DP over the short window, saturated at kk+1
+    val inf = kk + 1
     var p = new Array[Int](n + 1)
     var d = new Array[Int](n + 1)
-    val boundary = math.min(n, k) + 1
+    val boundary = math.min(n, kk) + 1
     var idx = 0
     while (idx < boundary) { p(idx) = idx; idx += 1 }
     while (idx <= n) { p(idx) = inf; idx += 1 }
     var j = 1
     while (j <= m) {
       val tj = t.getByte(pre + j - 1)
-      d(0) = if (j <= k) j else inf
-      // band bounds; lo <= hi always holds here (m - n <= k implies
-      // j - k <= n for every j <= m), so no early exit is needed
-      val lo = math.max(1, j - k)
-      val hi = math.min(n, j + k)
+      d(0) = if (j <= kk) j else inf
+      // band bounds; lo <= hi always holds here (m - n <= kk implies
+      // j - kk <= n for every j <= m), so no early exit is needed
+      val lo = math.max(1, j - kk)
+      val hi = math.min(n, j + kk)
       // seed BOTH band edges with inf: the next row's viaDel reads
       // p(i) one past this row's band on each side, and a stale slot
       // (0 from array init, or a value two rows old) must never leak

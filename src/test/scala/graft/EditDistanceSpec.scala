@@ -62,6 +62,16 @@ class EditDistanceSpec extends AnyFunSuite {
       assert(ours(a, b, k) == ref(a, b, k), s"($a, $b, $k)")
   }
 
+  test("huge thresholds don't overflow the band math (k near Int.MaxValue)") {
+    // regression pin: inf = k+1 and hi = j+k used to wrap negative for
+    // k near Int.MaxValue (AIOOBE); the kernel now clamps k to the
+    // remaining-window length, where the distance ceiling lives
+    for (k <- Seq(Int.MaxValue, Int.MaxValue - 1, 1 << 30);
+         (a, b) <- Seq(("kitten", "sitting"), ("", "abc"), ("ab", "ba"),
+                       ("abcdefgh", "hgfedcba"), ("same", "same")))
+      assert(ours(a, b, k) == ref(a, b, k), s"($a, $b, $k)")
+  }
+
   test("bounded_levenshtein is SQL-callable via GraftExtensions") {
     graft.plans.GraftExtensions.install(spark)
     val got = spark.sql(

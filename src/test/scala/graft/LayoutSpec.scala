@@ -75,6 +75,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("keyedRank equals the keyed window rank+count, distributed") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", length($"text").cast("long").as("v"))
+    val out = Layout.keyedRank(docs.repartition(7), "source",
+        Seq(col("v").desc, col("doc_id")), "rk", "n")
+      .select("doc_id", "rk", "n").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val expected = docs
+      .withColumn("rk", row_number()
+        .over(bySrc.orderBy(col("v").desc, col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .select("doc_id", "rk", "n").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == expected)
+  }
+
+  test("keyedRank spreads ONE heavy key across partitions (no straggler)") {
+    // the window spelling puts a whole key in one task; keyedRank must
+    // keep a single-key corpus multi-partition AND rank it correctly
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", lit("only").as("source"),
+        length($"text").cast("long").as("v"))
+    val pinned = Layout.keyedRank(docs, "source",
+      Seq(col("v").desc, col("doc_id")), "rk", "n", numPartitions = 5)
+    assert(pinned.rdd.getNumPartitions == 5)
+    val rows = pinned.select("doc_id", "rk", "n").collect()
+    val exp = docs.orderBy(col("v").desc, col("doc_id")).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == exp)
+    assert(rows.forall(_.getLong(2) == exp.size.toLong))
+    // the key's rows genuinely span tasks — the collapse being refused
+    val nonEmpty = pinned.rdd
+      .mapPartitions(it => Iterator(it.nonEmpty)).collect().count(identity)
+    assert(nonEmpty > 1, s"single-key data collapsed to $nonEmpty partition(s)")
+  }
+
   test("shardPlan: shards are contiguous and within budget except single overlong docs") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val out = graft.operators.TextAnalysis.shardPlan(docs, budget = 500)

@@ -226,6 +226,19 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected a single keyed shuffle, found $n:\n$plan")
   }
 
+  test("quality prune ranks two-phase — no source-keyed window anywhere") {
+    // row_number over partitionBy(source) would put an entire source
+    // in ONE task (the straggler shape at 100 TB with few sources);
+    // the prune must rank via Layout.keyedRank's range-partitioned
+    // two-phase form, so NO window operator and NO single-partition
+    // exchange may appear in the executed plan
+    val plan = explainStr(TextAnalysis.qualityPrune(t("documents")))
+    assert(!plan.contains("Window"),
+      s"qualityPrune regressed to a keyed window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"qualityPrune collapsed to one task:\n$plan")
+  }
+
   test("quantile bins use a KEYED window — no single-partition sort") {
     val plan = explainStr(FeatureEng.quantileBins(t("events")))
     assert(!plan.contains("Exchange SinglePartition"),

@@ -146,9 +146,22 @@ def main():
     # data and cuts the flake's surface 4x. Each query additionally
     # gets ONE retry on a fresh connection (see below) — every flake
     # observed to date passes on the immediate retry.
+    # memory_limit + temp_directory (round-12, verdict r11 #1): the
+    # r11 driver sweep lost 77 queries to DuckDB OutOfMemoryException
+    # failing KB-scale allocations on a loadavg-6+ box. Unbounded,
+    # DuckDB sizes its allocator to the box and dies instead of
+    # spilling when co-tenants take the memory; bounded with an
+    # on-disk temp_directory it spills and finishes. 6 GB is ~40x the
+    # sf0.01 working set and still leaves headroom on a 128 GiB host
+    # shared with the Spark JVM.
+    spill = Path("/tmp/duckdb_spill")
+    spill.mkdir(exist_ok=True)
+
     def fresh_con():
         c = duckdb.connect()
         c.execute("SET threads TO 8")
+        c.execute("SET memory_limit='6GB'")
+        c.execute(f"SET temp_directory='{spill}'")
         for t in TABLES:
             p = f"{sfdir}/{t}.parquet"
             if Path(p).exists():
