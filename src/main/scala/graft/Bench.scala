@@ -142,7 +142,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // == Start-of-run load defense (round-12 verdict item 3) ==
+    // Two consecutive driver rounds produced official artifacts from a
+    // box at loadavg 5.8–7.6 (co-tenant load): per-query retries can
+    // rescue individual readings but not a whole contended suite.
+    // Refuse to start measuring on a visibly loaded box — poll up to
+    // SPARK_GRAFT_LOAD_WAIT_SECS (default 600) for the 1-minute
+    // loadavg to fall below SPARK_GRAFT_LOAD_MAX (default 2.0). A run
+    // that must start loaded anyway is stamped "invalid_load": true in
+    // the artifact, so a contended run can never present itself clean.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
+    val loadWaitSecs =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "600").toInt
+    val waitDeadline = System.nanoTime() + loadWaitSecs * 1000000000L
+    while (load1() > loadMax && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        s"[bench] 1-min loadavg ${load1()} > $loadMax — waiting for idle")
+      Thread.sleep(15000)
+    }
     val loadStart = load1()
+    val invalidLoad = loadStart > loadMax
     // Each query runs at least twice. Run 1 pays one-time Janino
     // codegen + plan analysis + broadcast builds (constant cost,
     // amortized away at scale); run 2 is the steady-state per-query
@@ -212,6 +231,27 @@ object Bench {
         graft.operators.OperatorCaches.releaseAll()
         spark.catalog.clearCache()
       }
+    // == Targeted end-of-suite requeue (round-12 verdict item 3) ==
+    // A query still reading ≥2x its committed reference after the
+    // in-flight retries gets ONE more run here, after whatever
+    // contended with it has had the rest of the suite to pass
+    // (min is sound: contention only inflates). Cheaper than the
+    // full drift-gate pass and catches localized contention bursts
+    // the run-level gate's 1.25x total threshold cannot see.
+    benchQueries.foreach { case (name, fn) =>
+      if (timings.contains(name) &&
+          reference.get(name).exists(r => timings(name) > 2 * r)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          allRuns(name) += t
+          if (t < timings(name)) timings(name) = t
+        } catch { case _: Throwable => () } // keep the surviving reading
+        graft.operators.OperatorCaches.releaseAll()
+        spark.catalog.clearCache()
+      }
+    }
     val failed = errors.result()
     // == Run-level drift gate (round-6 verdict item 1) ==
     // The per-query 5x suspect threshold is blind to UNIFORM ambient
@@ -291,7 +331,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
@@ -307,7 +347,7 @@ object Bench {
       val susp = suspectList.take(n)
         .map { case (k, v, ref) => "\"" + k + s"""\":{"value":${r3(v)},"ref":$ref}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_suspect":$runSuspect,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
     }
     // hard guarantee the line fits the driver's capture window even if
     // query names grow: shrink the slowest-N list until it does
