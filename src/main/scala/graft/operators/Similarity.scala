@@ -641,6 +641,19 @@ object Similarity {
     * other rungs (the rp view can feed [[signBucket]] LSH or an IVF
     * build unchanged). JL distortion is the recall dial: RecallAudit
     * measures shortlist recall vs the exact baseline.
+    *
+    * == Regime contract (measured, RecallAudit at sf0.1) ==
+    * `pool` is the recall dial, and it only works when cosine gaps
+    * are real. Clustered corpus (true neighbors separated from the
+    * bulk): recall@10 = 0.50 / 0.79 / 1.00 at pool 10 / 20 / 40 —
+    * full recall at 4× compression by pool=40. Near-uniform corpus
+    * (pairwise cosines inside the JL distortion band): recall@10
+    * reads 0.08–0.30 at every pool ≤ 80 — the compression limit
+    * itself, not a tuning problem; no pool escalation recovers it.
+    * In that regime use [[ivfTopK]] (uncompressed, probe-bounded)
+    * directly. Auto-escalation is deliberately not built in: regime
+    * detection needs corpus-level cosine statistics this operator
+    * would otherwise have to scan for on every call.
     */
   def rpRerankTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
                    pool: Int = 20, pdim: Int = 16,
