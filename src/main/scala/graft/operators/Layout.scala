@@ -154,21 +154,55 @@ object Layout {
     */
   def keyedRank(df: DataFrame, keyCol: String, sortCols: Seq[Column],
                 rankCol: String = "key_rank", countCol: String = "key_n",
-                numPartitions: Int = 0): DataFrame = {
+                numPartitions: Int = 0): DataFrame =
+    keyedRunning(df, keyCol, sortCols, lit(1L), rankCol, Some(countCol),
+      numPartitions)
+
+  /** PER-KEY RUNNING TOTAL in a deterministic per-key order — the
+    * keyed sibling of [[prefixSum]], and the scalable spelling of
+    * `sum(value).over(Window.partitionBy(key).orderBy(...).rowsBetween
+    * (unboundedPreceding, currentRow))`, which puts every row of a
+    * key in ONE task. Same two-phase machinery as [[keyedRank]]
+    * (rank = running total of the constant 1). `valueCol` must be
+    * LONG — exact by int64 associativity.
+    */
+  def keyedPrefixSum(df: DataFrame, keyCol: String, sortCols: Seq[Column],
+                     valueCol: String, outCol: String = "running_total",
+                     numPartitions: Int = 0): DataFrame = {
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"keyedPrefixSum needs a LONG value column, got ${df.schema(valueCol)}")
+    keyedRunning(df, keyCol, sortCols, col(valueCol), outCol, None,
+      numPartitions)
+  }
+
+  /** Shared two-phase engine behind [[keyedRank]]/[[keyedPrefixSum]]:
+    * range-partition + in-partition sort on (key, sortCols), ONE tiny
+    * job collecting per-partition per-key sums of `inc`, map-side
+    * running totals seeded with per-key prefix offsets. When
+    * `totalCol` is set, the per-key grand total (known from the same
+    * collected sums) is appended too.
+    */
+  private def keyedRunning(df: DataFrame, keyCol: String,
+                           sortCols: Seq[Column], inc: Column,
+                           outCol: String, totalCol: Option[String],
+                           numPartitions: Int): DataFrame = {
     val order = col(keyCol) +: sortCols
+    val withInc = df.withColumn("__inc", inc.cast("long"))
     val ranged =
-      if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
-      else df.repartitionByRange(order: _*)
-    // tracked cache: the sorted frame is consumed twice (counts job +
+      if (numPartitions > 0)
+        withInc.repartitionByRange(numPartitions, order: _*)
+      else withInc.repartitionByRange(order: _*)
+    // tracked cache: the sorted frame is consumed twice (sums job +
     // final pass); released by the caller via OperatorCaches
     val sorted = OperatorCaches.track(
       ranged.sortWithinPartitions(order: _*))
-    // bounded collect: (pid, key) pairs, not data — a key's rows are
+    // bounded collect: (pid, key) sums, not data — a key's rows are
     // contiguous under range partitioning, so the pair count is at
     // most numPartitions + #keys - 1
     val perPart = sorted
       .groupBy(spark_partition_id().as("pid"), col(keyCol))
-      .count().collect()
+      .agg(sum(col("__inc")).as("s")).collect()
       .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
     val totals: Map[Any, Long] =
       perPart.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
@@ -180,6 +214,7 @@ object Layout {
         }
       }
     val kIdx = sorted.schema.fieldIndex(keyCol)
+    val iIdx = sorted.schema.fieldIndex("__inc")
     val bc = sorted.sparkSession.sparkContext.broadcast((offsets, totals))
     val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val (off, tot) = bc.value
@@ -192,14 +227,18 @@ object Layout {
           cur = k; curSet = true
           running = off.getOrElse((pid, k), 0L)
         }
-        running += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ running :+ tot(k))
+        running += row.getLong(iIdx)
+        val base = row.toSeq.patch(iIdx, Nil, 1) :+ running
+        org.apache.spark.sql.Row.fromSeq(
+          totalCol.fold(base)(_ => base :+ tot(k)))
       }
     }
+    val longT = org.apache.spark.sql.types.LongType
+    val base = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields.filterNot(_.name == "__inc"))
+      .add(outCol, longT, nullable = false)
     df.sparkSession.createDataFrame(rdd,
-      sorted.schema
-        .add(rankCol, org.apache.spark.sql.types.LongType, nullable = false)
-        .add(countCol, org.apache.spark.sql.types.LongType, nullable = false))
+      totalCol.fold(base)(c => base.add(c, longT, nullable = false)))
   }
 
   /** The layout write recipe: range-partition on the layout key so

@@ -496,24 +496,24 @@ object TextAnalysis {
   /** Budget-capped per-domain selection — the mixture-curation step
     * that turns a target mix into a concrete document list: within
     * each domain (lang), documents are taken greedily in a
-    * deterministic preference order (longest first, doc_id tiebreak —
-    * any ranking column slots into the window) until the domain's
-    * token budget is exhausted; a document that would overflow the
-    * budget is dropped, as are all after it. One keyed window with a
-    * running token sum — integer-only arithmetic (exact in any
-    * engine), and partitioned BY DOMAIN, so at 100 TB each domain's
-    * selection runs independently; no global sort anywhere.
+    * deterministic preference order (longest first, doc_id tiebreak)
+    * until the domain's token budget is exhausted; a document that
+    * would overflow the budget is dropped, as are all after it.
+    * The running token sum is [[Layout.keyedPrefixSum]]'s two-phase
+    * form, NOT a domain-keyed window: the window spelling puts an
+    * entire domain in one task — at 100 TB with a handful of
+    * domains that is a single-task sort per domain (the same
+    * straggler shape qualityPrune refused). Integer-only arithmetic
+    * throughout — exact in any engine.
     */
   def budgetSelect(docs: DataFrame, budgetTokens: Long = 2000L)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_tok").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fan(docs)
+    val base = fan(docs)
       .select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    graft.operators.Layout
+      .keyedPrefixSum(base, "lang",
+        Seq(col("n_tok").desc, col("doc_id")), "n_tok", "cum_tok")
       .filter(col("cum_tok") <= budgetTokens)
   }
 

@@ -114,6 +114,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(nonEmpty > 1, s"single-key data collapsed to $nonEmpty partition(s)")
   }
 
+  test("keyedPrefixSum equals the keyed running-sum window, distributed") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", length($"text").cast("long").as("v"))
+    val out = Layout.keyedPrefixSum(docs.repartition(7), "source",
+        Seq(col("v").desc, col("doc_id")), "v", "run", numPartitions = 5)
+    assert(out.rdd.getNumPartitions == 5)
+    val got = out.select("doc_id", "run").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("v").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs.withColumn("run", sum(col("v")).over(w))
+      .select("doc_id", "run").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("shardPlan: shards are contiguous and within budget except single overlong docs") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val out = graft.operators.TextAnalysis.shardPlan(docs, budget = 500)

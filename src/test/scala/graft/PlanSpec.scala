@@ -155,13 +155,15 @@ class PlanSpec extends AnyFunSuite {
       s"postings build shuffled:\n$plan")
   }
 
-  test("budget select costs exactly one keyed exchange (the domain " +
-       "window)") {
+  test("budget select runs two-phase — no domain-keyed window anywhere") {
+    // a running sum over partitionBy(lang) would put an entire domain
+    // in ONE task; the selection must run via Layout.keyedPrefixSum's
+    // range-partitioned two-phase form (same standard as qualityPrune)
     val plan = explainStr(TextAnalysis.budgetSelect(t("documents")))
-    val exchanges = "Exchange hashpartitioning".r
-      .findAllIn(plan).size
-    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$plan")
-    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"budgetSelect regressed to a keyed window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"budgetSelect collapsed to one task:\n$plan")
   }
 
   test("negative sampling plan never enumerates users x vocabulary") {
