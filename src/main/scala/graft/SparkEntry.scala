@@ -543,6 +543,12 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) =>
       Dedup.decontaminate(T(s, d)("documents"),
         org.apache.spark.sql.functions.col("doc_id") % 20 === 1)),
+    // same screen through a broadcast Bloom prefilter + exact verify
+    // (bit-identical output; the eval set no longer needs to fit a
+    // broadcast hash table)
+    "q_decontaminate_bloom" -> ((s, d) =>
+      Dedup.decontaminateBloom(T(s, d)("documents"),
+        org.apache.spark.sql.functions.col("doc_id") % 20 === 1)),
     // Gopher-style repetition screens: exact token/bigram share ratios
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionMetrics(T(s, d)("documents"))),
@@ -552,6 +558,12 @@ object SparkEntry {
     // SemDeDup: IVF-cluster-bounded semantic dedup, min-id canonical
     "q_semdedup" -> ((s, d) =>
       Similarity.semDedup(T(s, d)("embeddings"), threshold = 0.4)),
+    // cluster-bounded mutual-kNN graph (top-5 edges per vector)
+    "q_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(T(s, d)("embeddings"))),
+    // greedy k-center coreset: 8 farthest-point picks + radii
+    "q_kcenter_coreset" -> ((s, d) =>
+      Similarity.kCenterCoreset(T(s, d)("embeddings"))),
     // DSIR-style importance weights: hashed unigrams, target = 'en'
     "q_dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(T(s, d)("documents"),
@@ -559,6 +571,13 @@ object SparkEntry {
     // substring-level dedup profile: strided-window repeated share
     "q_substring_dedup" -> ((s, d) =>
       Dedup.repeatedSubstrings(T(s, d)("documents"))),
+    // duplicated-span REMOVAL: rebuild docs without corpus-repeated
+    // 10-token blocks (tail always kept)
+    "q_substring_scrub" -> ((s, d) =>
+      Dedup.substringScrub(T(s, d)("documents"))),
+    // per-doc n-gram novelty vs min-doc_id introducers
+    "q_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(T(s, d)("documents"))),
     // concat-then-chunk sequence packing into 512-token windows
     "q_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d)("documents"))),
@@ -568,6 +587,9 @@ object SparkEntry {
     // RAG-style overlapping chunk plan (128-token chunks, 16 overlap)
     "q_chunk_docs" -> ((s, d) =>
       TextAnalysis.chunkPlan(T(s, d)("documents"))),
+    // temperature-scaled (α = 1/2) source-mixing weights + epochs
+    "q_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMix(T(s, d)("documents"))),
     // static domain-mixture reweighting to a uniform target
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixture(T(s, d)("documents"))),

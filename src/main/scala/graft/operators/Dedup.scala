@@ -113,6 +113,52 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — the form of
+    * [[decontaminate]] that survives an eval set TOO BIG TO
+    * BROADCAST as an exact hash table. A Bloom filter of the eval
+    * n-grams (built once with Spark's sketch aggregate, ~10 bits per
+    * gram at 1% fpp vs ~100+ bytes per materialized gram string) is
+    * broadcast instead; corpus grams stream through the filter
+    * row-locally, and only the survivors — true hits plus the fpp
+    * sliver — reach an exact verification join. That verify join is
+    * a plain SHUFFLE join on the gram key, NOT a broadcast: the
+    * probe side has already collapsed from |corpus|·|grams/doc| to
+    * ≈|true hits|·(1+fpp), so both join inputs are small no matter
+    * how large the eval suite grows.
+    *
+    * The output is BIT-IDENTICAL to [[decontaminate]] (same oracle):
+    * the Bloom filter only ever adds false POSITIVES, and every
+    * survivor is re-checked exactly, so no hit is lost and no
+    * non-hit survives. DedupSpec pins the equality.
+    *
+    * Scale shape at 100 TB: the filter is sized from a driver-side
+    * count of the (benchmark-suite-sized) eval grams — one tiny job;
+    * the corpus side stays a single scan with a row-local filter and
+    * shuffles only matched grams. The probe is a scala UDF (one
+    * Bloom lookup per gram) — off the codegen path by necessity, but
+    * it FOLLOWS the array_distinct/explode pipeline, so it runs once
+    * per distinct gram, not once per token.
+    */
+  def decontaminateBloom(docs: DataFrame, evalPred: Column, n: Int = 5,
+                         fpp: Double = 0.01): DataFrame = {
+    // cached: sized (count), sketched (bloomFilter), and verify-joined
+    val evalGrams = OperatorCaches.track(evalGramSet(docs.filter(evalPred), n))
+    val expected = math.max(evalGrams.count(), 64L)
+    val bloom = evalGrams.stat.bloomFilter("sh", expected, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val train = docs.filter(!evalPred)
+    val hits = ngrams(train, n)
+      .filter(mightContain(col("sh")))
+      .join(evalGrams, "sh") // exact verify: shuffle join, survivors only
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** N-gram Jaccard near-dup pairs: self-join distinct shingle sets,
     * |A∩B| / |A∪B| ≥ threshold. Integer-ratio division so the double
     * is bit-identical across engines.
@@ -881,6 +927,95 @@ object Dedup {
         when(coalesce(col("n_windows"), lit(0L)) > 0,
           col("n_repeated").cast(DoubleType) / col("n_windows"))
           .as("repeated_frac"))
+  }
+
+  /** Duplicated-span REMOVAL — the transform [[repeatedSubstrings]]
+    * only profiles: the document is cut into NON-overlapping
+    * `blockTokens`-token blocks (full blocks only; the `< blockTokens`
+    * token tail is always kept), every block whose text occurs ≥2
+    * times corpus-wide — any document, any position, including
+    * within-doc repeats — is dropped, and the document is REBUILT
+    * from the surviving blocks in original order plus the tail.
+    * Non-overlapping blocks make the rebuild well-defined (overlapping
+    * windows can't be removed without double-cutting shared text —
+    * why the profiling op and the removal op use different framings).
+    *
+    * Output per doc: `clean_text`, block counts, and dropped-block
+    * count — the boilerplate-scrub pass of the published
+    * exact-substring dedup, reshaped for a distributed engine.
+    *
+    * Scale shape: one explode (|tokens|/blockTokens rows per doc), one
+    * groupBy on the block hash (the only wide shuffle), one keyed join
+    * back, and a per-doc ordered re-assembly whose partition key is
+    * doc_id — bounded by a single document's block count, never by the
+    * corpus.
+    */
+  def substringScrub(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
+    val toked = graft.sources.Par.fan(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nb", (col("n") / blockTokens).cast("int"))
+    val cached = OperatorCaches.track(toked)
+    // nb = 0 guard: sequence(1, 0) runs DESCENDING in Spark
+    val blocks = cached
+      .select(col("doc_id"),
+        posexplode(expr(s"""CASE WHEN nb >= 1 THEN
+          |  transform(sequence(1, nb),
+          |    b -> concat_ws(' ', slice(toks, (b - 1) * $blockTokens + 1,
+          |      $blockTokens)))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("idx"),
+        md5(col("col")).as("h"), col("col").as("block"))
+    val withFreq = OperatorCaches.track(
+      blocks.join(blocks.groupBy("h").agg(count(lit(1)).as("occ")), "h"))
+    val kept = withFreq.filter(col("occ") < 2)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("idx"), col("block")))),
+          s => s("block"))).as("kept_text"))
+    val dropped = withFreq.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dropped"))
+    cached
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("nb") * blockTokens + 1,
+          greatest(col("n") - col("nb") * blockTokens, lit(0))))
+          .as("tail_text"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(array(col("kept_text"), col("tail_text")),
+          x => x.isNotNull && x =!= "")).as("clean_text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Per-document n-gram NOVELTY — the curriculum/ingest-ordering
+    * signal: how much of a document's distinct n-gram set is seen
+    * here FIRST (attribution by min doc_id — the deterministic stand-
+    * in for ingest order). A crawl snapshot appended after a curated
+    * corpus reads near-zero novelty; genuinely new material reads
+    * high. The integer-ratio `novelty` is exact in any engine.
+    *
+    * Scale shape: rides the same (doc_id, gram) explode as the
+    * shingle family — one gram-keyed groupBy for the introducer, one
+    * gram-keyed join back, one doc-keyed aggregate. Never a pair
+    * join.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = OperatorCaches.track(ngrams(docs, n))
+    val intro = g.groupBy("sh").agg(min(col("doc_id")).as("intro_id"))
+    val per = g.join(intro, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("intro_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_novel").cast(DoubleType) / col("n_grams")).as("novelty"))
   }
 
   /** INCREMENTAL dedup — the production shape: classify each document

@@ -1087,6 +1087,102 @@ object Similarity {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Cluster-bounded symmetric k-NN graph — the adjacency structure
+    * the graph-based curation methods (SemDeDup-family pruning,
+    * density estimation, graph coresets) are built on. Candidates
+    * come from the SAME deterministic IVF codebook as [[semDedup]]
+    * (broadcast pivot scan, zero corpus shuffle): each vector ranks
+    * only its cluster-mates, so edge-candidate volume is Σ|cluster|²
+    * — never N². The top-k edges per node (cosine desc, dst-id
+    * tie-break) are then self-joined once on the REVERSED key to
+    * flag mutual edges: mutual-kNN is the standard symmetrization
+    * for clustering on the graph, and the self-join runs on the
+    * already-k-bounded edge set (N·k rows), not on candidates.
+    *
+    * Output: (src, dst, cos, rn, is_mutual) — rn the per-src rank.
+    *
+    * Scale shape: one row-local assignment scan, one within-cluster
+    * join keyed on list_id, a per-src window whose partition is
+    * bounded by cluster size, and one N·k self-join. Cross-cluster
+    * edges are invisible by design (the same published trade as
+    * [[semDedup]]).
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
+               dim: Int = Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: the assigned view feeds both sides of the pair join
+    val assigned = OperatorCaches.track(
+      ivfAssigned(prepared(embeddings, dim), nlist, dim))
+    val a = assigned.select(col("list_id"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, Seq("list_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        pairCos(col("va"), col("na"), col("vb"), col("nb"), dim).as("cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    // cached: the k-bounded edge set is consumed twice (edges + reverse)
+    val edges = OperatorCaches.track(
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("m"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("cos"), col("rn"),
+        coalesce(col("m"), lit(false)).as("is_mutual"))
+  }
+
+  /** Greedy k-center coreset — farthest-point data selection (the
+    * classic 2-approximation; the shape behind coverage-driven data
+    * pruning): starting from the min-id seed, each round selects the
+    * vector FARTHEST (cosine distance) from everything selected so
+    * far. The selected set is tiny (k rows, collected one row per
+    * round through a distributed TakeOrdered — never a corpus
+    * collect), and each round is ONE corpus scan computing
+    * min-distance-to-selected as a `least` over literal-embedded
+    * selected vectors, so the whole operator is k scans + k
+    * single-row reduces. The emitted radius sequence (each pick's
+    * distance to the prior set) is the non-increasing k-center
+    * coverage profile — the stopping diagnostic for "how many
+    * centers does this corpus need".
+    *
+    * Determinism: min-vec_id seed, max-distance pick with vec_id
+    * tie-break, min as the distance fold (associative — Spark's
+    * one-shot `least` over all selected equals the oracle's
+    * incremental LEAST chain exactly). All arithmetic is the shared
+    * dot/norm kernel, so the oracle's unrolled per-round CTEs
+    * reproduce every double bit-for-bit.
+    */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 8,
+                     dim: Int = Dim): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val seed = all.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()(0)
+    def vecOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    var selected = Vector(vecOf(seed))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, selected.head._1, None))
+    for (round <- 2 to k) {
+      val dists = selected.map { case (_, sv, sn) =>
+        lit(1.0) - pairCos(col("v"), col("nrm"), lit(sv), lit(sn), dim) }
+      val dmin = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = all
+        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .select(col("vec_id"), col("v"), col("nrm"), dmin.as("dm"))
+        .orderBy(col("dm").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      selected :+= vecOf(pick)
+      out += ((round, pick.getLong(0), Some(pick.getDouble(3))))
+    }
+    out.toSeq.toDF("sel_round", "vec_id", "radius")
+      .select(col("sel_round"), col("vec_id"),
+        col("radius").cast("double").as("radius"))
+  }
+
   /** All-pairs exact near-dup — O(N²) oracle/test baseline ONLY (the
     * recall yardstick for [[nearDupPairs]] in SimilaritySpec). Never
     * the scale path.

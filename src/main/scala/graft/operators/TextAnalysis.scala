@@ -493,6 +493,46 @@ object TextAnalysis {
         col("weight") * col("n_tokens"))
   }
 
+  /** Temperature-scaled source sampling (the multilingual-corpus
+    * mixing rule, α = 1/2): each source's sampling probability is
+    * proportional to its token mass raised to a temperature
+    * exponent — α < 1 flattens the mixture so long-tail sources are
+    * seen more than their raw share, without going fully uniform
+    * (the [[domainMixture]] limit α = 0). α is pinned at 1/2 so the
+    * power is `sqrt` — IEEE-correctly-rounded in every engine,
+    * unlike a general `pow` which may differ by an ulp across libm
+    * implementations. Each √mass is quantized to a scaled BIGINT
+    * before the cross-source total (the [[dsirWeights]] discipline),
+    * so the normalizing sum is integer-exact regardless of
+    * association order, and the final weight / effective-epochs
+    * divisions act on identical operands in both engines.
+    *
+    * Output per source: raw counts, the temperature weight, and the
+    * effective epoch count — how many times the source would be
+    * cycled if `budgetTokens` were drawn at the mixed rates (>1
+    * means the source repeats; the signal the mixing literature caps).
+    *
+    * Scale shape: one groupBy(source) over a single corpus scan and
+    * a broadcast one-row total — no other shuffle at any corpus size.
+    */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long = 100000L)
+      : DataFrame = {
+    val per = fan(docs).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("q_sqrt",
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(1000000.0), 0)
+          .cast("long"))
+    val tot = per.agg(sum(col("q_sqrt")).as("q_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("q_sqrt").cast(DoubleType) / col("q_total").cast(DoubleType))
+          .as("weight"),
+        (lit(budgetTokens.toDouble)
+          * (col("q_sqrt").cast(DoubleType) / col("q_total").cast(DoubleType))
+          / col("n_tokens").cast(DoubleType)).as("epochs"))
+  }
+
   /** Budget-capped per-domain selection — the mixture-curation step
     * that turns a target mix into a concrete document list: within
     * each domain (lang), documents are taken greedily in a

@@ -1340,6 +1340,92 @@ object DocOracles {
        |  dup.dup_of IS NOT NULL AS is_dup
        |FROM a LEFT JOIN dup USING (vec_id)""".stripMargin
 
+  /** Mirror of Similarity.knnGraph: the semDedup IVF assignment
+    * (same codebook, same tie-break), within-cluster pairwise
+    * cosines, top-5 per src (cos DESC, dst tie-break), and a
+    * reversed self-join of the k-bounded edge set for the mutual
+    * flag.
+    */
+  private def knnGraphSql: String =
+    s"""$embCte,
+       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+       |ar AS (SELECT d.vec_id, d.v, pid,
+       |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
+       |       FROM d, p),
+       |a AS MATERIALIZED (SELECT vec_id, v, pid AS list_id
+       |                   FROM ar WHERE prn = 1),
+       |e AS (SELECT a1.vec_id AS src, a2.vec_id AS dst,
+       |        ${cos("a1.v", "a2.v")} AS cos
+       |      FROM a a1 JOIN a a2
+       |        ON a1.list_id = a2.list_id AND a1.vec_id <> a2.vec_id),
+       |r AS (SELECT src, dst, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn FROM e),
+       |k AS MATERIALIZED (SELECT src, dst, cos, rn FROM r WHERE rn <= 5)
+       |SELECT k.src, k.dst, k.cos, k.rn,
+       |  (m.src IS NOT NULL) AS is_mutual
+       |FROM k LEFT JOIN k m ON k.src = m.dst AND k.dst = m.src""".stripMargin
+
+  /** Mirror of Similarity.kCenterCoreset: the k−1 greedy rounds
+    * UNROLLED as CTE stages — stage r picks the farthest-from-
+    * selected vector (dm DESC, vec_id tie-break) and folds its
+    * distance into the running minimum with LEAST (associative, so
+    * the incremental chain equals the engine's one-shot least over
+    * all selected, bit-for-bit). Every stage is MATERIALIZED:
+    * DuckDB inlines CTEs by default, and each d_r is referenced by
+    * BOTH s_{r+1} and d_{r+1} — inlined, the chain re-expands
+    * 2^k-fold (measured minutes at sf0.01); materialized it is k
+    * linear scans, milliseconds.
+    */
+  private def kCenterSql: String = {
+    val k = 8
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "s1 AS MATERIALIZED (SELECT MIN(vec_id) AS sid FROM d)",
+      "v1 AS MATERIALIZED (SELECT d.v AS sv FROM d JOIN s1 ON d.vec_id = s1.sid)",
+      s"d1 AS MATERIALIZED (SELECT d.vec_id, d.v, 1.0 - (${cos("d.v", "sv")}) AS dm " +
+        "FROM d, v1)")
+    for (r <- 2 to k) {
+      val excl = (1 until r).map(i => s"SELECT sid FROM s$i")
+        .mkString(" UNION ALL ")
+      ctes += (s"s$r AS MATERIALIZED (SELECT vec_id AS sid, dm FROM d${r - 1} " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY dm DESC, vec_id LIMIT 1)")
+      if (r < k) {
+        ctes += s"v$r AS MATERIALIZED (SELECT d.v AS sv FROM d JOIN s$r ON d.vec_id = s$r.sid)"
+        ctes += (s"d$r AS MATERIALIZED (SELECT p.vec_id, p.v, " +
+          s"LEAST(p.dm, 1.0 - (${cos("p.v", "sv")})) AS dm " +
+          s"FROM d${r - 1} p, v$r)")
+      }
+    }
+    val rounds = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS INTEGER), sid, dm FROM s$r")
+    s"""$embCte,
+       |${ctes.mkString(",\n")}
+       |SELECT CAST(1 AS INTEGER) AS sel_round, sid AS vec_id,
+       |  CAST(NULL AS DOUBLE) AS radius FROM s1
+       |${rounds.mkString("\n")}""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.temperatureMix: per-source token mass,
+    * √mass quantized to a scaled BIGINT (the dsirSql discipline) so
+    * the cross-source total is integer-exact, then the weight and
+    * effective-epoch divisions on identical operands.
+    */
+  private def temperatureMixSql: String =
+    """WITH pd AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT source, n_docs, n_tokens,
+      |    CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0, 0)
+      |      AS BIGINT) AS q_sqrt
+      |  FROM pd),
+      |t AS (SELECT CAST(SUM(q_sqrt) AS BIGINT) AS q_total FROM q)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(q_sqrt AS DOUBLE) / CAST(q_total AS DOUBLE) AS weight,
+      |  100000.0 * (CAST(q_sqrt AS DOUBLE) / CAST(q_total AS DOUBLE))
+      |    / CAST(n_tokens AS DOUBLE) AS epochs
+      |FROM q, t""".stripMargin
+
   /** Mirror of TextAnalysis.dsirWeights: hashed-unigram importance
     * weights, target = lang 'en'. Same md5 nibble bucketing as
     * hashedFeaturesSql; the per-bucket log-ratio is quantized to a
@@ -1398,6 +1484,70 @@ object DocOracles {
       |       THEN CAST(n_repeated AS DOUBLE) / n_windows END
       |    AS repeated_frac
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** Mirror of Dedup.substringScrub: non-overlapping 10-token blocks,
+    * corpus-wide occurrence counts, rebuild from surviving blocks in
+    * position order plus the always-kept tail.
+    */
+  private def substringScrubSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |tt AS (SELECT doc_id, toks, len(toks) AS n,
+      |         CAST(FLOOR(len(toks) / 10.0) AS INTEGER) AS nb FROM t),
+      |b AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx,
+      |        array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' ') AS block
+      |      FROM (SELECT doc_id, toks,
+      |              UNNEST(generate_series(1, nb)) AS i
+      |            FROM tt WHERE nb >= 1)),
+      |bh AS (SELECT doc_id, idx, block, md5(block) AS h FROM b),
+      |f AS (SELECT h, COUNT(*) AS occ FROM bh GROUP BY 1),
+      |bf AS (SELECT doc_id, idx, block, occ FROM bh JOIN f USING (h)),
+      |kept AS (SELECT doc_id, string_agg(block, ' ' ORDER BY idx)
+      |           AS kept_text
+      |         FROM bf WHERE occ < 2 GROUP BY 1),
+      |drp AS (SELECT doc_id, COUNT(*) AS n_blocks,
+      |          CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_dropped
+      |        FROM bf GROUP BY 1),
+      |tl AS (SELECT doc_id,
+      |         -- array_to_string([]) is NULL in DuckDB, '' in Spark
+      |         COALESCE(array_to_string(toks[nb * 10 + 1 : n], ' '), '')
+      |           AS tail_text
+      |       FROM tt)
+      |SELECT tt.doc_id,
+      |  CASE WHEN kept_text IS NOT NULL AND tail_text <> ''
+      |         THEN kept_text || ' ' || tail_text
+      |       WHEN kept_text IS NOT NULL THEN kept_text
+      |       ELSE tail_text END AS clean_text,
+      |  COALESCE(n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+      |  COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+      |FROM tt LEFT JOIN kept USING (doc_id)
+      |  LEFT JOIN drp USING (doc_id) LEFT JOIN tl USING (doc_id)""".stripMargin
+
+  /** Mirror of Dedup.ngramNovelty: distinct 3-grams per doc,
+    * introducer = min doc_id per gram, integer-ratio novelty.
+    */
+  private def ngramNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      |          list_distinct(list_transform(
+      |            generate_series(1, len(toks) - 2),
+      |            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      |        ELSE [] END AS shs
+      |      FROM t),
+      |e AS (SELECT doc_id, UNNEST(shs) AS sh FROM g),
+      |intro AS (SELECT sh, MIN(doc_id) AS intro_id FROM e GROUP BY 1),
+      |per AS (SELECT doc_id, COUNT(*) AS n_grams,
+      |          CAST(SUM(CASE WHEN doc_id = intro_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel
+      |        FROM e JOIN intro USING (sh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+      |  COALESCE(n_novel, CAST(0 AS BIGINT)) AS n_novel,
+      |  CASE WHEN COALESCE(n_grams, CAST(0 AS BIGINT)) > 0
+      |       THEN CAST(n_novel AS DOUBLE) / n_grams END AS novelty
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
 
   /** Mirror of Dedup.decontaminate: distinct 5-gram overlap of every
     * non-eval document against the eval partition (doc_id % 20 = 1).
@@ -1551,9 +1701,18 @@ object DocOracles {
     "q_quality_classifier" -> qualityClassifierSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_decontaminate" -> decontaminateSql,
+    // the Bloom prefilter only adds false positives and every
+    // survivor is exactly re-verified, so the output — and therefore
+    // the oracle — is decontaminate's verbatim
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_semdedup" -> semDedupSql,
+    "q_knn_graph" -> knnGraphSql,
+    "q_kcenter_coreset" -> kCenterSql,
+    "q_temperature_mix" -> temperatureMixSql,
     "q_dsir_weights" -> dsirSql,
     "q_substring_dedup" -> repeatedSubstringsSql,
+    "q_substring_scrub" -> substringScrubSql,
+    "q_ngram_novelty" -> ngramNoveltySql,
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,
     "q_soft_dedup" -> softDedupWeightsSql,

@@ -749,4 +749,118 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(2) == (1L, 4L, 1L))   // 4 tokens
     assert(out(3) == (1L, 8L, 1L))   // 8 tokens
   }
+
+  test("substring scrub removes repeated blocks, keeps tails, rebuilds order") {
+    val block = (1 to 10).map(i => s"b$i").mkString(" ")   // shared block
+    val u1 = (1 to 10).map(i => s"u$i").mkString(" ")      // unique block
+    val u2 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$block $u1 tail1 tail2"),   // block dropped, u1 + tail kept
+      (2L, s"$u2 $block"),               // block dropped, u2 kept
+      (3L, "short doc")                  // no full block: text unchanged
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(1L) == (s"$u1 tail1 tail2", 2L, 1L))
+    assert(out(2L) == (u2, 2L, 1L))
+    assert(out(3L) == ("short doc", 0L, 0L))
+    // within-doc repetition drops BOTH copies
+    val rep = Seq((9L, s"$block $block extra")).toDF("doc_id", "text")
+    val r9 = Dedup.substringScrub(rep).collect()(0)
+    assert(r9.getString(1) == "extra" && r9.getLong(3) == 2L)
+  }
+
+  test("ngram novelty: duplicate doc reads zero, introducer reads full") {
+    val a = (1 to 12).map(i => s"n$i").mkString(" ")
+    val b = (20 to 32).map(i => s"m$i").mkString(" ")
+    val d = Seq((1L, a), (2L, a), (3L, b), (4L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._3.contains(1.0))           // introduces everything
+    assert(out(2L) == ((10L, 0L, Some(0.0))))  // verbatim re-ingest
+    assert(out(3L)._3.contains(1.0))
+    assert(out(4L) == ((0L, 0L, None)))        // < n tokens: null novelty
+  }
+
+  test("bloom decontamination is bit-identical to the exact screen") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val evalPred = col("doc_id") % 20 === 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2))).toSet
+    val exact = rows(Dedup.decontaminate(d, evalPred))
+    val bloom = rows(Dedup.decontaminateBloom(d, evalPred))
+    assert(bloom == exact, "Bloom-prefiltered screen diverged from exact")
+    assert(exact.exists(_._3), "corpus should have contaminated docs")
+  }
+
+  test("temperature mix: weights sum to 1 and flatten vs raw shares") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val out = TextAnalysis.temperatureMix(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9)
+    // α = 1/2 flattening: the min/max WEIGHT ratio must sit strictly
+    // between the min/max raw-token-share ratio and uniform (1.0)
+    val masses = out.map(_._3.toDouble)
+    val rawRatio = masses.min / masses.max
+    val wRatio = out.map(_._4).min / out.map(_._4).max
+    assert(wRatio > rawRatio - 1e-12 && wRatio <= 1.0)
+    if (masses.min < masses.max) assert(wRatio > rawRatio)
+    // epochs is exactly budget·w/tokens for every row
+    out.foreach { case (_, _, nTok, w, ep) =>
+      assert(ep == 100000.0 * w / nTok.toDouble) }
+  }
+
+  test("knn graph: dense per-src ranks, k-bounded, mutual flag exact") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val edges = Similarity.knnGraph(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getBoolean(4)))
+    val bySrc = edges.groupBy(_._1)
+    bySrc.foreach { case (src, es) =>
+      val rns = es.map(_._4).sorted
+      assert(rns.head == 1 && rns.last == rns.length && rns.length <= 5,
+        s"src $src ranks not dense-1..k: ${rns.mkString(",")}")
+      // ranks follow cosine desc with dst tie-break
+      val keys = es.sortBy(_._4).map(e => (-e._3, e._2)).toList
+      assert(keys == keys.sorted)
+    }
+    val pairSet = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { e =>
+      assert(e._5 == pairSet.contains((e._2, e._1)),
+        s"mutual flag wrong for ${(e._1, e._2)}") }
+    assert(edges.exists(_._5), "expected at least one mutual edge")
+  }
+
+  test("k-center coreset: min-id seed, distinct picks, non-increasing radii") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val out = Similarity.kCenterCoreset(emb, k = 8).collect()
+      .sortBy(_.getInt(0))
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).distinct.length == 8)
+    val minId = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    assert(out.head.getLong(1) == minId && out.head.isNullAt(2))
+    val radii = out.tail.map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii increased: ${radii.mkString(",")}")
+    // round 2 is the true farthest point from the seed
+    val seedV = emb.filter(col("vec_id") === minId)
+      .select(Similarity.asDouble(col("embedding"))).collect()(0)
+      .getSeq[Double](0).toArray
+    val allV = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val dt = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dt / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val far = allV.filter(_._1 != minId)
+      .map { case (id, v) => (cosD(seedV, v), id) }
+      .maxBy { case (dd, id) => (dd, -id.toDouble) }
+    assert(out(1).getLong(1) == far._2)
+  }
 }
