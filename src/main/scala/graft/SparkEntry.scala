@@ -564,6 +564,9 @@ object SparkEntry {
     // greedy k-center coreset: 8 farthest-point picks + radii
     "q_kcenter_coreset" -> ((s, d) =>
       Similarity.kCenterCoreset(T(s, d)("embeddings"))),
+    // coverage map: every vector to its nearest k-center pick
+    "q_coreset_assign" -> ((s, d) =>
+      Similarity.kCenterAssign(T(s, d)("embeddings"))),
     // DSIR-style importance weights: hashed unigrams, target = 'en'
     "q_dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(T(s, d)("documents"),

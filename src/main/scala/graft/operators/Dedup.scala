@@ -48,7 +48,7 @@ object Dedup {
     * instead of element_at(split(...)) — the naive form re-splits the
     * text per shingle term (~n·|shingles| splits per document).
     */
-  private def ngrams(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def ngrams(docs: DataFrame, n: Int): DataFrame = {
     val toked = graft.sources.Par.fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val grams = when(size(col("toks")) >= n,

@@ -1158,7 +1158,20 @@ object Similarity {
                      dim: Int = Dim): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val (_, rounds) = kCenterSelect(
+      OperatorCaches.track(prepared(embeddings, dim)), k, dim)
+    rounds.toDF("sel_round", "vec_id", "radius")
+      .select(col("sel_round"), col("vec_id"),
+        col("radius").cast("double").as("radius"))
+  }
+
+  /** The greedy farthest-point loop shared by [[kCenterCoreset]] and
+    * [[kCenterAssign]]: returns the selected (id, vector, norm)
+    * sequence in pick order plus the per-round output rows.
+    */
+  private def kCenterSelect(all: DataFrame, k: Int, dim: Int)
+      : (Vector[(Long, Array[Double], Double)],
+         Seq[(Int, Long, Option[Double])]) = {
     val seed = all.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("v"), col("nrm")).collect()(0)
     def vecOf(r: org.apache.spark.sql.Row) =
@@ -1178,9 +1191,30 @@ object Similarity {
       selected :+= vecOf(pick)
       out += ((round, pick.getLong(0), Some(pick.getDouble(3))))
     }
-    out.toSeq.toDF("sel_round", "vec_id", "radius")
-      .select(col("sel_round"), col("vec_id"),
-        col("radius").cast("double").as("radius"))
+    (selected, out.toSeq)
+  }
+
+  /** Coverage assignment for the [[kCenterCoreset]] picks: every
+    * corpus vector mapped to its NEAREST selected center (cosine
+    * distance; ties to the earlier pick) — the per-center mass /
+    * coverage map a coreset-driven pruning or stratified-sampling
+    * pass consumes. One extra corpus scan after the selection loop:
+    * the k centers ride in the plan as literals (a k-element struct
+    * array whose lexicographic `array_min` is the argmin), so the
+    * assignment is row-local — no join, no shuffle.
+    */
+  def kCenterAssign(embeddings: DataFrame, k: Int = 8,
+                    dim: Int = Dim): DataFrame = {
+    val all = OperatorCaches.track(prepared(embeddings, dim))
+    val (selected, _) = kCenterSelect(all, k, dim)
+    val scored = selected.zipWithIndex.map { case ((id, sv, sn), i) =>
+      struct(
+        (lit(1.0) - pairCos(col("v"), col("nrm"), lit(sv), lit(sn), dim))
+          .as("dist"),
+        lit(i + 1).as("sel_round"), lit(id).as("center_id")) }
+    all.select(col("vec_id"), array_min(array(scored: _*)).as("best"))
+      .select(col("vec_id"), col("best")("center_id").as("center_id"),
+        col("best")("dist").as("dist"))
   }
 
   /** All-pairs exact near-dup — O(N²) oracle/test baseline ONLY (the

@@ -1378,8 +1378,7 @@ object DocOracles {
     * 2^k-fold (measured minutes at sf0.01); materialized it is k
     * linear scans, milliseconds.
     */
-  private def kCenterSql: String = {
-    val k = 8
+  private def kCenterCtes(k: Int, allVecs: Boolean): String = {
     val ctes = scala.collection.mutable.ArrayBuffer[String](
       "s1 AS MATERIALIZED (SELECT MIN(vec_id) AS sid FROM d)",
       "v1 AS MATERIALIZED (SELECT d.v AS sv FROM d JOIN s1 ON d.vec_id = s1.sid)",
@@ -1390,20 +1389,53 @@ object DocOracles {
         .mkString(" UNION ALL ")
       ctes += (s"s$r AS MATERIALIZED (SELECT vec_id AS sid, dm FROM d${r - 1} " +
         s"WHERE vec_id NOT IN ($excl) ORDER BY dm DESC, vec_id LIMIT 1)")
-      if (r < k) {
+      if (r < k || allVecs) {
         ctes += s"v$r AS MATERIALIZED (SELECT d.v AS sv FROM d JOIN s$r ON d.vec_id = s$r.sid)"
+      }
+      if (r < k) {
         ctes += (s"d$r AS MATERIALIZED (SELECT p.vec_id, p.v, " +
           s"LEAST(p.dm, 1.0 - (${cos("p.v", "sv")})) AS dm " +
           s"FROM d${r - 1} p, v$r)")
       }
     }
+    ctes.mkString(",\n")
+  }
+
+  private def kCenterSql: String = {
+    val k = 8
     val rounds = (2 to k).map(r =>
       s"UNION ALL SELECT CAST($r AS INTEGER), sid, dm FROM s$r")
     s"""$embCte,
-       |${ctes.mkString(",\n")}
+       |${kCenterCtes(k, allVecs = false)}
        |SELECT CAST(1 AS INTEGER) AS sel_round, sid AS vec_id,
        |  CAST(NULL AS DOUBLE) AS radius FROM s1
        |${rounds.mkString("\n")}""".stripMargin
+  }
+
+  /** Mirror of Similarity.kCenterAssign: the selection CTEs (one
+    * extra v_k for the last pick's vector), then a corpus × centers
+    * distance matrix reduced by ROW_NUMBER (dist ASC, pick-order
+    * tie-break) — the argmin the engine computes as a lexicographic
+    * struct array_min.
+    */
+  private def kCenterAssignSql: String = {
+    val k = 8
+    val centers = (1 to k).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS sel_round, " +
+        s"(SELECT sid FROM s$r) AS center_id, sv FROM v$r")
+      .mkString("\nUNION ALL ")
+    s"""$embCte,
+       |${kCenterCtes(k, allVecs = true)},
+       |centers AS MATERIALIZED ($centers),
+       |scored AS (SELECT d.vec_id, c.center_id, c.sel_round,
+       |             1.0 - (${cos("d.v", "c.sv")}) AS dist
+       |           FROM d, centers c)
+       |SELECT vec_id, center_id, dist FROM (
+       |  SELECT vec_id, center_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, sel_round) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
   }
 
   /** Mirror of TextAnalysis.temperatureMix: per-source token mass,
@@ -1708,6 +1740,7 @@ object DocOracles {
     "q_semdedup" -> semDedupSql,
     "q_knn_graph" -> knnGraphSql,
     "q_kcenter_coreset" -> kCenterSql,
+    "q_coreset_assign" -> kCenterAssignSql,
     "q_temperature_mix" -> temperatureMixSql,
     "q_dsir_weights" -> dsirSql,
     "q_substring_dedup" -> repeatedSubstringsSql,

@@ -784,6 +784,57 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, None)))        // < n tokens: null novelty
   }
 
+  test("k-center assignment is the per-vector argmin over the picks") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val picks = Similarity.kCenterCoreset(emb, k = 8).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val out = Similarity.kCenterAssign(emb, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = emb.count()
+    assert(out.size == n, "every vector must be assigned")
+    // centers assign to themselves (own distance is the floor)
+    picks.foreach { case (_, cid) => assert(out(cid)._1 == cid) }
+    // argmin check against an in-Scala recompute on a sample
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val dt = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dt / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.keys.take(50).foreach { id =>
+      val best = picks.map { case (rd, cid) =>
+        (cosD(vecs(id), vecs(cid)), rd, cid) }.min
+      assert(out(id)._1 == best._3, s"vec $id assigned to ${out(id)._1}")
+    }
+  }
+
+  test("streamed novelty over ordered batches equals the batch operator") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val batch = Dedup.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toMap
+    // parity requires id-ordered ingest (scaladoc contract): thirds
+    var st = graft.streaming.StreamNovelty.emptyState(spark)
+    val streamed = scala.collection.mutable.Map[Long, (Long, Long, Option[Any])]()
+    val ids = d.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val parts = Seq(
+      d.filter(col("doc_id") < cuts(0)),
+      d.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+      d.filter(col("doc_id") >= cuts(1)))
+    parts.foreach { p =>
+      val (out, st2) = graft.streaming.StreamNovelty.ingest(st, p, n = 3)
+      st = st2
+      out.collect().foreach(r => streamed(r.getLong(0)) =
+        (r.getLong(1), r.getLong(2), Option(r.get(3))))
+    }
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, exp) =>
+      assert(streamed(id) == exp, s"doc $id diverged") }
+  }
+
   test("bloom decontamination is bit-identical to the exact screen") {
     val d = graft.sources.Tables(spark, sf, "documents")
     val evalPred = col("doc_id") % 20 === 1
