@@ -1005,7 +1005,19 @@ object Dedup {
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val g = OperatorCaches.track(ngrams(docs, n))
     val intro = g.groupBy("sh").agg(min(col("doc_id")).as("intro_id"))
-    val per = g.join(intro, "sh")
+    noveltyFromIntro(docs, g, intro)
+  }
+
+  /** Shared scoring tail of [[ngramNovelty]] and its maintained
+    * streaming twin ([[graft.streaming.StreamNovelty]]): per-doc gram
+    * counts + introducer matches off a (doc_id, sh) gram view and an
+    * (sh, intro_id) attribution view — ONE definition so the pinned
+    * batch ≡ stream output contract can't drift. A gram absent from
+    * `intro` (the stream's already-seen case) is novel for no one.
+    */
+  private[graft] def noveltyFromIntro(docs: DataFrame, g: DataFrame,
+                                      intro: DataFrame): DataFrame = {
+    val per = g.join(intro, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("doc_id") === col("intro_id"), 1L).otherwise(0L))

@@ -200,9 +200,12 @@ object Layout {
     // bounded collect: (pid, key) sums, not data — a key's rows are
     // contiguous under range partitioning, so the pair count is at
     // most numPartitions + #keys - 1
+    // null increments count as 0 (the window-sum spelling SKIPS
+    // nulls — same running total; we additionally keep the output
+    // column non-null where an all-null prefix would read NULL)
     val perPart = sorted
       .groupBy(spark_partition_id().as("pid"), col(keyCol))
-      .agg(sum(col("__inc")).as("s")).collect()
+      .agg(coalesce(sum(col("__inc")), lit(0L)).as("s")).collect()
       .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
     val totals: Map[Any, Long] =
       perPart.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
@@ -227,7 +230,7 @@ object Layout {
           cur = k; curSet = true
           running = off.getOrElse((pid, k), 0L)
         }
-        running += row.getLong(iIdx)
+        running += (if (row.isNullAt(iIdx)) 0L else row.getLong(iIdx))
         val base = row.toSeq.patch(iIdx, Nil, 1) :+ running
         org.apache.spark.sql.Row.fromSeq(
           totalCol.fold(base)(_ => base :+ tot(k)))

@@ -1172,14 +1172,19 @@ object Similarity {
   private def kCenterSelect(all: DataFrame, k: Int, dim: Int)
       : (Vector[(Long, Array[Double], Double)],
          Seq[(Int, Long, Option[Double])]) = {
-    val seed = all.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("v"), col("nrm")).collect()(0)
     def vecOf(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-    var selected = Vector(vecOf(seed))
+    // corpora smaller than k select everything and stop — never an
+    // index-out-of-bounds on the exhausted pick (or empty seed)
+    val seed = all.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    if (seed.isEmpty) return (Vector.empty, Seq.empty)
+    var selected = Vector(vecOf(seed(0)))
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (1, selected.head._1, None))
-    for (round <- 2 to k) {
+    var round = 2
+    var exhausted = false
+    while (round <= k && !exhausted) {
       val dists = selected.map { case (_, sv, sn) =>
         lit(1.0) - pairCos(col("v"), col("nrm"), lit(sv), lit(sn), dim) }
       val dmin = if (dists.size == 1) dists.head else least(dists: _*)
@@ -1187,9 +1192,13 @@ object Similarity {
         .filter(!col("vec_id").isInCollection(selected.map(_._1)))
         .select(col("vec_id"), col("v"), col("nrm"), dmin.as("dm"))
         .orderBy(col("dm").desc, col("vec_id")).limit(1)
-        .collect()(0)
-      selected :+= vecOf(pick)
-      out += ((round, pick.getLong(0), Some(pick.getDouble(3))))
+        .collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        selected :+= vecOf(pick(0))
+        out += ((round, pick(0).getLong(0), Some(pick(0).getDouble(3))))
+        round += 1
+      }
     }
     (selected, out.toSeq)
   }

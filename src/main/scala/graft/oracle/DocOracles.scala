@@ -1547,9 +1547,15 @@ object DocOracles {
       |           AS tail_text
       |       FROM tt)
       |SELECT tt.doc_id,
-      |  CASE WHEN kept_text IS NOT NULL AND tail_text <> ''
+      |  -- the engine FILTERS empty segments before joining; mirror
+      |  -- that so an all-empty kept side can never leak a leading
+      |  -- space (unreachable on space-tokenized text — blocks of 10
+      |  -- tokens are >= 9 chars — but symmetric by spelling)
+      |  CASE WHEN kept_text IS NOT NULL AND kept_text <> ''
+      |              AND tail_text <> ''
       |         THEN kept_text || ' ' || tail_text
-      |       WHEN kept_text IS NOT NULL THEN kept_text
+      |       WHEN kept_text IS NOT NULL AND kept_text <> ''
+      |         THEN kept_text
       |       ELSE tail_text END AS clean_text,
       |  COALESCE(n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
       |  COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped

@@ -53,17 +53,9 @@ object StreamNovelty {
     val intro = g.join(state.grams, Seq("sh"), "left_anti")
       .groupBy("sh").agg(min(col("doc_id")).as("intro_id"))
       .localCheckpoint(true)
-    val per = g.join(intro, Seq("sh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("intro_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-    val out = batch.select("doc_id").join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_grams"), lit(0L)) > 0,
-          col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+    // the scoring tail IS the batch operator's (shared definition) —
+    // grams already in the store simply have no introducer row
+    val out = Dedup.noveltyFromIntro(batch, g, intro)
     val newStore = state.grams.union(intro.select("sh"))
       .localCheckpoint(true)
     val added = intro.count()

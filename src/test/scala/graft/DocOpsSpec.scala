@@ -784,6 +784,19 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, None)))        // < n tokens: null novelty
   }
 
+  test("k-center on a corpus smaller than k selects everything, no crash") {
+    val v = (0 until 64).map(_.toFloat / 64).toArray
+    val small = Seq(3L, 7L, 11L).map(i =>
+      (i, v.map(x => x + i * 0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(small, k = 8).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).toSet == Set(3L, 7L, 11L))
+    val assign = Similarity.kCenterAssign(small, k = 8).collect()
+    assert(assign.length == 3)
+    val empty = small.filter(col("vec_id") < 0)
+    assert(Similarity.kCenterCoreset(empty, k = 8).collect().isEmpty)
+  }
+
   test("k-center assignment is the per-vector argmin over the picks") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val picks = Similarity.kCenterCoreset(emb, k = 8).collect()

@@ -183,4 +183,17 @@ class LayoutSpec extends AnyFunSuite {
       assert(hi <= lo2, s"file spans overlap: hi=$hi lo2=$lo2")
     }
   }
+
+  test("keyedPrefixSum treats null increments as 0 (window-sum parity)") {
+    val df = Seq[(String, Long, java.lang.Long)](
+      ("a", 1L, 10L), ("a", 2L, null), ("a", 3L, 5L),
+      ("b", 1L, null), ("b", 2L, null))
+      .toDF("k", "ord", "v")
+    val out = Layout.keyedPrefixSum(df, "k", Seq(col("ord")), "v", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(out(("a", 1L)) == 10L && out(("a", 2L)) == 10L &&
+      out(("a", 3L)) == 15L)
+    assert(out(("b", 1L)) == 0L && out(("b", 2L)) == 0L)
+  }
 }
