@@ -1216,6 +1216,11 @@ object Similarity {
                     dim: Int = Dim): DataFrame = {
     val all = OperatorCaches.track(prepared(embeddings, dim))
     val (selected, _) = kCenterSelect(all, k, dim)
+    // empty corpus → no centers: an empty array() literal would make
+    // `best` NullType and fail ANALYSIS — emit the typed empty frame
+    if (selected.isEmpty)
+      return all.select(col("vec_id"), col("vec_id").as("center_id"),
+        lit(0.0).as("dist")).limit(0)
     val scored = selected.zipWithIndex.map { case ((id, sv, sn), i) =>
       struct(
         (lit(1.0) - pairCos(col("v"), col("nrm"), lit(sv), lit(sn), dim))

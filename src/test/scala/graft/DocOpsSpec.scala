@@ -795,6 +795,7 @@ class DocOpsSpec extends AnyFunSuite {
     assert(assign.length == 3)
     val empty = small.filter(col("vec_id") < 0)
     assert(Similarity.kCenterCoreset(empty, k = 8).collect().isEmpty)
+    assert(Similarity.kCenterAssign(empty, k = 8).collect().isEmpty)
   }
 
   test("k-center assignment is the per-vector argmin over the picks") {
