@@ -593,6 +593,9 @@ object SparkEntry {
     // temperature-scaled (α = 1/2) source-mixing weights + epochs
     "q_temperature_mix" -> ((s, d) =>
       TextAnalysis.temperatureMix(T(s, d)("documents"))),
+    // per-source exact p50/p90 length profile via two-phase rank
+    "q_source_length_profile" -> ((s, d) =>
+      TextAnalysis.sourceLengthProfile(T(s, d)("documents"))),
     // static domain-mixture reweighting to a uniform target
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixture(T(s, d)("documents"))),

@@ -533,6 +533,41 @@ object TextAnalysis {
           / col("n_tokens").cast(DoubleType)).as("epochs"))
   }
 
+  /** Per-source EXACT length-quantile profile — the curation
+    * statistic that drives per-source length filters and packing
+    * budgets: for every source, the exact p50/p90 token lengths
+    * (rank-selection convention: the value at rank ⌈q·n⌉ of the
+    * (n_tok, doc_id)-ordered source), plus min/max and the doc
+    * count. Pure integers end to end — the quantile is a SELECTED
+    * row value, never an interpolation — so any engine agrees
+    * bit-for-bit.
+    *
+    * Scale shape: the per-source rank is [[graft.operators.Layout
+    * .keyedRank]] (range-partition + map-side offsets) — NEVER a
+    * per-source window, which would put an entire source in one
+    * task (the qualityPrune straggler shape). The rank pass also
+    * carries the per-source count, so the whole profile is ONE
+    * range exchange + one tiny counts job + broadcast-sized joins
+    * of the two selected-rank rows per source.
+    */
+  def sourceLengthProfile(docs: DataFrame): DataFrame = {
+    val base = fan(docs).select(col("source"), col("doc_id"),
+      size(toks).cast("long").as("n_tok"))
+    // tracked cache: the ranked view feeds the aggregate + two picks
+    val ranked = OperatorCaches.track(graft.operators.Layout.keyedRank(
+      base, "source", Seq(col("n_tok"), col("doc_id")), "rnk", "n"))
+    val agg = ranked.groupBy("source").agg(
+      max(col("n")).as("n_docs"),
+      min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+    val p50 = ranked.filter(col("rnk") === expr("(n + 1) div 2"))
+      .select(col("source"), col("n_tok").as("p50_tok"))
+    val p90 = ranked.filter(col("rnk") === expr("(n * 9 + 9) div 10"))
+      .select(col("source"), col("n_tok").as("p90_tok"))
+    agg.join(p50, "source").join(p90, "source")
+      .select(col("source"), col("n_docs"), col("min_tok"),
+        col("p50_tok"), col("p90_tok"), col("max_tok"))
+  }
+
   /** Budget-capped per-domain selection — the mixture-curation step
     * that turns a target mix into a concrete document list: within
     * each domain (lang), documents are taken greedily in a

@@ -1458,6 +1458,30 @@ object DocOracles {
       |    / CAST(n_tokens AS DOUBLE) AS epochs
       |FROM q, t""".stripMargin
 
+  /** Mirror of TextAnalysis.sourceLengthProfile: per-source rank
+    * selection at ⌈q·n⌉ (integer div), min/max/count. The oracle may
+    * use the per-source window the engine refuses — single-node
+    * DuckDB has no straggler to avoid.
+    */
+  private def sourceLengthProfileSql: String =
+    """WITH b AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |r AS (SELECT source, n_tok,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY n_tok, doc_id) AS rnk,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM b),
+      |agg AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |          MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+      |        FROM r GROUP BY 1),
+      |p50 AS (SELECT source, n_tok AS p50_tok FROM r
+      |        WHERE rnk = (n + 1) // 2),
+      |p90 AS (SELECT source, n_tok AS p90_tok FROM r
+      |        WHERE rnk = (n * 9 + 9) // 10)
+      |SELECT source, n_docs, min_tok, p50_tok, p90_tok, max_tok
+      |FROM agg JOIN p50 USING (source) JOIN p90 USING (source)""".stripMargin
+
   /** Mirror of TextAnalysis.dsirWeights: hashed-unigram importance
     * weights, target = lang 'en'. Same md5 nibble bucketing as
     * hashedFeaturesSql; the per-bucket log-ratio is quantized to a
@@ -1748,6 +1772,7 @@ object DocOracles {
     "q_kcenter_coreset" -> kCenterSql,
     "q_coreset_assign" -> kCenterAssignSql,
     "q_temperature_mix" -> temperatureMixSql,
+    "q_source_length_profile" -> sourceLengthProfileSql,
     "q_dsir_weights" -> dsirSql,
     "q_substring_dedup" -> repeatedSubstringsSql,
     "q_substring_scrub" -> substringScrubSql,

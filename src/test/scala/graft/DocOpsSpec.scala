@@ -784,6 +784,26 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, None)))        // < n tokens: null novelty
   }
 
+  test("source length profile: exact rank-selected quantiles, no window") {
+    // source A lengths 1..10 (p50 = rank 5 -> 5, p90 = rank 9 -> 9)
+    // source B lengths {2, 4, 6}  (p50 = rank 2 -> 4, p90 = rank 3 -> 6)
+    val rows =
+      (1 to 10).map(i => (100L + i, (1 to i).map(j => s"a$j").mkString(" "),
+        "A")) ++
+      Seq(2, 4, 6).zipWithIndex.map { case (len, i) =>
+        (200L + i, (1 to len).map(j => s"b$j").mkString(" "), "B") }
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceLengthProfile(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("A") == ((10L, 1L, 5L, 9L, 10L)))
+    assert(out("B") == ((3L, 2L, 4L, 6L, 6L)))
+    // the engine plan must be window-free (the straggler guard)
+    val plan = TextAnalysis.sourceLengthProfile(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-source window crept back in")
+  }
+
   test("k-center on a corpus smaller than k selects everything, no crash") {
     val v = (0 until 64).map(_.toFloat / 64).toArray
     val small = Seq(3L, 7L, 11L).map(i =>
