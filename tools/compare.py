@@ -13,7 +13,15 @@ DuckDB HUGEINT (decimal128) distinct from BIGINT — the exact class the
 driver's type-sensitive hash rejects while str()-comparison passes.
 Pass --lax to skip the dtype gate.
 
-Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-run] [--only q1,q2] [--lax]
+Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-run] [--only q1,q2]
+       [--lax] [--json PATH]
+
+--json PATH writes a machine-readable per-query record in the driver's
+exact CORRECTNESS schema ({name: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}), REWRITTEN AFTER EVERY QUERY so a crash
+mid-suite leaves a structured partial artifact instead of nothing (the
+r11/r12 driver sweeps both died without writing a single row — this is
+the local insurance against that failure mode).
 """
 import json
 import math
@@ -112,14 +120,54 @@ def compare(name, spark_df, oracle_df):
     return issues
 
 
+def classify(issues):
+    """Map compare()/dtype issue strings onto the driver's three match
+    booleans. The driver records them independently; mirror that:
+    column-set or dtype problems -> schema_match false, row-count ->
+    rows_match false, any value/NaN problem -> hash_match false. A
+    structural failure (columns differ) also fails the hash, since the
+    driver's hash is over the full frame."""
+    rows = schema = hsh = True
+    for it in issues:
+        if it.startswith("columns differ") or "DTYPE MISMATCH" in it:
+            schema = False
+            hsh = False
+        elif it.startswith("row count differs"):
+            rows = False
+            hsh = False
+        else:
+            hsh = False
+    return rows, schema, hsh
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     outdir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     only = None
+    json_path = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--json"):
+            json_path = Path(a.split("=", 1)[1])
+
+    # Incrementally-flushed driver-schema record: written after EVERY
+    # query so any crash leaves partial structured evidence.
+    records = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        if json_path is None:
+            return
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+        tmp = json_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(records, indent=1, sort_keys=True))
+        tmp.replace(json_path)
     if "--skip-run" not in sys.argv:
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
@@ -183,6 +231,7 @@ def main():
         if not list(Path(f"{outdir}/{name}").glob("*.parquet")):
             # deterministic: the Verify dump is absent — no retry
             print(f"FAIL {name}: no spark output (missing dump)")
+            record(name, False, False, False, 0, 0, "no spark output")
             n_fail += 1
             continue
 
@@ -210,21 +259,30 @@ def main():
             sarrow = with_retry(
                 lambda: con.sql(f"SELECT * FROM '{spark_glob}'").arrow())
         except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output ({e})")
+            record(name, False, False, False, 0, 0, f"spark read: {e}")
+            n_fail += 1; continue
         try:
             oarrow = with_retry(lambda: con.sql(sql).arrow())
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, False, False, sarrow.num_rows, 0,
+                   f"oracle SQL: {e}")
+            n_fail += 1; continue
         try:
             sdf = sarrow.to_pandas()
             odf = oarrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: arrow->pandas error: {e}")
+            record(name, False, False, False, sarrow.num_rows,
+                   oarrow.num_rows, f"arrow->pandas: {e}")
             n_fail += 1
             continue
         issues = compare(name, sdf, odf)
         if strict:
             issues += dtype_issues(sarrow.schema, oarrow.schema)
+        rows_m, schema_m, hash_m = classify(issues)
+        record(name, rows_m, schema_m, hash_m, len(sdf), len(odf), None)
         if issues:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} rows)")
