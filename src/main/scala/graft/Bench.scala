@@ -234,8 +234,10 @@ object Bench {
     // ONE extra timed run of an already-measured query, shared by the
     // targeted requeue and the run-level drift gate: min-folds into
     // timings (contention only inflates, so min is sound), appends to
-    // the per-query run log, releases operator caches; an error keeps
-    // the surviving reading.
+    // the per-query run log, releases operator caches; a NON-fatal
+    // error keeps the surviving reading (fatal ones — OOM, interrupt
+    // — propagate: continuing the suite in a broken JVM would record
+    // garbage as truth).
     def remeasure(name: String,
                   fn: (org.apache.spark.sql.SparkSession,
                        String) => org.apache.spark.sql.DataFrame): Unit = {
@@ -245,7 +247,11 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         allRuns(name) += t
         if (t < timings(name)) timings(name) = t
-      } catch { case _: Throwable => () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] remeasure $name failed, " +
+            s"keeping prior reading: $e")
+      }
       graft.operators.OperatorCaches.releaseAll()
       spark.catalog.clearCache()
     }

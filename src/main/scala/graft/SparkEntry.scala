@@ -557,10 +557,11 @@ object SparkEntry {
       Similarity.quantizeInt8(T(s, d)("embeddings"))),
     // SemDeDup: IVF-cluster-bounded semantic dedup, min-id canonical
     "q_semdedup" -> ((s, d) =>
-      Similarity.semDedup(T(s, d)("embeddings"), threshold = 0.4)),
+      Similarity.semDedup(T(s, d)("embeddings"), threshold = 0.4,
+        nlist = 16)),
     // cluster-bounded mutual-kNN graph (top-5 edges per vector)
     "q_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(T(s, d)("embeddings"))),
+      Similarity.knnGraph(T(s, d)("embeddings"), nlist = 16)),
     // greedy k-center coreset: 8 farthest-point picks + radii
     "q_kcenter_coreset" -> ((s, d) =>
       Similarity.kCenterCoreset(T(s, d)("embeddings"))),

@@ -165,6 +165,14 @@ object Layout {
     * key in ONE task. Same two-phase machinery as [[keyedRank]]
     * (rank = running total of the constant 1). `valueCol` must be
     * LONG — exact by int64 associativity.
+    *
+    * NULL contract — one deliberate divergence from the window
+    * spelling: null increments add 0 either way, but where the window
+    * sum reads NULL for an ALL-null prefix, this emits 0 and the
+    * output column is non-nullable. A running total that is "no
+    * contribution yet" is 0 in every downstream arithmetic use; a
+    * NULL would just reintroduce the null-propagation hazards the
+    * LONG-exactness discipline exists to avoid.
     */
   def keyedPrefixSum(df: DataFrame, keyCol: String, sortCols: Seq[Column],
                      valueCol: String, outCol: String = "running_total",

@@ -137,6 +137,28 @@ object Similarity {
     * which freezes this frame at build time and assigns every later
     * batch against it.
     */
+  /** Codebook sizing for the within-cluster self-join operators
+    * ([[semDedup]], [[knnGraph]]): nlist = max(16, ⌈√N⌉). With a FIXED
+    * codebook, cluster mass grows linearly with the corpus and the
+    * within-cluster pair volume Σ|cluster|² grows QUADRATICALLY — the
+    * one scale trap the round-12 audit flagged. √N keeps expected
+    * cluster size at √N, so pair volume stays ~N·√N/nlist ≈ N:
+    * sub-quadratic by construction at any corpus size (the published
+    * SemDeDup sizing — 10k–100k clusters at web scale — is exactly
+    * this rule). Callers needing a reproducible oracle at a pinned SF
+    * pass an explicit nlist instead (the gate queries pin 16).
+    */
+  def ivfAutoNlist(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+
+  /** Resolve an nlist argument: ≤0 means auto-size from ONE cheap
+    * count of the corpus (a column-pruned scan — at 100 TB this is a
+    * metadata-cheap parquet count, never a shuffle).
+    */
+  private def resolveNlist(all: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist else ivfAutoNlist(all.count())
+
   private[graft] def pivotArr(all: DataFrame, nlist: Int): DataFrame =
     all.filter(col("vec_id") < nlist)
       .agg(collect_list(struct(col("vec_id").as("pid"), col("v").as("pv"),
@@ -1060,17 +1082,22 @@ object Similarity {
     * Output: every vector with its cluster, its canonical `dup_of`
     * (null when kept), and the `is_dup` drop flag.
     *
-    * Scale note: cluster sizes are bounded by codebook granularity —
-    * production SemDeDup uses nlist ≈ √N (10k–100k clusters at web
-    * scale), keeping each within-cluster join a few thousand rows.
+    * Scale note: cluster sizes are bounded by codebook granularity.
+    * The DEFAULT (`nlist = 0`) auto-sizes to max(16, ⌈√N⌉) from one
+    * cheap count ([[ivfAutoNlist]]) — expected cluster size √N, pair
+    * volume ~N·√N/nlist ≈ N, sub-quadratic at any corpus size (the
+    * published SemDeDup sizing: 10k–100k clusters at web scale). Pass
+    * an explicit nlist only when a pinned codebook is required (the
+    * oracle gate queries pin 16 for SF-independent reproducibility).
     * Known-miss: cross-cluster duplicates are invisible by design
     * (measured by the paper at <1% for reasonable nlist).
     */
   def semDedup(embeddings: DataFrame, threshold: Double,
-               nlist: Int = 16, dim: Int = Dim): DataFrame = {
+               nlist: Int = 0, dim: Int = Dim): DataFrame = {
+    val prep = prepared(embeddings, dim)
     // cached: the assigned view feeds both pair-join sides + the output
     val assigned = OperatorCaches.track(
-      ivfAssigned(prepared(embeddings, dim), nlist, dim))
+      ivfAssigned(prep, resolveNlist(prep, nlist), dim))
     val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("list_id"), col("vec_id").as("vec_b"),
@@ -1103,16 +1130,20 @@ object Similarity {
     *
     * Scale shape: one row-local assignment scan, one within-cluster
     * join keyed on list_id, a per-src window whose partition is
-    * bounded by cluster size, and one N·k self-join. Cross-cluster
-    * edges are invisible by design (the same published trade as
-    * [[semDedup]]).
+    * bounded by cluster size, and one N·k self-join. The DEFAULT
+    * (`nlist = 0`) auto-sizes the codebook to max(16, ⌈√N⌉)
+    * ([[ivfAutoNlist]]) so candidate volume stays ~linear in N at any
+    * corpus size; explicit nlist pins the codebook for oracle
+    * reproducibility. Cross-cluster edges are invisible by design
+    * (the same published trade as [[semDedup]]).
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
+  def knnGraph(embeddings: DataFrame, k: Int = 5, nlist: Int = 0,
                dim: Int = Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val prep = prepared(embeddings, dim)
     // cached: the assigned view feeds both sides of the pair join
     val assigned = OperatorCaches.track(
-      ivfAssigned(prepared(embeddings, dim), nlist, dim))
+      ivfAssigned(prep, resolveNlist(prep, nlist), dim))
     val a = assigned.select(col("list_id"), col("vec_id").as("src"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("list_id"), col("vec_id").as("dst"),
@@ -1169,9 +1200,15 @@ object Similarity {
     * [[kCenterAssign]]: returns the selected (id, vector, norm)
     * sequence in pick order plus the per-round output rows.
     */
-  private def kCenterSelect(all: DataFrame, k: Int, dim: Int)
+  private def kCenterSelect(allRaw: DataFrame, k: Int, dim: Int)
       : (Vector[(Long, Array[Double], Double)],
          Seq[(Int, Long, Option[Double])]) = {
+    // zero-norm vectors have no direction: pairCos divides by zero and
+    // the NaN distance sorts GREATEST under desc, so such a vector
+    // would be greedily picked every round with a NaN radius — exclude
+    // them from selection entirely (they can still be covered by
+    // [[kCenterAssign]]'s scan, just never chosen as a center)
+    val all = allRaw.filter(col("nrm") > 0.0)
     def vecOf(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     // corpora smaller than k select everything and stop — never an

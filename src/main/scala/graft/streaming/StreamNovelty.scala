@@ -34,13 +34,33 @@ import graft.operators.Dedup
   */
 object StreamNovelty {
 
-  /** Standing gram store: one row per distinct gram ever ingested. */
-  final case class NoveltyState(grams: DataFrame, gramRows: Long)
+  /** Standing gram store: one row per distinct gram ever ingested.
+    * `gramRows` is computed ON DEMAND from the checkpointed store —
+    * maintaining it eagerly cost every ingest batch an extra Spark
+    * job (`intro.count()`) solely to keep a counter most callers
+    * never read.
+    */
+  final case class NoveltyState(grams: DataFrame) {
+    def gramRows: Long = grams.count()
+  }
 
   def emptyState(spark: SparkSession): NoveltyState = {
     import spark.implicits._
-    NoveltyState(Seq.empty[String].toDF("sh"), 0L)
+    NoveltyState(Seq.empty[String].toDF("sh"))
   }
+
+  /** Maintenance hook for long-running ingest: rewrite the standing
+    * store through `keep` (drop hash bands, apply a caller-tracked
+    * TTL, downsample). The store holds DISTINCT grams, so it grows
+    * with vocabulary (sub-linear in ingested tokens — SoakAudit
+    * measures the curve), but an unbounded run still wants a pruning
+    * valve. Semantics after compaction: a dropped gram scores as
+    * novel again on next sight — the standard trade of any TTL'd
+    * dedup store.
+    */
+  def compact(state: NoveltyState,
+              keep: org.apache.spark.sql.Column): NoveltyState =
+    NoveltyState(state.grams.filter(keep).localCheckpoint(true))
 
   /** Score one ingest batch against the standing store and absorb its
     * new grams. Returns (per-doc novelty rows, updated state) — the
@@ -58,7 +78,6 @@ object StreamNovelty {
     val out = Dedup.noveltyFromIntro(batch, g, intro)
     val newStore = state.grams.union(intro.select("sh"))
       .localCheckpoint(true)
-    val added = intro.count()
-    (out, NoveltyState(newStore, state.gramRows + added))
+    (out, NoveltyState(newStore))
   }
 }

@@ -948,4 +948,43 @@ class DocOpsSpec extends AnyFunSuite {
       .maxBy { case (dd, id) => (dd, -id.toDouble) }
     assert(out(1).getLong(1) == far._2)
   }
+
+  test("ivfAutoNlist is max(16, ceil(sqrt(N)))") {
+    assert(Similarity.ivfAutoNlist(0L) == 16)
+    assert(Similarity.ivfAutoNlist(256L) == 16)
+    assert(Similarity.ivfAutoNlist(257L) == 17)
+    assert(Similarity.ivfAutoNlist(10000L) == 100)
+    assert(Similarity.ivfAutoNlist(1000000L) == 1000)
+    assert(Similarity.ivfAutoNlist(100000000000L) == 316228)
+  }
+
+  // 300 deterministic distinct vectors: auto nlist = ceil(sqrt(300)) = 18,
+  // so the default codebook MUST be wider than the old fixed 16 — the
+  // round-12 scale trap (fixed codebook -> quadratic candidate growth).
+  private def autoCorpus = (0L until 300L).map(i =>
+      (i, Array.tabulate(64)(j => (((i * 131 + j * 17) % 97).toFloat / 97f))))
+    .toDF("vec_id", "embedding")
+
+  test("semDedup default auto-sizes the codebook via ivfAutoNlist") {
+    val df = autoCorpus
+    val auto = Similarity.semDedup(df, threshold = 0.99)
+    val pinned = Similarity.semDedup(df, threshold = 0.99,
+      nlist = Similarity.ivfAutoNlist(300L))
+    assert(auto.collect().toSet == pinned.collect().toSet)
+    // behavioral proof the codebook is wider than the old fixed 16:
+    // pivots are vec_id < 18 and each pivot is its own nearest pivot
+    val maxCluster = auto.agg(max(col("cluster_id"))).collect()(0).getLong(0)
+    assert(maxCluster >= 16, s"auto codebook not wider than 16: $maxCluster")
+    val fixed16 = Similarity.semDedup(df, threshold = 0.99, nlist = 16)
+      .agg(max(col("cluster_id"))).collect()(0).getLong(0)
+    assert(fixed16 <= 15)
+  }
+
+  test("knnGraph default auto-sizes the codebook via ivfAutoNlist") {
+    val df = autoCorpus
+    val auto = Similarity.knnGraph(df, k = 3)
+    val pinned = Similarity.knnGraph(df, k = 3,
+      nlist = Similarity.ivfAutoNlist(300L))
+    assert(auto.collect().toSet == pinned.collect().toSet)
+  }
 }
