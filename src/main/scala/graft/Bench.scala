@@ -55,6 +55,97 @@ object Bench {
       s.split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  /** (busy, total) jiffies summed over all host CPUs from /proc/stat.
+    * busy excludes idle+iowait; steal counts as busy — a hypervisor
+    * stealing our cycles IS foreign load.
+    */
+  private[graft] def readSystemJiffies(): (Long, Long) = {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    val total = f.sum
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+    (total - idle, total)
+  }
+
+  /** This process's utime+stime jiffies from /proc/self/stat (whole
+    * JVM, all threads). The comm field can contain spaces/parens —
+    * parse after the LAST ')'.
+    */
+  private[graft] def readSelfJiffies(): Long = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    rest(11).toLong + rest(12).toLong  // fields 14 (utime), 15 (stime)
+  }
+
+  /** Host CPU count = cpuN lines in /proc/stat (NOT
+    * availableProcessors, which can be cgroup-clamped below the host
+    * width that /proc/stat jiffies are denominated in).
+    */
+  private[graft] def hostCpus(): Int =
+    scala.io.Source.fromFile("/proc/stat").getLines()
+      .count(l => l.startsWith("cpu") && !l.startsWith("cpu "))
+
+  /** Mid-run breach rule for the foreign-load gate: the run is
+    * suspect when the MEAN foreign-core occupancy over the suite
+    * exceeds the ceiling (a short cron blip shouldn't kill a run; a
+    * co-tenant camped on cores for the duration must).
+    */
+  private[graft] def foreignBreach(samples: Seq[Double],
+                                   maxMeanCores: Double): Boolean =
+    samples.nonEmpty &&
+      samples.sum / samples.size > maxMeanCores
+
+  /** Foreign-CPU sampler (round-12 verdict item 4). The r12 official
+    * artifact started at loadavg 1.64 (passing the start gate), ended
+    * at 11.53, drifted 1.248 — 0.002 under the retry trigger — and
+    * stamped itself clean: the start-only gate is blind to co-tenants
+    * arriving MID-run, and raw loadavg cannot police the middle of a
+    * run because this bench's own local[32] JVM legitimately drives
+    * loadavg past 10 (clean p2 pass: median mid-query loadavg 10.17).
+    * What loadavg conflates, CPU accounting separates: every 5s a
+    * daemon thread diffs system-wide busy jiffies against THIS
+    * process's jiffies — the remainder is, by construction, other
+    * tenants (plus kernel threads, ~0 idle). The artifact carries
+    * mean/peak foreign cores; a mean above SPARK_GRAFT_FOREIGN_MAX
+    * (default 2.0 cores) stamps "midrun_load_breach": true and folds
+    * into run_suspect, so a co-tenanted run can never present itself
+    * clean again regardless of where in the run the tenant arrived.
+    */
+  private[graft] final class ForeignLoadSampler(periodMs: Long = 5000L) {
+    private val samples = scala.collection.mutable.ArrayBuffer[Double]()
+    @volatile private var stopped = false
+    private val cpus = hostCpus()
+    private val t = new Thread(() => {
+      try {
+        var (b0, t0) = readSystemJiffies()
+        var s0 = readSelfJiffies()
+        while (!stopped) {
+          Thread.sleep(periodMs)
+          val (b1, t1) = readSystemJiffies()
+          val s1 = readSelfJiffies()
+          val dt = t1 - t0
+          if (dt > 0) {
+            val foreign =
+              math.max(0.0, ((b1 - b0) - (s1 - s0)).toDouble / dt * cpus)
+            samples.synchronized { samples += foreign }
+          }
+          b0 = b1; t0 = t1; s0 = s1
+        }
+      } catch { case _: Throwable => () }  // sampler must never kill a run
+    }, "bench-foreign-load-sampler")
+    t.setDaemon(true)
+    t.start()
+
+    /** Stop sampling; the foreign-core samples in order. */
+    def finish(): Vector[Double] = {
+      stopped = true
+      t.interrupt()
+      samples.synchronized { samples.toVector }
+    }
+  }
+
   /** Fixed CPU calibration: seconds for a deterministic md5 chain,
     * single-thread and one-thread-per-core. The rounds of this build
     * land on different hosts: round 7 measured a UNIFORM ~1.6x
@@ -162,6 +253,10 @@ object Bench {
     }
     val loadStart = load1()
     val invalidLoad = loadStart > loadMax
+    // mid-run co-tenancy watch: foreign = system CPU minus own CPU
+    val foreignMax =
+      sys.env.getOrElse("SPARK_GRAFT_FOREIGN_MAX", "2.0").toDouble
+    val foreignSampler = new ForeignLoadSampler()
     // Each query runs at least twice. Run 1 pays one-time Janino
     // codegen + plan analysis + broadcast builds (constant cost,
     // amortized away at scale); run 2 is the steady-state per-query
@@ -303,7 +398,15 @@ object Bench {
     }
     val runDrift = driftNow()
     val runDriftNorm = runDrift / hostFactor
-    val runSuspect = runRetried && runDriftNorm > 1.25
+    // stop the co-tenancy sampler only after the drift-gate pass and
+    // requeues — a tenant arriving during the remedial passes counts
+    val foreignSamples = foreignSampler.finish()
+    val foreignMean =
+      if (foreignSamples.isEmpty) 0.0
+      else foreignSamples.sum / foreignSamples.size
+    val foreignPeak = if (foreignSamples.isEmpty) 0.0 else foreignSamples.max
+    val midrunBreach = foreignBreach(foreignSamples, foreignMax)
+    val runSuspect = (runRetried && runDriftNorm > 1.25) || midrunBreach
     // recompute per-query suspects from FINAL values: the drift-gate
     // pass may have produced a clean reading for a flagged query
     val suspectList = suspects.result()
@@ -336,7 +439,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
@@ -352,7 +455,7 @@ object Bench {
       val susp = suspectList.take(n)
         .map { case (k, v, ref) => "\"" + k + s"""\":{"value":${r3(v)},"ref":$ref}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"midrun_load_breach":$midrunBreach,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
     }
     // hard guarantee the line fits the driver's capture window even if
     // query names grow: shrink the slowest-N list until it does

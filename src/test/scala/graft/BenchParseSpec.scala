@@ -62,4 +62,53 @@ class BenchParseSpec extends AnyFunSuite {
       "committed BENCH_REF.json carries no readable cpu_1t — host " +
         "normalization would silently disable itself")
   }
+
+  // == Mid-run foreign-load gate (round-12 verdict item 4) ==
+  // The r12 official artifact started at loadavg 1.64, ended at 11.53,
+  // and stamped itself clean — the start-only gate never looked again.
+
+  test("foreignBreach fires on the synthetic r12 replay and not on idle") {
+    // replay of the r12 incident shape: idle start, ~10 foreign cores
+    // camped for most of the suite → mean well over the 2.0 ceiling
+    val r12 = Seq(0.1, 0.2, 9.8, 10.5, 11.2, 10.9, 11.5, 10.0)
+    assert(Bench.foreignBreach(r12, maxMeanCores = 2.0))
+    // an idle run with one cron blip must NOT breach (mean rule)
+    val idleWithBlip = Seq(0.0, 0.1, 3.5, 0.0, 0.1, 0.0, 0.2, 0.1)
+    assert(!Bench.foreignBreach(idleWithBlip, maxMeanCores = 2.0))
+    // no samples (sub-5s run) → no breach, not a crash
+    assert(!Bench.foreignBreach(Seq.empty, maxMeanCores = 2.0))
+  }
+
+  test("/proc jiffies readers return sane values on this box") {
+    val (busy, total) = Bench.readSystemJiffies()
+    assert(busy >= 0 && total > 0 && busy <= total)
+    val self = Bench.readSelfJiffies()
+    assert(self >= 0)
+    assert(Bench.hostCpus() >= 1)
+  }
+
+  test("ForeignLoadSampler measures its own burn as ~zero foreign") {
+    // burn CPU in THIS process while sampling: own work must not be
+    // attributed to foreign load (the whole point of the jiffies diff
+    // — raw loadavg cannot make this distinction)
+    val sampler = new Bench.ForeignLoadSampler(periodMs = 300L)
+    val deadline = System.nanoTime() + 1500000000L
+    val burners = (1 to 4).map { _ =>
+      val th = new Thread(() => {
+        var x = 0L
+        while (System.nanoTime() < deadline) { x += 1 }
+        if (x == -1) println(x)  // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    burners.foreach(_.join())
+    val samples = sampler.finish()
+    assert(samples.nonEmpty, "sampler collected nothing in 1.5s at 300ms")
+    val mean = samples.sum / samples.size
+    // 4 cores of OWN burn; foreign reading must stay far below it.
+    // Ambient CI noise allowance: < 2.0 (the gate ceiling itself).
+    assert(mean < 2.0,
+      s"own burn leaked into foreign reading: mean=$mean " +
+        s"samples=${samples.mkString(",")}")
+  }
 }
