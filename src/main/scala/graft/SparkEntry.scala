@@ -549,6 +549,11 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s, d) =>
       Dedup.decontaminateBloom(T(s, d)("documents"),
         org.apache.spark.sql.functions.col("doc_id") % 20 === 1)),
+    // contamination-span REMOVAL: rebuild train docs without blocks
+    // holding any eval 5-gram (the scrub form of the screen above)
+    "q_decontaminate_scrub" -> ((s, d) =>
+      Dedup.decontaminateScrub(T(s, d)("documents"),
+        org.apache.spark.sql.functions.col("doc_id") % 20 === 1)),
     // Gopher-style repetition screens: exact token/bigram share ratios
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionMetrics(T(s, d)("documents"))),
@@ -597,6 +602,15 @@ object SparkEntry {
     // per-source exact p50/p90 length profile via two-phase rank
     "q_source_length_profile" -> ((s, d) =>
       TextAnalysis.sourceLengthProfile(T(s, d)("documents"))),
+    // MOSS winnowing: distinct per-window min-hash fingerprint sets
+    "q_winnow_fingerprints" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(T(s, d)("documents"))),
+    // per-source frequent-bigram heavy hitters via two-phase rank
+    "q_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgramsBySource(T(s, d)("documents"))),
+    // deterministic hash-coin MLM masking prep (15% [MASK], 0 shuffles)
+    "q_mask_tokens" -> ((s, d) =>
+      TextAnalysis.maskTokens(T(s, d)("documents"))),
     // static domain-mixture reweighting to a uniform target
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixture(T(s, d)("documents"))),

@@ -159,6 +159,83 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination-span REMOVAL — the transform [[decontaminate]]
+    * only flags: every training document is cut into NON-overlapping
+    * `blockTokens`-token blocks (full blocks only; the short tail is
+    * always kept, exactly the [[substringScrub]] framing), a block is
+    * dropped when ANY of its word `n`-grams appears in the held-out
+    * eval set, and the document is REBUILT from the surviving blocks
+    * in original order. This is the published eval-decontamination
+    * *scrub* (remove the overlapping span, keep the document) as
+    * opposed to the screen (drop the document) — the form a pipeline
+    * wants when contamination is a quote inside an otherwise-clean
+    * page. Grams straddling a block boundary are not probed — the
+    * fixed-span trade every block-level scrubber makes; tighten with
+    * a smaller `blockTokens` if the boundary sliver matters.
+    *
+    * Scale shape: the eval gram set builds once and BROADCASTS to a
+    * row-local probe of the block grams (no shuffle on the corpus
+    * side until the per-doc rebuild); the rebuild is one doc_id-keyed
+    * aggregate whose partition is bounded by a single document's
+    * block count — the [[substringScrub]] envelope with the corpus-
+    * frequency join replaced by a broadcast membership probe.
+    */
+  def decontaminateScrub(docs: DataFrame, evalPred: Column, n: Int = 5,
+                         blockTokens: Int = 10): DataFrame = {
+    require(blockTokens >= n,
+      s"blockTokens ($blockTokens) must be >= n ($n): a shorter block " +
+        "holds no complete n-gram and could never test contaminated")
+    val evalGrams = evalGramSet(docs.filter(evalPred), n)
+    val toked = graft.sources.Par.fan(docs.filter(!evalPred))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nTok", size(col("toks")))
+      .withColumn("nb", (col("nTok") / blockTokens).cast("int"))
+    val cached = OperatorCaches.track(toked)
+    // nb = 0 guard: sequence(1, 0) runs DESCENDING in Spark
+    val blocks = OperatorCaches.track(cached
+      .select(col("doc_id"),
+        posexplode(expr(s"""CASE WHEN nb >= 1 THEN
+          |  transform(sequence(1, nb),
+          |    b -> slice(toks, (b - 1) * $blockTokens + 1, $blockTokens))
+          |  ELSE CAST(array() AS array<array<string>>) END""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("idx"),
+        concat_ws(" ", col("col")).as("block"), col("col").as("btoks")))
+    // blocks are exactly blockTokens long, so the gram index range is
+    // static; distinct before the probe — membership needs each gram
+    // once per block
+    val hit = blocks
+      .select(col("doc_id"), col("idx"),
+        explode(array_distinct(expr(
+          s"""transform(sequence(1, ${blockTokens - n + 1}),
+             |  i -> concat_ws(' ', slice(btoks, i, $n)))""".stripMargin)))
+          .as("sh"))
+      .join(broadcast(evalGrams), "sh")
+      .select("doc_id", "idx").distinct()
+    val flagged = OperatorCaches.track(
+      blocks.join(hit.withColumn("bad", lit(true)),
+        Seq("doc_id", "idx"), "left"))
+    val kept = flagged.filter(col("bad").isNull)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("idx"), col("block")))),
+          s => s("block"))).as("kept_text"))
+    val dropped = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_dropped"))
+    cached
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("nb") * blockTokens + 1,
+          greatest(col("nTok") - col("nb") * blockTokens, lit(0))))
+          .as("tail_text"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(array(col("kept_text"), col("tail_text")),
+          x => x.isNotNull && x =!= "")).as("clean_text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** N-gram Jaccard near-dup pairs: self-join distinct shingle sets,
     * |A∩B| / |A∪B| ≥ threshold. Integer-ratio division so the double
     * is bit-identical across engines.

@@ -780,4 +780,105 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(expr(s"substr(text, i, $k)")).as("h"))
       .groupBy("doc_id").agg(min(col("h")).as("fingerprint"))
+
+  /** WINNOWING fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): hash every `k`-char window of the document, slide a
+    * `w`-hash window over those positions, and select each window's
+    * MINIMUM hash; the distinct selected hashes are the document's
+    * fingerprint set. Guarantee: any shared substring of length
+    * ≥ k + w − 1 between two documents yields at least one shared
+    * fingerprint — the set form of [[fingerprint]] (which keeps only
+    * the single global min and so can only attest whole-doc
+    * similarity). Expected density 2/(w+1) of positions selected, so
+    * the output is ~|text|·2/(w+1) rows per doc regardless of corpus
+    * size. Classic winnowing breaks ties toward the rightmost
+    * position; selecting DISTINCT min hashes makes the tie rule
+    * immaterial (both engines keep one row per hash value).
+    *
+    * Scale shape: one position explode, one doc-bounded window min
+    * (partition key doc_id — bounded by a single document's length,
+    * never the corpus), one distinct. Documents shorter than
+    * k + w − 1 chars have no full hash window and emit nothing.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 10)
+      : DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    fan(docs)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (k - 1)).as("npos"))
+      .filter(col("npos") >= w)
+      .select(col("doc_id"), col("npos"),
+        explode(sequence(lit(1), col("npos"))).as("i"), col("text"))
+      .select(col("doc_id"), col("npos"), col("i"),
+        md5(expr(s"substr(text, i, $k)")).as("h"))
+      .select(col("doc_id"), col("npos"), col("i"),
+        min(col("h")).over(win).as("fp"))
+      // full windows only: the trailing < w positions are covered by
+      // earlier windows (every position belongs to w windows)
+      .filter(col("i") <= col("npos") - (w - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Corpus-wide frequent n-grams per source — the heavy-hitter scan
+    * a curation pass runs to find boilerplate and template text:
+    * count EVERY occurrence (not the dedup family's per-doc distinct
+    * sets) of each word `n`-gram within each source, and keep the
+    * top `k` by (count desc, gram asc — a total order, so ranks are
+    * deterministic). The per-source rank is [[Layout.keyedRank]]'s
+    * two-phase range-partitioned form, NOT a source-keyed window: a
+    * handful of sources at 100 TB would otherwise each sort in one
+    * task.
+    */
+  def topNgramsBySource(docs: DataFrame, n: Int = 2, k: Int = 5)
+      : DataFrame = {
+    val grams = fan(docs)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(when(size(col("toks")) >= n,
+        expr(s"""transform(sequence(1, size(toks) - ${n - 1}),
+                |  i -> concat_ws(' ', slice(toks, i, $n)))""".stripMargin))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+    graft.operators.Layout.keyedRank(grams, "source",
+        Seq(col("cnt").desc, col("gram")), "rnk", "src_n")
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("gram"), col("cnt"),
+        col("rnk").as("rank"))
+  }
+
+  /** Deterministic MLM masking prep — the corpus-to-training-example
+    * transform: token at position `i` of document `d` is replaced by
+    * `[MASK]` when the md5 of "d:i:token" lands under `pct` in its
+    * first-byte bucket (hash-coin, not RNG: re-runs, retries, and
+    * any engine reproduce the identical masking — the determinism
+    * discipline of [[dataSplit]]'s salted-hash assignment applied at
+    * token granularity). Entirely row-local column algebra: ZERO
+    * shuffles, whole-stage codegen end to end — at 100 TB this is a
+    * pure map over the scan.
+    */
+  def maskTokens(docs: DataFrame, pct: Int = 15): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    // first md5 byte (two hex nibbles) mod 100 — the established
+    // cross-engine hash-bucket spelling (hashedFeatures, dsirWeights)
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    val bucket = s"""((CASE substr(md5(concat(doc_id, ':', i, ':',
+      |  element_at(toks, i))), 1, 1) $nibble END) * 16
+      | + (CASE substr(md5(concat(doc_id, ':', i, ':',
+      |  element_at(toks, i))), 2, 1) $nibble END)) % 100""".stripMargin
+    fan(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(1, size(toks)),
+                |  i -> CASE WHEN $bucket < $pct THEN '[MASK]'
+                |            ELSE element_at(toks, i) END)""".stripMargin)
+          .as("mtoks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("mtoks")).as("masked_text"),
+        col("n_tokens"),
+        size(filter(col("mtoks"), t => t === "[MASK]")).cast("long")
+          .as("n_masked"))
+  }
 }

@@ -1586,6 +1586,121 @@ object DocOracles {
       |FROM tt LEFT JOIN kept USING (doc_id)
       |  LEFT JOIN drp USING (doc_id) LEFT JOIN tl USING (doc_id)""".stripMargin
 
+  /** Mirror of Dedup.decontaminateScrub: eval = doc_id % 20 = 1,
+    * 10-token blocks over the train docs, a block drops when any of
+    * its 5-grams is in the eval gram set, rebuild = kept blocks in
+    * order + tail. Rebuild spelling shared with substringScrubSql.
+    */
+  private def decontaminateScrubSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT DISTINCT UNNEST(CASE WHEN len(string_split(text, ' ')) >= 5
+      |      THEN list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 4),
+      |        i -> array_to_string(string_split(text, ' ')[i : i + 4], ' '))
+      |      ELSE [] END) AS sh
+      |  FROM documents WHERE doc_id % 20 = 1),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE doc_id % 20 <> 1),
+      |tt AS (SELECT doc_id, toks, len(toks) AS n,
+      |         CAST(FLOOR(len(toks) / 10.0) AS INTEGER) AS nb FROM t),
+      |b AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx,
+      |        toks[(i - 1) * 10 + 1 : i * 10] AS btoks
+      |      FROM (SELECT doc_id, toks,
+      |              UNNEST(generate_series(1, nb)) AS i
+      |            FROM tt WHERE nb >= 1)),
+      |bg AS (SELECT doc_id, idx,
+      |         UNNEST(list_distinct(list_transform(generate_series(1, 6),
+      |           i -> array_to_string(btoks[i : i + 4], ' ')))) AS sh
+      |       FROM b),
+      |hit AS (SELECT DISTINCT doc_id, idx FROM bg JOIN ev USING (sh)),
+      |bf AS (SELECT b.doc_id, b.idx,
+      |         array_to_string(btoks, ' ') AS block,
+      |         hit.doc_id IS NOT NULL AS bad
+      |       FROM b LEFT JOIN hit
+      |         ON b.doc_id = hit.doc_id AND b.idx = hit.idx),
+      |kept AS (SELECT doc_id, string_agg(block, ' ' ORDER BY idx)
+      |           AS kept_text
+      |         FROM bf WHERE NOT bad GROUP BY 1),
+      |drp AS (SELECT doc_id, COUNT(*) AS n_blocks,
+      |          CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_dropped
+      |        FROM bf GROUP BY 1),
+      |tl AS (SELECT doc_id,
+      |         COALESCE(array_to_string(toks[nb * 10 + 1 : n], ' '), '')
+      |           AS tail_text
+      |       FROM tt)
+      |SELECT tt.doc_id,
+      |  CASE WHEN kept_text IS NOT NULL AND kept_text <> ''
+      |              AND tail_text <> ''
+      |         THEN kept_text || ' ' || tail_text
+      |       WHEN kept_text IS NOT NULL AND kept_text <> ''
+      |         THEN kept_text
+      |       ELSE tail_text END AS clean_text,
+      |  COALESCE(n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+      |  COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+      |FROM tt LEFT JOIN kept USING (doc_id)
+      |  LEFT JOIN drp USING (doc_id) LEFT JOIN tl USING (doc_id)""".stripMargin
+
+  /** Mirror of TextAnalysis.winnowFingerprints (k=8, w=10): md5 of
+    * every 8-char window, min over each run of 10 consecutive
+    * position hashes (full windows only), distinct selected hashes.
+    */
+  private def winnowSql: String =
+    """WITH p AS (SELECT doc_id, length(text) - 7 AS npos, text
+      |           FROM documents WHERE length(text) - 7 >= 10),
+      |h AS (SELECT doc_id, npos, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+      |      FROM (SELECT doc_id, npos, text,
+      |              UNNEST(generate_series(1, npos)) AS i FROM p)),
+      |w AS (SELECT doc_id, npos, i,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
+      |      FROM h)
+      |SELECT DISTINCT doc_id, fp FROM w WHERE i <= npos - 9""".stripMargin
+
+  /** Mirror of TextAnalysis.topNgramsBySource (n=2, k=5): every
+    * bigram occurrence (not per-doc distinct), per-source counts,
+    * top 5 by (count desc, gram asc).
+    */
+  private def topNgramsSql: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT source, UNNEST(CASE WHEN len(toks) >= 2 THEN
+      |          list_transform(generate_series(1, len(toks) - 1),
+      |            i -> toks[i] || ' ' || toks[i + 1])
+      |        ELSE [] END) AS gram
+      |      FROM t),
+      |c AS (SELECT source, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |r AS (SELECT source, gram, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY cnt DESC, gram) AS rank
+      |      FROM c)
+      |SELECT source, gram, cnt, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Mirror of TextAnalysis.maskTokens (pct=15): token i of doc d is
+    * [MASK] when the first md5 byte of "d:i:token" lands under 15
+    * mod 100.
+    */
+  private def maskTokensSql: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id,
+       |        list_transform(generate_series(1, len(toks)), i ->
+       |          CASE WHEN ((CASE substr(md5(doc_id || ':' || i || ':'
+       |                || toks[i]), 1, 1) $nibble END) * 16
+       |              + (CASE substr(md5(doc_id || ':' || i || ':'
+       |                || toks[i]), 2, 1) $nibble END)) % 100 < 15
+       |            THEN '[MASK]' ELSE toks[i] END) AS mtoks,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens
+       |      FROM t)
+       |SELECT doc_id, array_to_string(mtoks, ' ') AS masked_text,
+       |  n_tokens,
+       |  CAST(len(list_filter(mtoks, t -> t = '[MASK]')) AS BIGINT)
+       |    AS n_masked
+       |FROM m""".stripMargin
+  }
+
   /** Mirror of Dedup.ngramNovelty: distinct 3-grams per doc,
     * introducer = min doc_id per gram, integer-ratio novelty.
     */
@@ -1776,6 +1891,10 @@ object DocOracles {
     "q_dsir_weights" -> dsirSql,
     "q_substring_dedup" -> repeatedSubstringsSql,
     "q_substring_scrub" -> substringScrubSql,
+    "q_decontaminate_scrub" -> decontaminateScrubSql,
+    "q_winnow_fingerprints" -> winnowSql,
+    "q_top_ngrams" -> topNgramsSql,
+    "q_mask_tokens" -> maskTokensSql,
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,

@@ -987,4 +987,81 @@ class DocOpsSpec extends AnyFunSuite {
       nlist = Similarity.ivfAutoNlist(300L))
     assert(auto.collect().toSet == pinned.collect().toSet)
   }
+
+  test("decontaminate scrub: removes eval-overlapping blocks, keeps tail") {
+    // eval doc (id 21 — 21 % 20 = 1) shares tokens e1..e5 with train
+    // doc 2's SECOND block; doc 4 is clean
+    val evalText = (1 to 5).map(i => s"e$i").mkString(" ")
+    val block1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val block2 = (1 to 5).map(i => s"e$i").mkString(" ") + " " +
+      (1 to 5).map(i => s"b$i").mkString(" ")
+    val tail = "t1 t2 t3"
+    val d = docs(
+      (21L, evalText),
+      (2L, s"$block1 $block2 $tail"),
+      (4L, s"$block1 $tail"))
+    val out = Dedup.decontaminateScrub(d, col("doc_id") % 20 === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(2L, 4L)) // eval doc never emitted
+    assert(out(2L) == ((s"$block1 $tail", 2L, 1L))) // block2 scrubbed
+    assert(out(4L) == ((s"$block1 $tail", 1L, 0L))) // untouched
+  }
+
+  test("decontaminate scrub: short doc is all tail; blockTokens>=n enforced") {
+    val d = docs((21L, "e1 e2 e3 e4 e5"), (2L, "short doc only"))
+    val out = Dedup.decontaminateScrub(d, col("doc_id") % 20 === 1)
+      .collect()
+    assert(out.length == 1 && out(0).getString(1) == "short doc only"
+      && out(0).getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateScrub(d, col("doc_id") % 20 === 1,
+        n = 5, blockTokens = 4)
+    }
+  }
+
+  test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
+    val shared = "qrstuvwxyz0123456" // 17 chars = k + w - 1 at k=8, w=10
+    val a = s"aaaaaaaaaaaa $shared bbbbbbbbbbbb"
+    val b = s"cccccccccccc $shared dddddddddddd"
+    val fps = TextAnalysis.winnowFingerprints(docs((1L, a), (2L, b)))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // density: distinct selections are a small fraction of positions
+    assert(fps(1L).size < a.length - 7)
+  }
+
+  test("winnowing: docs shorter than k+w-1 emit nothing") {
+    val out = TextAnalysis.winnowFingerprints(
+      docs((1L, "0123456789abcdef"))) // 16 chars -> npos 9 < w
+    assert(out.count() == 0)
+  }
+
+  test("top ngrams: counts every occurrence, caps at k, count-desc order") {
+    val d = Seq(
+      (1L, "x y x y x y", "s1"),   // "x y" x3, "y x" x2
+      (2L, "p q", "s1"),
+      (3L, "m n m n", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.topNgramsBySource(d, n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val s1 = out.filter(_._1 == "s1").sortBy(_._4)
+    assert(s1.map(t => (t._2, t._3)).toSeq == Seq(("x y", 3L), ("y x", 2L)))
+    assert(out.count(_._1 == "s2") == 2) // "m n" x2 then "n m" x1
+  }
+
+  test("mask tokens: deterministic, counts exact, pct=0 is identity") {
+    val d = docs((1L, (1 to 200).map(i => s"tok$i").mkString(" ")))
+    val a = TextAnalysis.maskTokens(d).collect()(0)
+    val b = TextAnalysis.maskTokens(d).collect()(0)
+    assert(a.getString(1) == b.getString(1)) // hash-coin, not RNG
+    assert(a.getLong(3) ==
+      a.getString(1).split(" ").count(_ == "[MASK]"))
+    assert(a.getLong(3) > 0 && a.getLong(3) < 80) // ~15% of 200
+    val id = TextAnalysis.maskTokens(d, pct = 0).collect()(0)
+    assert(id.getString(1) == d.collect()(0).getString(1)
+      && id.getLong(3) == 0L)
+  }
 }
