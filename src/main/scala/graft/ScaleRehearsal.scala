@@ -66,10 +66,25 @@ object ScaleRehearsal {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
+  /** Targets beyond the gate registry — operator configurations the
+    * oracle-pinned queries deliberately fix for SF-independent
+    * determinism, but whose SCALE behavior is the thing to measure.
+    * `x_knn_graph_auto` / `x_semdedup_auto` run the PRODUCTION
+    * default (nlist auto-sized ≈ √N from a count) instead of the
+    * gate queries' pinned nlist=16 — the r12 verdict's missing-by-
+    * construction 100× row exists exactly for this sizing.
+    */
+  private val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "x_knn_graph_auto" -> ((s, d) => graft.operators.Similarity.knnGraph(
+      graft.sources.Tables(s, d, "embeddings"))),
+    "x_semdedup_auto" -> ((s, d) => graft.operators.Similarity.semDedup(
+      graft.sources.Tables(s, d, "embeddings"), threshold = 0.4)))
+
   private def timeQuery(spark: SparkSession, name: String,
                         dir: String): (Double, Long) = {
+    val q = extra.getOrElse(name, SparkEntry.queries(name))
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, dir).count()
+    val n = q(spark, dir).count()
     OperatorCaches.releaseAll()
     ((System.nanoTime() - t0) / 1e9, n)
   }

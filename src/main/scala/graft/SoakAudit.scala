@@ -90,6 +90,18 @@ object SoakAudit {
     val wireSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val runner = new CurationLoop.Runner(spark, consolidateEvery = 10)
+    // StreamNovelty leg (r12 verdict #5): the maintained gram store
+    // rides the same ingest; per-batch we record its ingest wall, the
+    // standing store size, and the batch's gram occurrences, to prove
+    // (a) the per-batch wall stays flat and (b) store growth is
+    // sub-linear in ingested grams (the store dedups — later batches
+    // re-see earlier vocabulary).
+    var novState = graft.streaming.StreamNovelty.emptyState(spark)
+    val novOut = scala.collection.mutable.ArrayBuffer
+      .empty[Array[org.apache.spark.sql.Row]]
+    val novWall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val novStoreRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val novBatchGrams = scala.collection.mutable.ArrayBuffer.empty[Long]
     val phaseNames = Seq("prep", "classify", "edges", "clusters", "maintain")
     val phaseSeries = phaseNames.map(n =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
@@ -128,6 +140,15 @@ object SoakAudit {
         consolidateWall += ph.consolidateMs
         reads += (after - before)
         sizes += db.count()
+        val tn0 = System.nanoTime()
+        val (nv, ns) = graft.streaming.StreamNovelty.ingest(novState, db)
+        novOut += nv.collect()
+        novWall += (System.nanoTime() - tn0) / 1e6
+        novState = ns
+        // store/occurrence sizes are measured OUTSIDE the timed leg:
+        // they are audit instrumentation, not ingest work
+        novStoreRows += ns.gramRows
+        novBatchGrams += Dedup.ngrams(db, 3).count()
         (): Unit
       }
       .start()
@@ -142,6 +163,16 @@ object SoakAudit {
     val got = StreamClusters.labelsFor(runner.state().clusters, docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val parity = got == expect
+
+    // novelty parity: the 50-batch doc_id-ordered fold must reproduce
+    // the batch operator row-for-row (the DocOpsSpec 3-batch pin, at
+    // soak scale)
+    val novExpect = Dedup.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    val novGot = novOut.toArray.flatten.map(r => r.getLong(0) -> r).toMap
+    val novParity = novGot.size == novExpect.size &&
+      novGot.forall { case (id, r) => novExpect(id) == r }
 
     val n = ingestWall.size
     val qn = math.max(1, n / 4)
@@ -165,7 +196,20 @@ object SoakAudit {
     val phaseTrends = phaseNames.map(p => p -> trendOf(phaseSeries(p).toSeq))
     val wallTrend = trendOf(ingestWall.toSeq)
     val readTrend = trendOf(reads.map(_.toDouble).toSeq)
-    val flat = wallTrend.flat && readTrend.flat && phaseTrends.forall(_._2.flat)
+    // novelty-store legs: per-batch ingest wall flat (same bound as
+    // every other phase), and store growth sub-linear in ingested
+    // grams — the store's marginal absorption rate (new grams per
+    // probed gram) must DECLINE as vocabulary accumulates
+    val novWallTrend = trendOf(novWall.toSeq)
+    val novNew = novStoreRows.toSeq.zip(0L +: novStoreRows.toSeq)
+      .map { case (a, b) => (a - b).toDouble }
+    val novRate = novNew.zip(novBatchGrams.toSeq)
+      .map { case (nw, g) => if (g == 0) 0.0 else nw / g }
+    val novRateQ1 = qMean(novRate, 0)
+    val novRateQ4 = qMean(novRate, 3)
+    val novSubLinear = novRateQ4 < novRateQ1
+    val flat = wallTrend.flat && readTrend.flat && novWallTrend.flat &&
+      phaseTrends.forall(_._2.flat)
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val phasesJson = phaseNames.map(p =>
@@ -187,10 +231,18 @@ object SoakAudit {
       f""""read_trend_q4_over_q2":${readTrend.ratio}%.3f,""" +
       f""""consolidate_total_ms":${consolidateWall.sum}%.1f,""" +
       s""""scaling_phases":{"consolidate":"amortized O(corpus) log compaction by design; fires every 10 batches, reported above, excluded from the flat assertion"},""" +
+      s""""novelty_wall_ms":${arr(novWall.toSeq)},""" +
+      s""""novelty_store_rows":${novStoreRows.mkString("[", ",", "]")},""" +
+      s""""novelty_batch_grams":${novBatchGrams.mkString("[", ",", "]")},""" +
+      f""""novelty_wall_trend_q4_over_q2":${novWallTrend.ratio}%.3f,""" +
+      f""""novelty_absorb_rate_q1":$novRateQ1%.4f,""" +
+      f""""novelty_absorb_rate_q4":$novRateQ4%.4f,""" +
+      s""""novelty_store_sublinear":$novSubLinear,""" +
+      s""""novelty_parity":$novParity,""" +
       s""""label_parity":$parity,"flat":$flat}"""
     Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
-    if (!parity || !flat) sys.exit(1)
+    if (!parity || !novParity || !novSubLinear || !flat) sys.exit(1)
   }
 }
