@@ -178,6 +178,36 @@ object Bench {
     (single, par)
   }
 
+  /** Single-thread small-string allocation + hash-grouping probe —
+    * the regime the explode-family queries stress (tokenize → many
+    * short-lived strings → map-side partial aggregation), which the
+    * md5 digest probe above cannot see: the r12 cross-box forensics
+    * found five explode-heavy queries reading 1.4–2.0× anchor on a
+    * box whose md5 probe read FASTER than the anchor box
+    * (BENCH_TREND_r12.txt). Recorded as `cpu_alloc` in the artifact
+    * for cross-box normalization evidence; deliberately NOT folded
+    * into host_factor/gate math until a multi-box baseline exists.
+    */
+  private def allocCalibration(): Double = {
+    def work(): Long = {
+      val m = new java.util.HashMap[String, Long](1 << 16)
+      var acc = 0L
+      var i = 0
+      while (i < 1500000) {
+        val s = "tok" + (i % 65536) + "x"
+        val prev = m.getOrDefault(s, 0L)
+        m.put(s, prev + 1L)
+        acc += s.length
+        i += 1
+      }
+      acc + m.size
+    }
+    work(); work() // JIT warm-up, same discipline as cpuCalibration
+    (1 to 3).map { _ =>
+      val t = System.nanoTime(); work(); (System.nanoTime() - t) / 1e9
+    }.min
+  }
+
   /** Per-query reference timings from a previously committed clean run.
     * The file is the harness's own output format; the `"queries"`
     * object is flat name->seconds, parsed with a regex (no nesting).
@@ -223,6 +253,7 @@ object Bench {
     // second runs after the queries (see below) — early samples read
     // up to ~20% slow while the JIT compiler storm shares cores
     val (cpu1tStart, cpuMt) = cpuCalibration(cpus.toInt)
+    val cpuAllocStart = allocCalibration()
     val refCpu1t = loadRefCpu1t(refPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -377,6 +408,7 @@ object Bench {
     // end-of-run calibration sample: the JVM is fully warm and idle
     // between queries, so min(start, end) is the host's real speed
     val cpu1t = math.min(cpu1tStart, cpuCalibration(cpus.toInt)._1)
+    val cpuAlloc = math.min(cpuAllocStart, allocCalibration())
     // a slower host inflates every query by ~the single-thread ratio;
     // never scale BELOW 1 (a faster host must not excuse a regression)
     val hostFactor = refCpu1t.map(r => math.max(1.0, cpu1t / r)).getOrElse(1.0)
@@ -439,7 +471,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"cpu_alloc":${r3(cpuAlloc)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
@@ -455,7 +487,7 @@ object Bench {
       val susp = suspectList.take(n)
         .map { case (k, v, ref) => "\"" + k + s"""\":{"value":${r3(v)},"ref":$ref}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"midrun_load_breach":$midrunBreach,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"queries_run":${results.size},"suspect":$susp,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_alloc":${r3(cpuAlloc)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"midrun_load_breach":$midrunBreach,"load_start":$loadStart,"load_end":$loadEnd,"failed":${failed.size},"sf":"$sfDir","full_results":"$outPath"}"""
     }
     // hard guarantee the line fits the driver's capture window even if
     // query names grow: shrink the slowest-N list until it does

@@ -740,13 +740,13 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, targetPred: Column,
                   buckets: Int = 64): DataFrame = {
+    // native one-digest bucket kernel — value-identical to the
+    // md5-hex + two-nibble-parse spelling the oracle keeps (the first
+    // digest byte IS nibble(hex[0])·16 + nibble(hex[1]))
     val tok = fan(docs)
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      .withColumn("bucket", pmod(
-        Dedup.hexNibble(substring(col("h"), 1, 1)) * 16 +
-          Dedup.hexNibble(substring(col("h"), 2, 1)), lit(buckets)))
+      .withColumn("bucket", graft.plans.Md5Bucket(col("tok"), buckets))
       .select(col("doc_id"), col("is_target"), col("bucket"))
     val withB = OperatorCaches.track(tok)
     val stats = withB.groupBy("bucket").agg(
@@ -859,21 +859,18 @@ object TextAnalysis {
     */
   def maskTokens(docs: DataFrame, pct: Int = 15): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
-    // first md5 byte (two hex nibbles) mod 100 — the established
-    // cross-engine hash-bucket spelling (hashedFeatures, dsirWeights)
-    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
-      s"WHEN '$c' THEN $i" }.mkString(" ")
-    val bucket = s"""((CASE substr(md5(concat(doc_id, ':', i, ':',
-      |  element_at(toks, i))), 1, 1) $nibble END) * 16
-      | + (CASE substr(md5(concat(doc_id, ':', i, ':',
-      |  element_at(toks, i))), 2, 1) $nibble END)) % 100""".stripMargin
+    // first md5 byte mod 100 — the established cross-engine
+    // hash-bucket value (hashedFeatures, dsirWeights), computed by
+    // the native one-digest kernel; the oracle keeps the equivalent
+    // md5-hex + nibble-parse spelling
     fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        expr(s"""transform(sequence(1, size(toks)),
-                |  i -> CASE WHEN $bucket < $pct THEN '[MASK]'
-                |            ELSE element_at(toks, i) END)""".stripMargin)
-          .as("mtoks"),
+        transform(sequence(lit(1), size(col("toks"))), i =>
+          when(graft.plans.Md5Bucket(
+            concat(col("doc_id"), lit(":"), i, lit(":"),
+              element_at(col("toks"), i)), 100) < pct, lit("[MASK]"))
+            .otherwise(element_at(col("toks"), i))).as("mtoks"),
         size(col("toks")).cast("long").as("n_tokens"))
       .select(col("doc_id"),
         concat_ws(" ", col("mtoks")).as("masked_text"),

@@ -77,6 +77,28 @@ class CatalystSpec extends AnyFunSuite {
     assert(viaSql == 11.0)
   }
 
+  test("Md5Bucket matches the md5-hex nibble spelling on both eval paths") {
+    val nib = (c: org.apache.spark.sql.Column) =>
+      when(c >= "a", ascii(c) - ascii(lit("a")) + 10)
+        .otherwise(ascii(c) - ascii(lit("0")))
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val composed = pmod(
+      nib(substring(col("h"), 1, 1)) * 16 + nib(substring(col("h"), 2, 1)),
+      lit(97))
+    def run(): Array[(Int, Int)] = docs.select(
+        graft.plans.Md5Bucket(col("tok"), 97).as("native"),
+        composed.as("composed"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val a = run()
+    assert(a.nonEmpty && a.forall { case (n, c) => n == c })
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run().forall { case (n, c) => n == c })
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("HexHighBits matches the substring spelling on both eval paths") {
     val docs = graft.sources.Tables(spark, sf, "documents")
       .select(md5(col("text")).as("h"))

@@ -729,4 +729,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"),
       s"part name filter should reach the scan:\n$plan")
   }
+
+  test("round-13 operators keep their scale shapes: mask shuffle-free, winnow reuses the window exchange, scrub probe broadcasts") {
+    val docs = t("documents")
+    // maskTokens is a pure map over the scan: the ONLY permitted
+    // exchange is Par.fan's unkeyed spread — zero keyed shuffles
+    val mask = explainStr(TextAnalysis.maskTokens(docs))
+    assert(!mask.contains("hashpartitioning") &&
+      !mask.contains("rangepartitioning") &&
+      !mask.contains("Exchange SinglePartition"),
+      s"maskTokens must stay row-local:\n$mask")
+    // winnowFingerprints: the final DISTINCT must ride the window's
+    // doc_id exchange (partial+final HashAggregate, no extra shuffle)
+    // — exactly ONE keyed exchange in the whole plan
+    val winnow = explainStr(TextAnalysis.winnowFingerprints(docs))
+    val keyed = "hashpartitioning".r.findAllIn(winnow).size
+    assert(keyed == 1,
+      s"winnow should have exactly one keyed exchange, got $keyed:\n$winnow")
+    // decontaminateScrub: the eval-gram probe is a broadcast join —
+    // the corpus side must NOT shuffle to meet the eval set
+    val scrub = explainStr(Dedup.decontaminateScrub(docs,
+      col("doc_id") % 20 === 1))
+    assert(scrub.contains("BroadcastHashJoin"),
+      s"eval gram probe must broadcast:\n$scrub")
+    assert(!scrub.contains("CartesianProduct") &&
+      !scrub.contains("BroadcastNestedLoopJoin"))
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
