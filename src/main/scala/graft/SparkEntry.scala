@@ -605,6 +605,15 @@ object SparkEntry {
     // MOSS winnowing: distinct per-window min-hash fingerprint sets
     "q_winnow_fingerprints" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(T(s, d)("documents"))),
+    // winnowing overlap pairs (>= 2 shared rare fingerprints)
+    "q_winnow_overlap" -> ((s, d) =>
+      TextAnalysis.winnowOverlap(T(s, d)("documents"))),
+    // sketch-algebra corpus similarity: per-source MinHash signatures
+    "q_source_minhash_sim" -> ((s, d) =>
+      Dedup.sourceMinhashSim(T(s, d)("documents"))),
+    // per-dimension embedding health: range, exact mean, dead slots
+    "q_emb_dim_profile" -> ((s, d) =>
+      Similarity.embDimProfile(T(s, d)("embeddings"))),
     // per-source frequent-bigram heavy hitters via two-phase rank
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgramsBySource(T(s, d)("documents"))),

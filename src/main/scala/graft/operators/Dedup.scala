@@ -456,6 +456,47 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CORPUS-level MinHash similarity — sketch algebra over sources:
+    * one `numHashes`-slot MinHash signature per SOURCE (min over the
+    * source's whole gram multiset — the min over a union is the min
+    * of mins, so per-source signatures compose by plain aggregation),
+    * then the estimated Jaccard between every source pair is the
+    * fraction of matching slots. The corpus-similarity dashboard a
+    * mixture designer reads before setting sampling weights —
+    * [[sourceOverlap]] counts individual near-dup PAIRS; this
+    * estimates whole-distribution overlap from #sources·numHashes
+    * longs of state.
+    *
+    * Scale shape: ONE pass over the gram explode into a map-side-
+    * combinable min aggregate with #sources groups; the pair join is
+    * #sources × #sources rows of signature — driver-trivial at any
+    * corpus size (the deliberate tiny cross join is over a handful
+    * of signature rows, never data).
+    */
+  def sourceMinhashSim(docs: DataFrame, n: Int = 3,
+                       numHashes: Int = 8): DataFrame = {
+    val g = graft.sources.Par.fan(docs)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(when(size(col("toks")) >= n,
+        expr(s"""transform(sequence(1, size(toks) - ${n - 1}),
+                |  i -> concat_ws(' ', slice(toks, i, $n)))""".stripMargin))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
+    val sigs = g.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val a = sigs.select(col("source").as("src_a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = sigs.select(col("source").as("src_b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    val matches = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), matches.as("n_match"),
+        (matches.cast(DoubleType) / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+  }
+
   /** (doc_id, band, bkey) LSH band keys from a signature frame
     * (h0..h{n-1} columns) — the probe structure shared by the pair
     * self-join and the incremental (batch-vs-corpus) semi-join.

@@ -1284,4 +1284,33 @@ object Similarity {
               pairCos(col("va"), col("na"), col("vb"), col("nb"), dim).as("cos"))
       .filter(col("cos") > threshold)
   }
+
+  /** Per-DIMENSION embedding health profile — the corpus-level check
+    * an embedding pipeline runs before trusting a new encoder drop:
+    * value range, mean, and dead-slot count for every coordinate
+    * (a dimension that never moves, or one vector's exploded range,
+    * is an encoder bug visible only in this projection).
+    *
+    * Cross-engine exactness: min/max involve NO arithmetic (selected
+    * float values are bit-identical in any engine); the mean rides
+    * the established scaled-BIGINT playbook — each value quantized
+    * ONCE to round(v·10⁶) int64, summed in exact integer arithmetic,
+    * divided back out in one fixed order. `n_zero` counts exact 0.0f.
+    *
+    * Scale shape: one posexplode (N·dim rows) into ONE groupBy on the
+    * dimension index — `dim` groups regardless of corpus size, fully
+    * map-side combinable. At 100 TB this is a scan plus a dim-row
+    * aggregate.
+    */
+  def embDimProfile(embeddings: DataFrame): DataFrame =
+    graft.sources.Par.fan(embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast("double").as("x"))
+      .withColumn("q", round(col("x") * lit(1000000.0), 0).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_v"), max(col("x")).as("max_v"),
+        (sum(col("q")).cast("double") / count(lit(1)) / lit(1000000.0))
+          .as("mean_v"),
+        sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
 }

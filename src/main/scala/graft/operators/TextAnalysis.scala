@@ -821,6 +821,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** Winnowing OVERLAP pairs — the MOSS use case on top of
+    * [[winnowFingerprints]]: two documents sharing ≥ `minShared`
+    * selected fingerprints share (with the winnowing guarantee)
+    * substrings of length ≥ k+w−1 — the plagiarism/boilerplate-pair
+    * detector that works on raw character overlap where the shingle
+    * family needs token alignment. Fingerprints seen in more than
+    * `maxDocFreq` documents are dropped before pairing (ubiquitous
+    * boilerplate would otherwise quadratically pair everything — the
+    * same df cap as [[Dedup.shingles]]), so the self-join volume is
+    * Σ_rare-fp df² with df ≤ cap, never corpus².
+    */
+  def winnowOverlap(docs: DataFrame, k: Int = 8, w: Int = 10,
+                    minShared: Long = 2, maxDocFreq: Long = 100)
+      : DataFrame = {
+    val fps = OperatorCaches.track(winnowFingerprints(docs, k, w))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val pruned = OperatorCaches.track(
+      fps.join(rare, "fp").select("doc_id", "fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Corpus-wide frequent n-grams per source — the heavy-hitter scan
     * a curation pass runs to find boilerplate and template text:
     * count EVERY occurrence (not the dedup family's per-doc distinct

@@ -1657,6 +1657,69 @@ object DocOracles {
       |      FROM h)
       |SELECT DISTINCT doc_id, fp FROM w WHERE i <= npos - 9""".stripMargin
 
+  /** Mirror of TextAnalysis.winnowOverlap (k=8, w=10, minShared=2,
+    * maxDocFreq=100): winnow fingerprint sets, drop fingerprints in
+    * >100 docs, pair docs sharing >= 2 survivors.
+    */
+  private def winnowOverlapSql: String =
+    """WITH p AS (SELECT doc_id, length(text) - 7 AS npos, text
+      |           FROM documents WHERE length(text) - 7 >= 10),
+      |h AS (SELECT doc_id, npos, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+      |      FROM (SELECT doc_id, npos, text,
+      |              UNNEST(generate_series(1, npos)) AS i FROM p)),
+      |w AS (SELECT doc_id, npos, i,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
+      |      FROM h),
+      |f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM w
+      |                   WHERE i <= npos - 9),
+      |rare AS (SELECT fp FROM f GROUP BY 1 HAVING COUNT(*) <= 100),
+      |pr AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  COUNT(*) AS n_shared
+      |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+
+  /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
+    * 8-slot MinHash signature per source over the source's gram
+    * multiset, pairwise slot-match Jaccard estimate.
+    */
+  private def sourceMinhashSimSql: String = {
+    val hashes = (0 until 8).map(j =>
+      s"MIN(md5('$j:' || sh)) AS h$j").mkString(", ")
+    val matches = (0 until 8).map(j =>
+      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |g AS (SELECT source, UNNEST(CASE WHEN len(toks) >= 3 THEN
+       |          list_transform(generate_series(1, len(toks) - 2),
+       |            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       |        ELSE [] END) AS sh
+       |      FROM t),
+       |s AS (SELECT source, $hashes FROM g GROUP BY 1)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST($matches AS BIGINT) AS n_match,
+       |  CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
+       |FROM s a JOIN s b ON a.source < b.source""".stripMargin
+  }
+
+  /** Mirror of Similarity.embDimProfile: per-dimension range, exact
+    * scaled-BIGINT mean, and exact-zero count.
+    */
+  private def embDimProfileSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    UNNEST(embedding) AS x,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+      |  FROM embeddings),
+      |q AS (SELECT dim, CAST(x AS DOUBLE) AS x,
+      |        CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS q
+      |      FROM e)
+      |SELECT dim, COUNT(*) AS n,
+      |  MIN(x) AS min_v, MAX(x) AS max_v,
+      |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_v,
+      |  CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |FROM q GROUP BY 1""".stripMargin
+
   /** Mirror of TextAnalysis.topNgramsBySource (n=2, k=5): every
     * bigram occurrence (not per-doc distinct), per-source counts,
     * top 5 by (count desc, gram asc).
@@ -1893,6 +1956,9 @@ object DocOracles {
     "q_substring_scrub" -> substringScrubSql,
     "q_decontaminate_scrub" -> decontaminateScrubSql,
     "q_winnow_fingerprints" -> winnowSql,
+    "q_winnow_overlap" -> winnowOverlapSql,
+    "q_source_minhash_sim" -> sourceMinhashSimSql,
+    "q_emb_dim_profile" -> embDimProfileSql,
     "q_top_ngrams" -> topNgramsSql,
     "q_mask_tokens" -> maskTokensSql,
     "q_ngram_novelty" -> ngramNoveltySql,

@@ -1052,6 +1052,51 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out.count(_._1 == "s2") == 2) // "m n" x2 then "n m" x1
   }
 
+  test("winnow overlap: shared-substring pair found, df cap silences boilerplate") {
+    val shared = "qrstuvwxyz0123456789" // > k+w-1 chars
+    val d = docs(
+      (1L, s"aaaaaaaaaaaa $shared bbbbbbbbbbbb"),
+      (2L, s"cccccccccccc $shared dddddddddddd"),
+      (3L, "eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee"))
+    val pairs = TextAnalysis.winnowOverlap(d, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // a fingerprint in MORE docs than the cap pairs nothing: the same
+    // shared text in 3 docs with cap 2 yields zero pairs
+    val three = docs((1L, s"x $shared x"), (2L, s"y $shared y"),
+      (3L, s"z $shared z"))
+    assert(TextAnalysis.winnowOverlap(three, minShared = 1,
+      maxDocFreq = 2).count() == 0)
+  }
+
+  test("source minhash sim: identical sources read 1.0, disjoint read 0.0") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, a, "s1"), (2L, a, "s2"), (3L, b, "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceMinhashSim(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("s1", "s2")) == ((8L, 1.0))) // same grams -> all slots match
+    assert(out(("s1", "s3")) == ((0L, 0.0))) // disjoint -> none
+    assert(out(("s2", "s3")) == ((0L, 0.0)))
+  }
+
+  test("emb dim profile: exact per-dimension stats on known vectors") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f, -2.0f)),
+      (2L, Array(3.0f, 0.0f, 4.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.embDimProfile(d).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    assert(rows(0).getLong(1) == 2L && rows(0).getDouble(2) == 1.0 &&
+      rows(0).getDouble(3) == 3.0 && rows(0).getDouble(4) == 2.0 &&
+      rows(0).getLong(5) == 0L)
+    assert(rows(1).getDouble(4) == 0.0 && rows(1).getLong(5) == 2L)
+    assert(rows(2).getDouble(2) == -2.0 && rows(2).getDouble(4) == 1.0)
+  }
+
   test("mask tokens: deterministic, counts exact, pct=0 is identity") {
     val d = docs((1L, (1 to 200).map(i => s"tok$i").mkString(" ")))
     val a = TextAnalysis.maskTokens(d).collect()(0)
