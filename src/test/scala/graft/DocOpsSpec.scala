@@ -1097,6 +1097,41 @@ class DocOpsSpec extends AnyFunSuite {
     assert(rows(2).getDouble(2) == -2.0 && rows(2).getDouble(4) == 1.0)
   }
 
+  test("streamed winnow overlap over UNORDERED batches equals the batch operator") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    // the row-exact contract requires CAP-FREE data (the scaladoc's
+    // documented divergence: the stream caps on df-so-far, the batch
+    // on final df — this corpus has fps crossing df=100 mid-ingest,
+    // observed as ~1.6% extra early pairs at the default cap). A cap
+    // above the corpus size makes both sides cap-free and the
+    // equality exact.
+    val cap = 1000L
+    val batch = TextAnalysis.winnowOverlap(d, maxDocFreq = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    // the parity contract is ANY ingest order (scaladoc) — prove it
+    // with an interleaved split (doc_id mod 3), not ordered thirds
+    var st = graft.streaming.StreamWinnow.emptyState(spark)
+    val streamed = scala.collection.mutable.Map[(Long, Long), Long]()
+    (0 to 2).foreach { m =>
+      val (out, st2) = graft.streaming.StreamWinnow.ingest(
+        st, d.filter(col("doc_id") % 3 === m), maxDocFreq = cap)
+      st = st2
+      out.collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(!streamed.contains(key), s"pair $key emitted twice")
+        streamed(key) = r.getLong(2)
+      }
+      graft.operators.OperatorCaches.releaseAll()
+    }
+    assert(streamed.size == batch.size,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+    batch.foreach { case (k, n) => assert(streamed(k) == n, s"pair $k") }
+    // store = every ingested (doc_id, fp) row
+    assert(st.fpRows ==
+      TextAnalysis.winnowFingerprints(d).count())
+  }
+
   test("mask tokens: deterministic, counts exact, pct=0 is identity") {
     val d = docs((1L, (1 to 200).map(i => s"tok$i").mkString(" ")))
     val a = TextAnalysis.maskTokens(d).collect()(0)
