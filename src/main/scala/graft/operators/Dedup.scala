@@ -472,6 +472,11 @@ object Dedup {
     * #sources × #sources rows of signature — driver-trivial at any
     * corpus size (the deliberate tiny cross join is over a handful
     * of signature rows, never data).
+    *
+    * Edge: a source with no document of ≥ n tokens contributes no
+    * grams, gets no signature row, and is ABSENT from the matrix
+    * (there is nothing to sketch) — the oracle mirrors this by
+    * construction.
     */
   def sourceMinhashSim(docs: DataFrame, n: Int = 3,
                        numHashes: Int = 8): DataFrame = {

@@ -1641,27 +1641,12 @@ object DocOracles {
       |FROM tt LEFT JOIN kept USING (doc_id)
       |  LEFT JOIN drp USING (doc_id) LEFT JOIN tl USING (doc_id)""".stripMargin
 
-  /** Mirror of TextAnalysis.winnowFingerprints (k=8, w=10): md5 of
-    * every 8-char window, min over each run of 10 consecutive
-    * position hashes (full windows only), distinct selected hashes.
+  /** Shared winnowing CTE chain (k=8, w=10): position hashes, window
+    * min, full-windows-only distinct fingerprint set as `f` — the
+    * single source both winnow oracles build on (a constant drifting
+    * in one copy would silently unpin the other).
     */
-  private def winnowSql: String =
-    """WITH p AS (SELECT doc_id, length(text) - 7 AS npos, text
-      |           FROM documents WHERE length(text) - 7 >= 10),
-      |h AS (SELECT doc_id, npos, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
-      |      FROM (SELECT doc_id, npos, text,
-      |              UNNEST(generate_series(1, npos)) AS i FROM p)),
-      |w AS (SELECT doc_id, npos, i,
-      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-      |          ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
-      |      FROM h)
-      |SELECT DISTINCT doc_id, fp FROM w WHERE i <= npos - 9""".stripMargin
-
-  /** Mirror of TextAnalysis.winnowOverlap (k=8, w=10, minShared=2,
-    * maxDocFreq=100): winnow fingerprint sets, drop fingerprints in
-    * >100 docs, pair docs sharing >= 2 survivors.
-    */
-  private def winnowOverlapSql: String =
+  private val winnowCte: String =
     """WITH p AS (SELECT doc_id, length(text) - 7 AS npos, text
       |           FROM documents WHERE length(text) - 7 >= 10),
       |h AS (SELECT doc_id, npos, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
@@ -1672,13 +1657,28 @@ object DocOracles {
       |          ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
       |      FROM h),
       |f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM w
-      |                   WHERE i <= npos - 9),
-      |rare AS (SELECT fp FROM f GROUP BY 1 HAVING COUNT(*) <= 100),
-      |pr AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  COUNT(*) AS n_shared
-      |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+      |                   WHERE i <= npos - 9)""".stripMargin
+
+  /** Mirror of TextAnalysis.winnowFingerprints (k=8, w=10): md5 of
+    * every 8-char window, min over each run of 10 consecutive
+    * position hashes (full windows only), distinct selected hashes.
+    */
+  private def winnowSql: String =
+    s"""$winnowCte
+       |SELECT doc_id, fp FROM f""".stripMargin
+
+  /** Mirror of TextAnalysis.winnowOverlap (k=8, w=10, minShared=2,
+    * maxDocFreq=100): winnow fingerprint sets, drop fingerprints in
+    * >100 docs, pair docs sharing >= 2 survivors.
+    */
+  private def winnowOverlapSql: String =
+    s"""$winnowCte,
+       |rare AS (SELECT fp FROM f GROUP BY 1 HAVING COUNT(*) <= 100),
+       |pr AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared
+       |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 
   /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
     * 8-slot MinHash signature per source over the source's gram

@@ -756,4 +756,31 @@ class PlanSpec extends AnyFunSuite {
       !scrub.contains("BroadcastNestedLoopJoin"))
     graft.operators.OperatorCaches.releaseAll()
   }
+
+  test("round-13b operators keep their scale shapes: overlap join keyed, sketch sigs one aggregate, dim profile one exchange") {
+    val docs = t("documents")
+    // winnowOverlap: the pair join is fp-KEYED — a cartesian over the
+    // fingerprint frame would be the corpus^2 failure mode
+    val overlap = explainStr(TextAnalysis.winnowOverlap(docs))
+    assert(!overlap.contains("CartesianProduct") &&
+      !overlap.contains("BroadcastNestedLoopJoin"),
+      s"winnow pair join must stay fp-keyed:\n$overlap")
+    graft.operators.OperatorCaches.releaseAll()
+    // sourceMinhashSim: the ONLY permitted nested-loop join is the
+    // deliberate #sources x #sources signature pairing — the gram
+    // side must reach the signature aggregate without a join
+    val sim = Dedup.sourceMinhashSim(docs)
+    val simPlan = explainStr(sim)
+    assert(!simPlan.contains("CartesianProduct"))
+    // min(string) buffers are immutable -> Spark plans SortAggregate
+    val aggs = "(Hash|Sort)Aggregate".r.findAllIn(simPlan).size
+    assert(aggs >= 2, // partial+final of the ONE signature agg
+      s"signature aggregate missing:\n$simPlan")
+    // embDimProfile: one keyed exchange (the dim aggregate), nothing
+    // else — the explode and quantization are map-side
+    val prof = explainStr(Similarity.embDimProfile(t("embeddings")))
+    val keyedProf = "hashpartitioning".r.findAllIn(prof).size
+    assert(keyedProf == 1,
+      s"dim profile should have exactly one keyed exchange, got $keyedProf:\n$prof")
+  }
 }
