@@ -620,6 +620,9 @@ object SparkEntry {
     // deterministic hash-coin MLM masking prep (15% [MASK], 0 shuffles)
     "q_mask_tokens" -> ((s, d) =>
       TextAnalysis.maskTokens(T(s, d)("documents"))),
+    // BPE tokenizer training: top-3 learned merges (word-freq rounds)
+    "q_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(T(s, d)("documents"))),
     // static domain-mixture reweighting to a uniform target
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixture(T(s, d)("documents"))),

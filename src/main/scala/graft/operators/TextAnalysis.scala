@@ -873,6 +873,85 @@ object TextAnalysis {
         col("rnk").as("rank"))
   }
 
+  /** BPE TOKENIZER TRAINING (Sennrich et al., ACL 2016) — learn the
+    * top `rounds` byte-pair merges from the corpus: start from
+    * characters, repeatedly find the most frequent adjacent token
+    * pair (weighted by word frequency) and merge it greedily
+    * left-to-right everywhere. Output: one row per learned merge
+    * (round, lft, rgt, cnt) — the merge table IS the tokenizer.
+    *
+    * Determinism: the argmax breaks ties (count desc, lft asc,
+    * rgt asc); the greedy left-to-right merge is computed by a CLOSED
+    * FORM instead of a sequential fold — a position is a merge site
+    * iff it matches the pair AND, when lft = rgt (the only case where
+    * matches can overlap), its position within the run of consecutive
+    * `lft` tokens is odd. Run-parity is one window expression, so the
+    * merge pass is identical SQL in any engine (the fold spelling is
+    * not portable). DocOpsSpec pins the closed form against hand
+    * merges including odd/even same-char runs.
+    *
+    * Scale shape — the classic BPE-on-frequency-table optimization:
+    * ONE corpus scan builds the (word, count) vocabulary; every round
+    * then runs on the VOCAB (pair count + argmax + merge rewrite),
+    * whose size is corpus-independent past saturation. Per round: one
+    * word-keyed window pass (partitions bounded by word length) and
+    * one SINGLE-ROW argmax collect (the k-center discipline — never a
+    * corpus collect). At 100 TB the corpus is touched once.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("word").orderBy("pos")
+    val runWin = wWin.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val words = fan(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    var seq = OperatorCaches.track(words
+      .select(col("word"), col("wcnt"), posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))")))
+      .select(col("word"), col("wcnt"),
+        (col("pos") + 1).as("pos"), col("col").as("tok")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = seq
+        .withColumn("nxt", lead(col("tok"), 1).over(wWin))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("lft"), col("nxt").as("rgt"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+        .limit(1).collect() // single-row argmax, never a corpus collect
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, g, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, g, c))
+        val runpos = col("pos") - coalesce(
+          max(when(col("tok") =!= l, col("pos"))).over(runWin), lit(0))
+        val nxt = lead(col("tok"), 1).over(wWin)
+        val site = coalesce(
+          if (l == g) col("tok") === l && nxt === l && runpos % 2 === 1
+          else col("tok") === l && nxt === g, lit(false))
+        seq = OperatorCaches.track(seq
+          .withColumn("site", site)
+          .withColumn("consumed",
+            coalesce(lag(col("site"), 1).over(wWin), lit(false)))
+          .filter(!col("consumed"))
+          .withColumn("tok",
+            when(col("site"), lit(l + g)).otherwise(col("tok")))
+          .withColumn("pos", row_number().over(wWin))
+          .select("word", "wcnt", "pos", "tok"))
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("round", "lft", "rgt", "cnt")
+  }
+
   /** Deterministic MLM masking prep — the corpus-to-training-example
     * transform: token at position `i` of document `d` is replaced by
     * `[MASK]` when the md5 of "d:i:token" lands under `pct` in its

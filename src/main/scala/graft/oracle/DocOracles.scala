@@ -1739,6 +1739,68 @@ object DocOracles {
       |      FROM c)
       |SELECT source, gram, cnt, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** Mirror of TextAnalysis.bpeTrain (rounds=3): word-frequency
+    * vocabulary, then 3 unrolled rounds of (pair count → argmax →
+    * greedy merge). The greedy merge uses the SAME run-parity closed
+    * form as the engine (a position merges iff it matches the pair
+    * and — when lft=rgt, the only overlapping case — its run
+    * position is odd). Every stage is MATERIALIZED (the k-center
+    * lesson: DuckDB inlines CTEs and a 3-round chain re-expands
+    * multiplicatively).
+    */
+  private def bpeSql: String = {
+    // stage r: s{r-1} -> pair counts p{r}, argmax b{r}, merged s{r}
+    def stage(r: Int): String = {
+      val in = s"s${r - 1}"
+      s"""p$r AS (SELECT tok AS lft, nxt AS rgt,
+         |          CAST(SUM(wcnt) AS BIGINT) AS cnt
+         |        FROM (SELECT wcnt, tok,
+         |                LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |              FROM $in)
+         |        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$r
+         |                     ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |x$r AS (SELECT s.word, s.wcnt, s.pos, s.tok, b.lft, b.rgt,
+         |          s.pos - COALESCE(MAX(CASE WHEN s.tok <> b.lft THEN s.pos END)
+         |            OVER (PARTITION BY s.word ORDER BY s.pos
+         |                  ROWS UNBOUNDED PRECEDING), 0) AS runpos,
+         |          LEAD(s.tok) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+         |        FROM $in s LEFT JOIN b$r b ON TRUE),
+         |y$r AS (SELECT word, wcnt, pos, tok, lft, rgt,
+         |          COALESCE(CASE WHEN lft IS NULL THEN FALSE
+         |            WHEN lft = rgt THEN tok = lft AND nxt = lft
+         |                                AND runpos % 2 = 1
+         |            ELSE tok = lft AND nxt = rgt END, FALSE) AS site
+         |        FROM x$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, wcnt,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+         |      AS INTEGER) AS pos,
+         |    CASE WHEN site THEN lft || rgt ELSE tok END AS tok
+         |  FROM (SELECT word, wcnt, pos, tok, lft, rgt, site,
+         |          COALESCE(LAG(site) OVER (PARTITION BY word ORDER BY pos),
+         |            FALSE) AS consumed
+         |        FROM y$r)
+         |  WHERE NOT consumed)""".stripMargin
+    }
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS wcnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, wcnt, CAST(i AS INTEGER) AS pos,
+       |    substr(word, CAST(i AS INTEGER), 1) AS tok
+       |  FROM (SELECT word, wcnt,
+       |          UNNEST(generate_series(1, length(word))) AS i FROM w)),
+       |${stage(1)},
+       |${stage(2)},
+       |${stage(3)}
+       |SELECT 1 AS round, lft, rgt, cnt FROM b1
+       |UNION ALL SELECT 2, lft, rgt, cnt FROM b2
+       |UNION ALL SELECT 3, lft, rgt, cnt FROM b3""".stripMargin
+  }
+
   /** Mirror of TextAnalysis.maskTokens (pct=15): token i of doc d is
     * [MASK] when the first md5 byte of "d:i:token" lands under 15
     * mod 100.
@@ -1961,6 +2023,7 @@ object DocOracles {
     "q_emb_dim_profile" -> embDimProfileSql,
     "q_top_ngrams" -> topNgramsSql,
     "q_mask_tokens" -> maskTokensSql,
+    "q_bpe_merges" -> bpeSql,
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,

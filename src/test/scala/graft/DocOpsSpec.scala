@@ -1132,6 +1132,34 @@ class DocOpsSpec extends AnyFunSuite {
       TextAnalysis.winnowFingerprints(d).count())
   }
 
+  test("bpe training: hand-computable merges, greedy run parity on same-char runs") {
+    // corpus: "abab" x3, "aaaa" x2, "ab" x1
+    //   chars: round 1 pairs — (a,b): 2*3 + 1 = 7; (b,a): 1*3 = 3;
+    //          (a,a): 3*2 = 6   -> best (a,b) cnt 7
+    //   after merge: [ab,ab] x3, [a,a,a,a] x2, [ab] x1
+    //   round 2: (ab,ab)=3, (a,a)=6 -> best (a,a) cnt 6
+    //   greedy parity on the 4-run: [aa,aa] (NOT [a,aa,a])
+    //   round 3: (ab,ab)=3, (aa,aa)=2 -> best (ab,ab) cnt 3
+    val d = docs(
+      (1L, "abab abab abab aaaa aaaa ab"))
+    val m = TextAnalysis.bpeTrain(d, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 7L), (2, "a", "a", 6L),
+      (3, "ab", "ab", 3L)))
+    // odd run: "aaaaa" pairs (a,a) = 4 adjacencies -> greedy merge ->
+    // [aa,aa,a]; round 2 ties (aa,aa)=1 vs (aa,a)=1, broken by
+    // rgt asc ("a" < "aa") -> (aa,a)
+    val m2 = TextAnalysis.bpeTrain(docs((1L, "aaaaa")), rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m2(0) == ((1, "a", "a", 4L)))
+    assert(m2(1) == ((2, "aa", "a", 1L)))
+    // exhaustion: two 2-char words yield exactly 2 merges then stop,
+    // no phantom rows for the remaining 3 requested rounds
+    assert(TextAnalysis.bpeTrain(docs((1L, "ab cd")), rounds = 5)
+      .count() == 2)
+  }
+
   test("mask tokens: deterministic, counts exact, pct=0 is identity") {
     val d = docs((1L, (1 to 200).map(i => s"tok$i").mkString(" ")))
     val a = TextAnalysis.maskTokens(d).collect()(0)
