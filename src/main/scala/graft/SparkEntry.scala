@@ -623,6 +623,9 @@ object SparkEntry {
     // BPE tokenizer training: top-3 learned merges (word-freq rounds)
     "q_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(T(s, d)("documents"))),
+    // apply the learned merges: per-doc BPE token counts + fertility
+    "q_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(T(s, d)("documents"))),
     // static domain-mixture reweighting to a uniform target
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixture(T(s, d)("documents"))),

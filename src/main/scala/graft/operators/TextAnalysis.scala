@@ -901,6 +901,48 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeCore(docs, rounds)._1.toDF("round", "lft", "rgt", "cnt")
+  }
+
+  /** BPE ENCODE — apply the corpus-trained merges back to the corpus
+    * (the standard self-tokenization loop): per document, the
+    * whitespace word count, the BPE token count after `rounds`
+    * learned merges, total characters, and the chars-per-token
+    * compression ratio — the fertility metric a tokenizer drop is
+    * judged by. Pure integer counts; the ratio is one int/int
+    * division (bit-identical anywhere).
+    *
+    * Scale shape: training is [[bpeTrain]]'s (corpus scanned once);
+    * encoding joins the corpus's word explode against the
+    * VOCAB-sized (word → token count) table — broadcastable at any
+    * corpus size — and aggregates per doc. Words under 2 chars are
+    * not in the vocab (no pair to merge): they count as one token
+    * per character, i.e. 1 for a 1-char word, 0 for the empty word
+    * a double space produces.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val wordTok = bpeCore(docs, rounds)._2
+      .groupBy("word").agg(count(lit(1)).as("n_tok"))
+    fan(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(wordTok), Seq("word"), "left")
+      .groupBy("doc_id").agg(
+        sum(when(length(col("word")) >= 1, 1L).otherwise(0L))
+          .as("n_words"),
+        sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        when(col("n_bpe_tokens") > 0, col("n_chars").cast(DoubleType) /
+          col("n_bpe_tokens")).as("chars_per_token"))
+  }
+
+  /** Shared BPE trainer core: (learned merges, final merged vocab
+    * sequence frame (word, wcnt, pos, tok)).
+    */
+  private def bpeCore(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy("word").orderBy("pos")
     val runWin = wWin.rowsBetween(
@@ -949,7 +991,7 @@ object TextAnalysis {
       }
       r += 1
     }
-    merges.toSeq.toDF("round", "lft", "rgt", "cnt")
+    (merges.toSeq, seq)
   }
 
   /** Deterministic MLM masking prep — the corpus-to-training-example

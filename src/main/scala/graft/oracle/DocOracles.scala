@@ -1748,9 +1748,16 @@ object DocOracles {
     * lesson: DuckDB inlines CTEs and a 3-round chain re-expands
     * multiplicatively).
     */
-  private def bpeSql: String = {
-    // stage r: s{r-1} -> pair counts p{r}, argmax b{r}, merged s{r}
-    def stage(r: Int): String = {
+  private def bpeSql: String =
+    s"""$bpePrefix
+       |SELECT 1 AS round, lft, rgt, cnt FROM b1
+       |UNION ALL SELECT 2, lft, rgt, cnt FROM b2
+       |UNION ALL SELECT 3, lft, rgt, cnt FROM b3""".stripMargin
+
+  /** One BPE stage r: s{r-1} -> pair counts p{r}, argmax b{r},
+    * merged s{r} (run-parity greedy closed form).
+    */
+  private def bpeStage(r: Int): String = {
       val in = s"s${r - 1}"
       s"""p$r AS (SELECT tok AS lft, nxt AS rgt,
          |          CAST(SUM(wcnt) AS BIGINT) AS cnt
@@ -1782,7 +1789,14 @@ object DocOracles {
          |            FALSE) AS consumed
          |        FROM y$r)
          |  WHERE NOT consumed)""".stripMargin
-    }
+  }
+
+  /** Shared BPE CTE chain: vocabulary w, char split s0, three merge
+    * stages ending in the merged vocab s3 — the single source the
+    * train and encode oracles build on.
+    */
+  private def bpePrefix: String = {
+    def stage(r: Int): String = bpeStage(r)
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS wcnt
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
@@ -1795,11 +1809,32 @@ object DocOracles {
        |          UNNEST(generate_series(1, length(word))) AS i FROM w)),
        |${stage(1)},
        |${stage(2)},
-       |${stage(3)}
-       |SELECT 1 AS round, lft, rgt, cnt FROM b1
-       |UNION ALL SELECT 2, lft, rgt, cnt FROM b2
-       |UNION ALL SELECT 3, lft, rgt, cnt FROM b3""".stripMargin
+       |${stage(3)}""".stripMargin
   }
+
+  /** Mirror of TextAnalysis.bpeEncode (rounds=3): per-doc whitespace
+    * word count, BPE token count under the merged vocab (sub-2-char
+    * words count one token per character), chars, and the int/int
+    * compression ratio.
+    */
+  private def bpeEncodeSql: String =
+    s"""$bpePrefix,
+       |wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+       |       FROM s3 GROUP BY 1),
+       |dw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+       |       FROM documents),
+       |per AS (SELECT doc_id,
+       |          CAST(SUM(CASE WHEN length(word) >= 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_words,
+       |          CAST(SUM(COALESCE(n_tok, length(word))) AS BIGINT)
+       |            AS n_bpe_tokens,
+       |          CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |        FROM dw LEFT JOIN wt USING (word) GROUP BY 1)
+       |SELECT doc_id, n_words, n_bpe_tokens, n_chars,
+       |  CASE WHEN n_bpe_tokens > 0
+       |       THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens END
+       |    AS chars_per_token
+       |FROM per""".stripMargin
 
   /** Mirror of TextAnalysis.maskTokens (pct=15): token i of doc d is
     * [MASK] when the first md5 byte of "d:i:token" lands under 15
@@ -2024,6 +2059,7 @@ object DocOracles {
     "q_top_ngrams" -> topNgramsSql,
     "q_mask_tokens" -> maskTokensSql,
     "q_bpe_merges" -> bpeSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> simhashClustersSql,

@@ -1160,6 +1160,17 @@ class DocOpsSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("bpe encode: token counts under the learned merges, exact fertility") {
+    // same corpus as the trainer test; after merges (a,b),(a,a),(ab,ab):
+    //   abab -> [abab] 1 tok; aaaa -> [aa,aa] 2; ab -> [ab] 1
+    //   doc: 3x1 + 2x2 + 1 = 8 bpe tokens, 6 words, 22 chars
+    val out = TextAnalysis.bpeEncode(
+      docs((1L, "abab abab abab aaaa aaaa ab"))).collect()(0)
+    assert(out.getLong(1) == 6L && out.getLong(2) == 8L &&
+      out.getLong(3) == 22L)
+    assert(out.getDouble(4) == 22.0 / 8.0)
+  }
+
   test("mask tokens: deterministic, counts exact, pct=0 is identity") {
     val d = docs((1L, (1 to 200).map(i => s"tok$i").mkString(" ")))
     val a = TextAnalysis.maskTokens(d).collect()(0)
