@@ -185,8 +185,10 @@ object Bench {
     * found five explode-heavy queries reading 1.4–2.0× anchor on a
     * box whose md5 probe read FASTER than the anchor box
     * (BENCH_TREND_r12.txt). Recorded as `cpu_alloc` in the artifact
-    * for cross-box normalization evidence; deliberately NOT folded
-    * into host_factor/gate math until a multi-box baseline exists.
+    * and — since r14, with a reference baseline in BENCH_REF.json —
+    * blended into host_factor by [[hostFactorOf]] (r13 verdict #5;
+    * the r13 fleet of passes established the probe's idle-window
+    * range, 0.088–0.098 at host_factor 1.0, before folding it in).
     */
   private def allocCalibration(): Double = {
     def work(): Long = {
@@ -236,12 +238,39 @@ object Bench {
     * carries one (refreshed references do; see [[cpuCalibration]]).
     */
   private[graft] def loadRefCpu1t(path: String): Option[Double] =
+    loadRefField(path, "cpu_1t")
+
+  /** Allocation-probe calibration seconds from the reference file, if
+    * it carries one (see [[allocCalibration]]; r14 BENCH_REF does).
+    */
+  private[graft] def loadRefCpuAlloc(path: String): Option[Double] =
+    loadRefField(path, "cpu_alloc")
+
+  private def loadRefField(path: String, name: String): Option[Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      "\"cpu_1t\"\\s*:\\s*([0-9.Ee+-]+)".r.findFirstMatchIn(txt)
+      ("\"" + name + "\"\\s*:\\s*([0-9.Ee+-]+)").r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
+
+  /** Host normalization factor for the drift gate (r13 verdict #5):
+    * the MEAN of the available calibration ratios — md5 digest
+    * (compute regime) and small-string alloc + hash-group (the
+    * explode-family regime the md5 probe cannot see: r12 forensics
+    * found explode queries 1.4–2× slow on a box whose md5 probe read
+    * FASTER than the anchor) — floored at 1, so a faster host never
+    * excuses a regression. The suite mixes both regimes roughly
+    * evenly, hence the unweighted mean; with no reference cpu_alloc
+    * the factor degrades to the pre-r14 md5-only ratio.
+    */
+  private[graft] def hostFactorOf(cpu1t: Double, refCpu1t: Option[Double],
+      cpuAlloc: Double, refCpuAlloc: Option[Double]): Double = {
+    val ratios = refCpu1t.map(cpu1t / _).toSeq ++
+      refCpuAlloc.map(cpuAlloc / _).toSeq
+    if (ratios.isEmpty) 1.0
+    else math.max(1.0, ratios.sum / ratios.size)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -409,9 +438,10 @@ object Bench {
     // between queries, so min(start, end) is the host's real speed
     val cpu1t = math.min(cpu1tStart, cpuCalibration(cpus.toInt)._1)
     val cpuAlloc = math.min(cpuAllocStart, allocCalibration())
-    // a slower host inflates every query by ~the single-thread ratio;
+    // a slower host inflates every query by ~the calibration ratio;
     // never scale BELOW 1 (a faster host must not excuse a regression)
-    val hostFactor = refCpu1t.map(r => math.max(1.0, cpu1t / r)).getOrElse(1.0)
+    val hostFactor =
+      hostFactorOf(cpu1t, refCpu1t, cpuAlloc, loadRefCpuAlloc(refPath))
     val refJoint = timings.keys.filter(reference.contains).toSeq
     val refJointTotal = refJoint.map(reference).sum
     def effective(k: String): Double = {
@@ -471,7 +501,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"cpu_alloc":${r3(cpuAlloc)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = this host's single-thread md5 calibration cpu_1t over the reference's, floored at 1 - rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"cpu_alloc":${r3(cpuAlloc)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = mean of this host's calibration ratios over the reference's - single-thread md5 cpu_1t and small-string alloc/hash-group cpu_alloc, the explode-family regime md5 cannot see - floored at 1; rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.streaming.{CurationLoop, StreamClusters}
 
 /** End-to-end curation-loop soak at bench scale: the documents corpus
@@ -109,6 +109,28 @@ object SoakAudit {
     val novWall = scala.collection.mutable.ArrayBuffer.empty[Double]
     val novStoreRows = scala.collection.mutable.ArrayBuffer.empty[Long]
     val novBatchGrams = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // StreamWinnow leg (r13 verdict #4 + ADVICE): the maintained
+    // fingerprint store rides the same ingest. Contract mirrors the
+    // cluster store's, not the novelty store's: this store is
+    // APPEND-ONLY and grows linearly in corpus BY DESIGN (one row per
+    // (doc_id, fp)) — what must be proven is (a) the per-batch ingest
+    // wall stays FLAT (the base+delta changelog appends O(batch),
+    // never rewrites the store — the pre-r14 union-rewrite was the
+    // r9 label-store pattern), (b) each batch grows the store by
+    // EXACTLY its own fingerprint rows, (c) the scheduled O(store)
+    // consolidation is its own amortized series, and (d) pair parity
+    // with the batch operator holds at the end. compact() is
+    // exercised mid-soak with a keep-all predicate (semantically
+    // no-op, so parity stands; mechanically a full store fold).
+    var winState = graft.streaming.StreamWinnow.emptyState(spark)
+    val winPairs = scala.collection.mutable.Map[(Long, Long), Long]()
+    val winWall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val winConsolidateWall =
+      scala.collection.mutable.ArrayBuffer.empty[Double]
+    val winStoreRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val winBatchFps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var winCompacted = false
+    val winBatchCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val phaseNames = Seq("prep", "classify", "edges", "clusters", "maintain")
     val phaseSeries = phaseNames.map(n =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
@@ -156,6 +178,29 @@ object SoakAudit {
         // they are audit instrumentation, not ingest work
         novStoreRows += ns.gramRows
         novBatchGrams += Dedup.ngrams(db, 3).count()
+        // winnow leg: timed ingest (O(batch) append), scheduled
+        // consolidation timed SEPARATELY (amortized O(store) by
+        // design, like the cluster store's)
+        val tw0 = System.nanoTime()
+        val (wp, ws) = graft.streaming.StreamWinnow.ingest(
+          winState, db, maxDeltas = Int.MaxValue)
+        wp.collect().foreach { r =>
+          winPairs((r.getLong(0), r.getLong(1))) = r.getLong(2)
+        }
+        winWall += (System.nanoTime() - tw0) / 1e6
+        winState = ws
+        val wb = winBatchCount.incrementAndGet()
+        if (wb % consolidateEvery == 0 || wb == targetBatches / 2) {
+          val tc0 = System.nanoTime()
+          winState = if (!winCompacted && wb >= targetBatches / 2) {
+            winCompacted = true // mid-soak compact: keep-all fold
+            graft.streaming.StreamWinnow.compact(winState, lit(true))
+          } else graft.streaming.StreamWinnow.consolidate(winState)
+          winConsolidateWall += (System.nanoTime() - tc0) / 1e6
+        } else winConsolidateWall += 0.0
+        winStoreRows += winState.fpRows
+        winBatchFps += graft.operators.TextAnalysis
+          .winnowFingerprints(db).count()
         (): Unit
       }
       .start()
@@ -193,6 +238,28 @@ object SoakAudit {
       novGot == novExpect &&
       novNovelSum == distinctGrams &&
       novStoreRows.lastOption.contains(distinctGrams)
+
+    // winnow parity — the CAP-ROBUST superset contract (StreamWinnow's
+    // documented divergence makes row-exact parity hold only cap-free,
+    // which DocOpsSpec pins at test scale; at soak scale assert the
+    // direction that holds at ANY cap): every pair the batch operator
+    // emits at the same default cap must have been streamed, with
+    // streamed n_shared >= the batch count (the stream sees df-so-far
+    // <= final df, so it never drops a fingerprint the batch kept).
+    // Plus the store contracts: final store == the corpus's exact
+    // fingerprint rows, and EVERY batch grew it by exactly its own
+    // fingerprint rows (append-only O(batch) — the base+delta claim).
+    val winExpect = TextAnalysis.winnowOverlap(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    val winSuperset = winExpect.forall { case (k, n0) =>
+      winPairs.get(k).exists(_ >= n0) }
+    val winStoreExact = winStoreRows.lastOption.contains(
+      TextAnalysis.winnowFingerprints(docs).count())
+    val winAppendsExact = winStoreRows.toSeq.zip(0L +: winStoreRows.toSeq)
+      .map { case (a, b) => a - b }.zip(winBatchFps.toSeq)
+      .forall { case (d, f) => d == f }
+    val winParity = winSuperset && winStoreExact && winAppendsExact
 
     val n = ingestWall.size
     val qn = math.max(1, n / 4)
@@ -232,8 +299,12 @@ object SoakAudit {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val cycle = consolidateEvery
+    // require >= 3 full cycles before cycle-aligned medians: at
+    // exactly 2 cycles, `last` = 1 and the second cycle would be
+    // compared AGAINST ITSELF (ratio 1.0, vacuously flat — r13
+    // ADVICE). Shorter series fall back to quarter means.
     def phaseTrendOf(xs: Seq[Double]): Trend =
-      if (xs.size < 2 * cycle) trendOf(xs)
+      if (xs.size < 3 * cycle) trendOf(xs)
       else {
         val last = xs.size / cycle - 1
         Trend(median(xs.slice(cycle, 2 * cycle)),
@@ -249,6 +320,7 @@ object SoakAudit {
     // grams — the store's marginal absorption rate (new grams per
     // probed gram) must DECLINE as vocabulary accumulates
     val novWallTrend = trendOf(novWall.toSeq)
+    val winWallTrend = trendOf(winWall.toSeq)
     val novNew = novStoreRows.toSeq.zip(0L +: novStoreRows.toSeq)
       .map { case (a, b) => (a - b).toDouble }
     val novRate = novNew.zip(novBatchGrams.toSeq)
@@ -257,7 +329,7 @@ object SoakAudit {
     val novRateQ4 = qMean(novRate, 3)
     val novSubLinear = novRateQ4 < novRateQ1
     val flat = wallTrend.flat && readTrend.flat && novWallTrend.flat &&
-      phaseTrends.forall(_._2.flat)
+      winWallTrend.flat && phaseTrends.forall(_._2.flat)
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val phasesJson = phaseNames.map(p =>
@@ -287,10 +359,21 @@ object SoakAudit {
       f""""novelty_absorb_rate_q4":$novRateQ4%.4f,""" +
       s""""novelty_store_sublinear":$novSubLinear,""" +
       s""""novelty_parity":$novParity,""" +
+      s""""winnow_wall_ms":${arr(winWall.toSeq)},""" +
+      s""""winnow_store_rows":${winStoreRows.mkString("[", ",", "]")},""" +
+      s""""winnow_batch_fps":${winBatchFps.mkString("[", ",", "]")},""" +
+      s""""winnow_consolidate_ms":${arr(winConsolidateWall.toSeq)},""" +
+      f""""winnow_wall_trend_q4_over_q2":${winWallTrend.ratio}%.3f,""" +
+      s""""winnow_compacted_mid_soak":$winCompacted,""" +
+      s""""winnow_appends_exact":$winAppendsExact,""" +
+      s""""winnow_store_exact":$winStoreExact,""" +
+      s""""winnow_pair_superset":$winSuperset,""" +
+      s""""winnow_parity":$winParity,""" +
       s""""label_parity":$parity,"flat":$flat}"""
     Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
-    if (!parity || !novParity || !novSubLinear || !flat) sys.exit(1)
+    if (!parity || !novParity || !novSubLinear || !winParity || !flat)
+      sys.exit(1)
   }
 }

@@ -33,36 +33,62 @@ import graft.operators.TextAnalysis
   * never misses ones the batch form would emit among already-seen
   * docs.
   *
+  * == State layout (base + delta changelog — r13 ADVICE) ==
+  * The pre-r14 store was `union(batch).localCheckpoint(true)` every
+  * ingest — an O(store) rewrite per batch, the exact pattern the r9
+  * soak flagged on the label store (its wall rose ~2.9×). The store
+  * is now a compaction-time BASE plus a changelog of per-batch delta
+  * segments: ingest appends the batch's (already checkpointed)
+  * fingerprint frame as ONE new segment — zero store rows copied —
+  * and [[consolidate]] folds the changelog into a fresh base, an
+  * O(store) log compaction amortized by its trigger interval
+  * (`maxDeltas` auto-triggers it so an unmanaged caller's plan depth
+  * and file count stay bounded; a scheduled caller consolidates on
+  * its own cycle like [[CurationLoop]] does for the cluster store).
+  * Readers see `fps` — the lazy union of base + segments — so probe
+  * shape and parity semantics are unchanged.
+  *
   * == Scale shape ==
   * Per batch: one fingerprint extraction over the BATCH only, one
   * fp-keyed semi-probe of the store (bucket the store by fp and the
   * probe prunes to matching buckets — never a store scan), df checks
-  * on TOUCHED fingerprints only, and a store append. State lineage is
-  * cut by an eager `localCheckpoint` every ingest, the
-  * [[StreamNovelty]] discipline.
+  * on TOUCHED fingerprints only, and an O(batch) segment append.
+  * State lineage is cut by the per-segment `localCheckpoint`.
   */
 object StreamWinnow {
 
   /** Standing fingerprint store: one row per (doc_id, fp) ever
     * ingested (post-winnowing selection, pre-df-cap — the cap is a
-    * probe-time decision because df evolves).
+    * probe-time decision because df evolves). `base` is the last
+    * consolidation's fold; `deltas` are per-batch checkpointed
+    * segments appended since.
     */
-  final case class WinnowState(fps: DataFrame) {
+  final case class WinnowState(base: DataFrame, deltas: Vector[DataFrame]) {
+    /** Every stored (doc_id, fp) row: base + changelog, lazily. */
+    def fps: DataFrame = deltas.foldLeft(base)(_ union _)
     def fpRows: Long = fps.count()
   }
 
   def emptyState(spark: SparkSession): WinnowState = {
     import spark.implicits._
-    WinnowState(Seq.empty[(Long, String)].toDF("doc_id", "fp"))
+    WinnowState(Seq.empty[(Long, String)].toDF("doc_id", "fp"), Vector.empty)
   }
+
+  /** Fold the delta changelog into a fresh checkpointed base — the
+    * O(store) compaction, amortized by the caller's schedule (or the
+    * `maxDeltas` backstop in [[ingest]]).
+    */
+  def consolidate(state: WinnowState): WinnowState =
+    if (state.deltas.isEmpty) state
+    else WinnowState(state.fps.localCheckpoint(true), Vector.empty)
 
   /** Score one ingest batch against the standing store and absorb it.
     * Returns (overlap pairs involving this batch, updated state) —
     * the output schema is [[TextAnalysis.winnowOverlap]]'s exactly.
     */
   def ingest(state: WinnowState, batch: DataFrame, k: Int = 8,
-             w: Int = 10, minShared: Long = 2, maxDocFreq: Long = 100)
-      : (DataFrame, WinnowState) = {
+             w: Int = 10, minShared: Long = 2, maxDocFreq: Long = 100,
+             maxDeltas: Int = 16): (DataFrame, WinnowState) = {
     // cache: the batch fingerprint view feeds the df check, both join
     // sides, and the store append
     val bf = TextAnalysis.winnowFingerprints(batch, k, w)
@@ -89,17 +115,21 @@ object StreamWinnow {
     val pairs = cross.union(within)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    val newStore = state.fps.union(bf).localCheckpoint(true)
-    (pairs, WinnowState(newStore))
+    // O(batch) append: bf is already a checkpointed segment
+    val appended = WinnowState(state.base, state.deltas :+ bf)
+    val newState = if (appended.deltas.size >= maxDeltas)
+      consolidate(appended) else appended
+    (pairs, newState)
   }
 
   /** Maintenance hook for long-running ingest, mirroring
     * [[StreamNovelty.compact]]: rewrite the store through `keep`
-    * (TTL by a caller-tracked doc set, drop hot fingerprints).
+    * (TTL by a caller-tracked doc set, drop hot fingerprints). Also
+    * consolidates — the filter already pays the O(store) scan.
     * Semantics after compaction: overlaps against dropped rows are
     * no longer detected — the standard trade of any TTL'd store.
     */
   def compact(state: WinnowState,
               keep: org.apache.spark.sql.Column): WinnowState =
-    WinnowState(state.fps.filter(keep).localCheckpoint(true))
+    WinnowState(state.fps.filter(keep).localCheckpoint(true), Vector.empty)
 }

@@ -61,6 +61,41 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.loadRefCpu1t(refPath).nonEmpty,
       "committed BENCH_REF.json carries no readable cpu_1t — host " +
         "normalization would silently disable itself")
+    assert(Bench.loadRefCpuAlloc(refPath).nonEmpty,
+      "committed BENCH_REF.json carries no readable cpu_alloc — the " +
+        "r14 blended host factor would silently degrade to md5-only")
+  }
+
+  // == Blended host factor (r13 verdict #5) ==
+
+  test("loadRefCpuAlloc parses both the compact and spaced spellings") {
+    val c = tmp("""{"metric":"total","cpu_1t":0.049,"cpu_alloc":0.095}""")
+    assert(Bench.loadRefCpuAlloc(c) === Some(0.095))
+    val s = tmp("""{"metric": "total", "cpu_1t": 0.049, "cpu_alloc": 0.095}""")
+    assert(Bench.loadRefCpuAlloc(s) === Some(0.095))
+    assert(Bench.loadRefCpuAlloc(tmp("""{"cpu_1t":0.049}""")) === None)
+  }
+
+  test("hostFactorOf blends the md5 and alloc ratios, floored at 1") {
+    // both refs present: unweighted mean of the two ratios
+    assert(math.abs(Bench.hostFactorOf(
+      0.060, Some(0.050), 0.100, Some(0.100)) - 1.1) < 1e-12)
+    // alloc-only slowness (the r12 forensics shape: md5 reads at par
+    // while the explode regime runs 1.5x) moves the factor halfway
+    assert(math.abs(Bench.hostFactorOf(
+      0.050, Some(0.050), 0.150, Some(0.100)) - 1.25) < 1e-12)
+    // md5-only reference: degrades to the pre-r14 single-ratio form
+    assert(math.abs(Bench.hostFactorOf(
+      0.060, Some(0.050), 0.123, None) - 1.2) < 1e-12)
+    // faster host on both probes: floored at 1, never excuses creep
+    assert(Bench.hostFactorOf(0.040, Some(0.050), 0.080,
+      Some(0.100)) === 1.0)
+    // a faster md5 must not cancel a slower alloc below the floor:
+    // mean(0.8, 1.3) = 1.05 stays above 1
+    assert(math.abs(Bench.hostFactorOf(
+      0.040, Some(0.050), 0.130, Some(0.100)) - 1.05) < 1e-12)
+    // no references at all: neutral factor
+    assert(Bench.hostFactorOf(0.060, None, 0.123, None) === 1.0)
   }
 
   // == Mid-run foreign-load gate (round-12 verdict item 4) ==

@@ -451,6 +451,34 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 1L, 1L)))
   }
 
+  test("sharded packSequences: per-shard output equals the global form run on that shard alone") {
+    // shard-disjoint corpus: each shard is an independent token
+    // stream, so the sharded spelling restricted to a shard must be
+    // row-identical to packing that shard's documents globally
+    val d = docs(
+      (1L, "a b c d"), (2L, "e f g h i j k l"), (3L, "m n o"),
+      (10L, "p q"), (11L, "r s t u v w x y z aa bb"), (12L, "cc"))
+      .withColumn("shard", when(col("doc_id") < 10L, "s0").otherwise("s1"))
+    val sharded = TextAnalysis
+      .packSequences(d, budget = 10, shardCol = Some("shard"))
+    for (s <- Seq("s0", "s1")) {
+      val got = sharded.filter(col("shard") === s).drop("shard")
+        .collect().map(_.toSeq).toSet
+      val want = TextAnalysis
+        .packSequences(d.filter(col("shard") === s), budget = 10)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"shard $s diverged from the global form")
+    }
+    // degenerate single-shard corpus: sharded == global exactly
+    val one = TextAnalysis.packSequences(
+        d.withColumn("shard", lit("all")), budget = 10,
+        shardCol = Some("shard"))
+      .drop("shard").collect().map(_.toSeq).toSet
+    val glob = TextAnalysis.packSequences(d, budget = 10)
+      .collect().map(_.toSeq).toSet
+    assert(one == glob)
+  }
+
   test("dataset split partitions the whole corpus, train majority") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val out = TextAnalysis.datasetSplit(docs).collect()

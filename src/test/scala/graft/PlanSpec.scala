@@ -783,4 +783,22 @@ class PlanSpec extends AnyFunSuite {
     assert(keyedProf == 1,
       s"dim profile should have exactly one keyed exchange, got $keyedProf:\n$prof")
   }
+
+  test("sharded packSequences has no unpartitioned WindowExec (r13 verdict #3)") {
+    // the global (oracle-gate) spelling funnels the corpus through one
+    // task by design; the production sharded spelling must NOT — every
+    // WindowExec in its plan carries the shard in partitionSpec
+    val docs = t("documents").withColumn("shard", col("lang"))
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    val global = windows(TextAnalysis.packSequences(t("documents")))
+    assert(global.nonEmpty && global.exists(_.partitionSpec.isEmpty))
+    val sharded = windows(
+      TextAnalysis.packSequences(docs, shardCol = Some("shard")))
+    assert(sharded.nonEmpty, "sharded plan lost its window")
+    assert(sharded.forall(_.partitionSpec.nonEmpty),
+      "sharded packSequences still has an unpartitioned WindowExec")
+  }
 }

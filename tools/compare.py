@@ -14,7 +14,7 @@ driver's type-sensitive hash rejects while str()-comparison passes.
 Pass --lax to skip the dtype gate.
 
 Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-run] [--only q1,q2]
-       [--lax] [--json PATH]
+       [--lax] [--json PATH] [--inproc]
 
 --json PATH writes a machine-readable per-query record in the driver's
 exact CORRECTNESS schema ({name: {rows_match, schema_match, hash_match,
@@ -22,9 +22,39 @@ spark_rows, oracle_rows, err}}), REWRITTEN AFTER EVERY QUERY so a crash
 mid-suite leaves a structured partial artifact instead of nothing (the
 r11/r12 driver sweeps both died without writing a single row — this is
 the local insurance against that failure mode).
+
+== Sweep order: verification-debt first (r13 verdict #1) ==
+The sweep used to iterate sorted(oracle) — alphabetically — so when the
+driver box's recurring memory exhaustion killed a mid-sweep band, it
+killed the SAME band every round: q_ann_residual_rerank..q_soft_dedup
+went 13 rounds without a driver green despite being LOCAL-green at
+every SF. The sweep now orders queries by (never-driver-green first,
+stalest-green round next, alphabetical last), computed from the
+CORRECTNESS_r*.json history committed in the repo, so ANY partial sweep
+yields maximal NEW evidence. Queries whose implementation changed after
+their last green are listed in REVERIFY and treated as never-green
+(r13: q_budget_select — its r12 two-phase rewrite has a stale r11
+green).
+
+== Oracle isolation: one subprocess per query (r13 verdict #2) ==
+Three of the last four driver rounds lost 60-77 oracle legs to
+host-level memory exhaustion — DuckDB failing KB-scale allocations
+while co-tenants held the box. A memory_limit alone cannot save a
+process the OS will not give 2 KB to, and a single long-lived process
+keeps its allocator's high-water pages forever. So each query's whole
+oracle leg (read Spark dump, run oracle SQL, compare) now runs in a
+FRESH short-lived child process: memory returns to the OS between
+queries, one query's death cannot take the sweep down, and an
+allocation failure is retried ONCE after a 30 s backoff (by then a
+transient co-tenant spike has usually passed). memory_limit drops
+6 GB -> 2 GB: the failures on record are headroom exhaustion, not
+limit overruns, and 2 GB is still ~13x the sf0.01 working set.
+--inproc restores the old single-process sweep (fast local iteration
+when the box is idle).
 """
 import json
 import math
+import re
 import subprocess
 import sys
 import time
@@ -34,6 +64,14 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+REPO = Path("/root/repo")
+# Queries whose current implementation postdates their latest driver
+# green (stale attestation): sweep them as if never verified.
+REVERIFY = {"q_budget_select"}
+CHILD_TIMEOUT_S = 900
+OOM_MARKERS = ("out of memory", "outofmemory", "malloc", "bad_alloc",
+               "cannot allocate", "memoryerror", "std::bad_alloc")
 
 
 def norm_type(t) -> str:
@@ -140,17 +178,173 @@ def classify(issues):
     return rows, schema, hsh
 
 
+def fresh_con(sfdir):
+    """Bounded, spill-enabled DuckDB connection over the SF's tables.
+
+    threads=8: the container transiently refuses thread creation
+    (EAGAIN — jemalloc "background thread creation failed (11)"),
+    which DuckDB surfaces as bogus tiny-block "Out of Memory" errors
+    or a std::system_error abort when it spawns its default 32 workers
+    per fresh connection; 8 is plenty for oracle-sized data and cuts
+    the flake's surface 4x. memory_limit=2GB + temp_directory: bounded
+    it spills instead of dying, and the low bound leaves host headroom
+    — the r11/r13 sweeps died on OS-level allocation failure, which no
+    in-process limit survives (hence the subprocess isolation)."""
+    spill = Path("/tmp/duckdb_spill")
+    spill.mkdir(exist_ok=True)
+    c = duckdb.connect()
+    c.execute("SET threads TO 8")
+    c.execute("SET memory_limit='2GB'")
+    c.execute(f"SET temp_directory='{spill}'")
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if Path(p).exists():
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def run_one(con, sfdir, outdir, name, sql, strict, retry_con=True):
+    """One query's full oracle leg on `con`. Returns the driver-schema
+    record dict plus an 'issues' list. Transient allocator/thread
+    flakes can hit any DuckDB call; each call gets ONE retry on a
+    fresh connection (every flake observed to date passes on the
+    immediate retry). If both attempts fail, the FIRST exception is
+    reported (the retry's is usually the less informative cascade)."""
+    state = {"con": con}
+
+    def with_retry(run):
+        try:
+            return run()
+        except Exception as first:
+            if not retry_con:
+                raise
+            time.sleep(2)
+            try:
+                state["con"].close()
+            except Exception:
+                pass
+            state["con"] = fresh_con(sfdir)
+            try:
+                return run()
+            except Exception:
+                raise first
+
+    def rec(rows_m, schema_m, hash_m, sr, orr, err, issues=()):
+        return {"name": name, "rows_match": rows_m, "schema_match": schema_m,
+                "hash_match": hash_m, "spark_rows": sr, "oracle_rows": orr,
+                "err": err, "issues": list(issues)}
+
+    spark_glob = f"{outdir}/{name}/*.parquet"
+    if not list(Path(f"{outdir}/{name}").glob("*.parquet")):
+        # deterministic: the Verify dump is absent — no retry
+        return rec(False, False, False, 0, 0, "no spark output")
+    try:
+        sarrow = with_retry(
+            lambda: state["con"].sql(f"SELECT * FROM '{spark_glob}'").arrow())
+    except Exception as e:
+        return rec(False, False, False, 0, 0, f"spark read: {e}")
+    try:
+        oarrow = with_retry(lambda: state["con"].sql(sql).arrow())
+    except Exception as e:
+        return rec(False, False, False, sarrow.num_rows, 0,
+                   f"oracle SQL: {e}")
+    try:
+        sdf = sarrow.to_pandas()
+        odf = oarrow.to_pandas()
+    except Exception as e:
+        return rec(False, False, False, sarrow.num_rows, oarrow.num_rows,
+                   f"arrow->pandas: {e}")
+    issues = compare(name, sdf, odf)
+    if strict:
+        issues += dtype_issues(sarrow.schema, oarrow.schema)
+    rows_m, schema_m, hash_m = classify(issues)
+    return rec(rows_m, schema_m, hash_m, len(sdf), len(odf), None, issues)
+
+
+def latest_green_round():
+    """Scan the committed CORRECTNESS_r*.json history for full driver
+    greens (rows+schema+hash). Returns {query: latest green round}."""
+    greens = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem)
+        if not m:
+            continue  # skips the LOCAL twins by construction
+        rnd = int(m.group(1))
+        try:
+            d = json.loads(p.read_text())
+        except Exception:
+            continue
+        if not isinstance(d, dict):
+            continue
+        for q, r in d.items():
+            if (isinstance(r, dict) and r.get("rows_match")
+                    and r.get("schema_match") and r.get("hash_match")):
+                greens[q] = max(greens.get(q, 0), rnd)
+    return greens
+
+
+def sweep_order(names):
+    """Verification-debt-first ordering (see module scaladoc): queries
+    with no driver green ever (or in REVERIFY) come first, then stale
+    greens oldest-round first, alphabetical within each band."""
+    greens = latest_green_round()
+    def key(q):
+        g = 0 if q in REVERIFY else greens.get(q, 0)
+        return (g, q)
+    return sorted(names, key=key)
+
+
+def child_main(sfdir, outdir, name, strict):
+    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    r = run_one(fresh_con(sfdir), sfdir, outdir, name, oracle[name], strict)
+    print("\nGRAFT_RESULT " + json.dumps(r))
+
+
+def run_child(sfdir, outdir, name, strict):
+    """Run one query's oracle leg in a fresh subprocess; parse the
+    GRAFT_RESULT line. Returns (record, raw_tail_for_diagnostics)."""
+    cmd = [sys.executable, str(Path(__file__).resolve()), sfdir, outdir,
+           f"--child={name}"] + ([] if strict else ["--lax"])
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=CHILD_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return None, f"child timeout after {CHILD_TIMEOUT_S}s"
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith("GRAFT_RESULT "):
+            try:
+                return json.loads(line[len("GRAFT_RESULT "):]), None
+            except Exception:
+                break
+    tail = "\n".join((p.stdout + p.stderr).splitlines()[-5:])
+    return None, f"child died rc={p.returncode}: {tail}"
+
+
+def looks_oom(err):
+    e = (err or "").lower()
+    return any(m in e for m in OOM_MARKERS)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     outdir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     only = None
     json_path = None
+    child = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
             only = set(a.split("=", 1)[1].split(","))
         if a.startswith("--json"):
             json_path = Path(a.split("=", 1)[1])
+        if a.startswith("--child="):
+            child = a.split("=", 1)[1]
+    strict = "--lax" not in sys.argv
+    inproc = "--inproc" in sys.argv
+
+    if child is not None:
+        child_main(sfdir, outdir, child, strict)
+        return
 
     # Incrementally-flushed driver-schema record: written after EVERY
     # query so any crash leaves partial structured evidence.
@@ -168,6 +362,7 @@ def main():
         tmp = json_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(records, indent=1, sort_keys=True))
         tmp.replace(json_path)
+
     if "--skip-run" not in sys.argv:
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
@@ -181,116 +376,54 @@ def main():
                 if "[verify]" in line:
                     print(" ", line)
 
-    # Fresh connection every N queries: one long-lived connection
-    # accumulates allocator state across ~150 oracle queries and has
-    # twice produced a spurious mid-suite "Out of Memory Error" (once
-    # a segfault) that none of the queries reproduce standalone.
-    # Views are cheap to recreate; correctness is unaffected.
-    # threads=8: the container transiently refuses thread creation
-    # (EAGAIN — jemalloc "background thread creation failed (11)"),
-    # which DuckDB surfaces as bogus tiny-block "Out of Memory"
-    # errors or a std::system_error abort when it spawns its default
-    # 32 workers per fresh connection; 8 is plenty for oracle-sized
-    # data and cuts the flake's surface 4x. Each query additionally
-    # gets ONE retry on a fresh connection (see below) — every flake
-    # observed to date passes on the immediate retry.
-    # memory_limit + temp_directory (round-12, verdict r11 #1): the
-    # r11 driver sweep lost 77 queries to DuckDB OutOfMemoryException
-    # failing KB-scale allocations on a loadavg-6+ box. Unbounded,
-    # DuckDB sizes its allocator to the box and dies instead of
-    # spilling when co-tenants take the memory; bounded with an
-    # on-disk temp_directory it spills and finishes. 6 GB is ~40x the
-    # sf0.01 working set and still leaves headroom on a 128 GiB host
-    # shared with the Spark JVM.
-    spill = Path("/tmp/duckdb_spill")
-    spill.mkdir(exist_ok=True)
-
-    def fresh_con():
-        c = duckdb.connect()
-        c.execute("SET threads TO 8")
-        c.execute("SET memory_limit='6GB'")
-        c.execute(f"SET temp_directory='{spill}'")
-        for t in TABLES:
-            p = f"{sfdir}/{t}.parquet"
-            if Path(p).exists():
-                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        return c
-    con = fresh_con()
-    since_reset = 0
-
-    strict = "--lax" not in sys.argv
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
-    n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        if only and name not in only:
-            continue
-        since_reset += 1
-        if since_reset > 25:
-            con.close(); con = fresh_con(); since_reset = 0
-        spark_glob = f"{outdir}/{name}/*.parquet"
-        if not list(Path(f"{outdir}/{name}").glob("*.parquet")):
-            # deterministic: the Verify dump is absent — no retry
-            print(f"FAIL {name}: no spark output (missing dump)")
-            record(name, False, False, False, 0, 0, "no spark output")
-            n_fail += 1
-            continue
+    names = [n for n in sweep_order(oracle) if not only or n in only]
 
-        # Transient allocator/thread flakes (see fresh_con's note) can
-        # hit any DuckDB call, including arrow→pandas; each side gets
-        # ONE retry on a fresh connection. If both attempts fail, the
-        # FIRST exception is reported (the retry's is usually the less
-        # informative cascade).
-        def with_retry(run):
-            nonlocal con, since_reset
-            try:
-                return run()
-            except Exception as first:
-                time.sleep(2)
-                try:
-                    con.close()
-                except Exception:
-                    pass
-                con = fresh_con(); since_reset = 0
-                try:
-                    return run()
-                except Exception:
-                    raise first
-        try:
-            sarrow = with_retry(
-                lambda: con.sql(f"SELECT * FROM '{spark_glob}'").arrow())
-        except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})")
-            record(name, False, False, False, 0, 0, f"spark read: {e}")
-            n_fail += 1; continue
-        try:
-            oarrow = with_retry(lambda: con.sql(sql).arrow())
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            record(name, False, False, False, sarrow.num_rows, 0,
-                   f"oracle SQL: {e}")
-            n_fail += 1; continue
-        try:
-            sdf = sarrow.to_pandas()
-            odf = oarrow.to_pandas()
-        except Exception as e:
-            print(f"FAIL {name}: arrow->pandas error: {e}")
-            record(name, False, False, False, sarrow.num_rows,
-                   oarrow.num_rows, f"arrow->pandas: {e}")
+    # --inproc: the pre-r14 single-process sweep, for fast local
+    # iteration on an idle box (no per-query interpreter startup).
+    # Fresh connection every 25 queries: one long-lived connection
+    # accumulates allocator state across ~150 oracle queries and has
+    # twice produced a spurious mid-suite "Out of Memory Error".
+    con = fresh_con(sfdir) if inproc else None
+    since_reset = 0
+    n_pass = n_fail = 0
+    for name in names:
+        if inproc:
+            since_reset += 1
+            if since_reset > 25:
+                con.close(); con = fresh_con(sfdir); since_reset = 0
+            r = run_one(con, sfdir, outdir, name, oracle[name], strict)
+        else:
+            r, err = run_child(sfdir, outdir, name, strict)
+            if r is None or looks_oom(r.get("err")):
+                # allocation failure or child death: host memory was
+                # likely exhausted by a co-tenant — back off, retry once
+                first = err if r is None else r["err"]
+                print(f"RETRY {name} after 30s ({str(first)[:120]})")
+                time.sleep(30)
+                r2, err2 = run_child(sfdir, outdir, name, strict)
+                if r2 is not None:
+                    r = r2
+                elif r is None:
+                    r = {"name": name, "rows_match": False,
+                         "schema_match": False, "hash_match": False,
+                         "spark_rows": 0, "oracle_rows": 0,
+                         "err": str(first), "issues": []}
+        record(name, r["rows_match"], r["schema_match"], r["hash_match"],
+               r["spark_rows"], r["oracle_rows"], r["err"])
+        issues = r.get("issues", [])
+        ok = r["rows_match"] and r["schema_match"] and r["hash_match"]
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({r['spark_rows']} rows)")
+        else:
             n_fail += 1
-            continue
-        issues = compare(name, sdf, odf)
-        if strict:
-            issues += dtype_issues(sarrow.schema, oarrow.schema)
-        rows_m, schema_m, hash_m = classify(issues)
-        record(name, rows_m, schema_m, hash_m, len(sdf), len(odf), None)
-        if issues:
-            n_fail += 1
-            print(f"FAIL {name} ({len(sdf)} rows)")
+            if r["err"]:
+                print(f"FAIL {name}: {r['err']}")
+            else:
+                print(f"FAIL {name} ({r['spark_rows']} rows)")
             for it in issues[:6]:
                 print("   ", it)
-        else:
-            n_pass += 1
-            print(f"PASS {name} ({len(sdf)} rows)")
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
