@@ -260,6 +260,16 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // recall@k of the approximate paths vs brute-force ground truth
+    // (the eval every ANN index owes its caller — measured, not assumed)
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3,
+        method = "ivf")),
+    "q_lsh_recall" -> ((s, d) =>
+      Similarity.annRecall(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3,
+        method = "lsh")),
     // IVF ANN on the TRAINED coarse quantizer: one Lloyd round of
     // deterministic k-means over the corpus replaces the first-16
     // pivots — higher recall at equal nprobe (table in COVERAGE.md),

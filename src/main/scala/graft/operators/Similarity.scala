@@ -1313,4 +1313,37 @@ object Similarity {
         (sum(col("q")).cast("double") / count(lit(1)) / lit(1000000.0))
           .as("mean_v"),
         sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+
+  /** ANN RECALL EVAL — the measurement every approximate index owes
+    * its caller: per query, how many of the exact top-`k` neighbors
+    * ([[bruteForceTopK]] ground truth) the approximate method
+    * returned. `method` selects the production path under test —
+    * "ivf" ([[ivfTopK]], default codebook/probes so the number grades
+    * exactly what the gate queries ship) or "lsh" ([[lshTopK]]).
+    * recall = n_hits / k, an exact small-integer IEEE division, so
+    * the output is bit-reproducible cross-engine.
+    *
+    * Scale shape: this is an EVAL operator — the ground-truth leg is
+    * the brute-force scorer, linear in corpus PER QUERY by contract,
+    * so production runs it over a small sampled query set (the
+    * `queryPred` dial, exactly how the rerank family bounds its query
+    * side); the approximate leg is the scale path being graded. The
+    * hit join and per-query aggregate are k-bounded.
+    */
+  def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
+                method: String = "ivf", dim: Int = Dim): DataFrame = {
+    val approx = (method match {
+      case "ivf" => ivfTopK(embeddings, queryPred, k, dim = dim)
+      case "lsh" => lshTopK(embeddings, queryPred, k, dim = dim)
+      case other => throw new IllegalArgumentException(
+        s"annRecall method must be ivf or lsh, got $other")
+    }).select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bruteForceTopK(embeddings, queryPred, k, dim)
+      .select("query_id", "neighbor_id")
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"),
+        (count(col("hit")).cast("double") / count(lit(1)).cast("double"))
+          .as("recall"))
+  }
 }

@@ -239,6 +239,64 @@ object DocOracles {
        |            ORDER BY cos DESC, neighbor_id) AS rn FROM s)
        |WHERE rn <= 3""".stripMargin
 
+  /** Mirror of Similarity.annRecall: brute-force top-3 ground truth
+    * (annTopkSql's exact CTEs, `b`-prefixed) LEFT-joined against the
+    * approximate method's top-3 — the IVF probe chain (ivfCosCtes) or
+    * the sign-bucket LSH — counted per query. COUNT (BIGINT) rather
+    * than SUM (DuckDB HUGEINT) keeps the dtype gate green; recall is
+    * the exact small-integer DOUBLE division both engines share.
+    */
+  private def annRecallSql(method: String): String = {
+    val approxCte = method match {
+      case "ivf" =>
+        s"""${ivfCosCtes("iv", "vec_id < 8")},
+           |ax AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM ivs)
+           |  WHERE rn <= 3)""".stripMargin
+      case "lsh" =>
+        val bkt = (1 to 8).map(i =>
+          s"CASE WHEN v[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END")
+          .mkString(" + ")
+        s"""ld AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |ldb AS (SELECT vec_id, v, CAST($bkt AS BIGINT) AS bkt FROM ld),
+           |lq AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+           |      FROM ldb WHERE vec_id < 8),
+           |ls AS (SELECT query_id, ldb.vec_id AS neighbor_id,
+           |        ${cos("qv", "ldb.v")} AS cos
+           |      FROM lq JOIN ldb ON ldb.bkt = lq.qbkt
+           |      WHERE ldb.vec_id <> query_id),
+           |ax AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, neighbor_id) AS rn FROM ls)
+           |  WHERE rn <= 3)""".stripMargin
+    }
+    s"""WITH bd AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bq AS (SELECT vec_id AS query_id, v AS qv FROM bd
+       |       WHERE vec_id < 8),
+       |bs AS (SELECT query_id, bd.vec_id AS neighbor_id,
+       |        ${cos("qv", "bd.v")} AS cos
+       |      FROM bq, bd WHERE bd.vec_id <> query_id),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM bs)
+       |  WHERE rn <= 3),
+       |$approxCte
+       |SELECT bf.query_id,
+       |       COUNT(ax.neighbor_id) AS n_hits,
+       |       COUNT(*) AS k,
+       |       CAST(COUNT(ax.neighbor_id) AS DOUBLE) /
+       |         CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM bf LEFT JOIN ax
+       |  ON ax.query_id = bf.query_id
+       | AND ax.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfPqTopK: same IVF codebook/assignment/
     * probes as annIvfSql, plus PQ encoding (8 sub-spaces × 16
     * centroids = the first 16 vectors' slices, argmin by the same
@@ -2113,6 +2171,8 @@ object DocOracles {
     "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
     "q_ann_residual_rerank" -> annResidualRerankSql,
     "q_ann_trained_rerank" -> annTrainedRerankSql,
+    "q_ann_recall" -> annRecallSql("ivf"),
+    "q_lsh_recall" -> annRecallSql("lsh"),
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,

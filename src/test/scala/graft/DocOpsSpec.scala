@@ -66,6 +66,35 @@ class DocOpsSpec extends AnyFunSuite {
       s"recall ${(ivf & bf).size}/${bf.size}")
   }
 
+  test("ann recall eval matches an independent intersection of the two operators") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") < 8
+    for (method <- Seq("ivf", "lsh")) {
+      val out = Similarity.annRecall(emb, pred, k = 3, method = method)
+        .collect()
+      assert(out.length == 8, s"$method: one row per query")
+      out.foreach { r =>
+        assert(r.getLong(2) == 3L)
+        assert(r.getLong(1) >= 0L && r.getLong(1) <= 3L)
+        assert(r.getDouble(3) == r.getLong(1).toDouble / 3.0)
+      }
+      // independent recomputation from the two public operators
+      val truth = Similarity.bruteForceTopK(emb, pred, 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val approxDf = if (method == "ivf") Similarity.ivfTopK(emb, pred, 3)
+                     else Similarity.lshTopK(emb, pred, 3)
+      val approx = approxDf.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truth.groupBy(_._1).foreach { case (q, ts) =>
+        assert(hits(q) == ts.count(approx.contains).toLong,
+          s"$method query $q")
+      }
+      graft.operators.OperatorCaches.releaseAll()
+    }
+  }
+
   test("IVF-PQ ADC: probing all lists equals an independent full-ADC ranking") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     // independent spelling of full ADC: reconstruct each vector from
