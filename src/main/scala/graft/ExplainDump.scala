@@ -88,7 +88,10 @@ object ExplainDump {
       // similarity, per-dimension embedding health
       "q_winnow_overlap", "q_source_minhash_sim", "q_emb_dim_profile",
       // round 13c: BPE tokenizer training + encoding
-      "q_bpe_merges", "q_bpe_encode")
+      "q_bpe_merges", "q_bpe_encode",
+      // round 14: ANN recall evals (IVF and LSH vs brute-force truth)
+      // + DSIR floor-then-fill selection
+      "q_ann_recall", "q_lsh_recall", "q_dsir_select")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (auto-generated by " +
       "graft.ExplainDump; do not edit)\n\n")

@@ -78,7 +78,15 @@ object ScaleRehearsal {
     "x_knn_graph_auto" -> ((s, d) => graft.operators.Similarity.knnGraph(
       graft.sources.Tables(s, d, "embeddings"))),
     "x_semdedup_auto" -> ((s, d) => graft.operators.Similarity.semDedup(
-      graft.sources.Tables(s, d, "embeddings"), threshold = 0.4)))
+      graft.sources.Tables(s, d, "embeddings"), threshold = 0.4)),
+    // r14: packSequences' PRODUCTION sharded spelling vs the gate's
+    // global one-task window — the r13 verdict #3 shape, measured
+    "x_pack_sharded" -> ((s, d) => graft.operators.TextAnalysis
+      .packSequences(graft.sources.Tables(s, d, "documents")
+          .withColumn("shard", pmod(col("doc_id"), lit(32L))),
+        shardCol = Some("shard"))),
+    "x_pack_global" -> ((s, d) => graft.operators.TextAnalysis
+      .packSequences(graft.sources.Tables(s, d, "documents"))))
 
   private def timeQuery(spark: SparkSession, name: String,
                         dir: String): (Double, Long) = {

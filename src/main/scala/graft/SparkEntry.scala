@@ -587,6 +587,11 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(T(s, d)("documents"),
         org.apache.spark.sql.functions.col("lang") === "en")),
+    // DSIR selection: per-source floors + global budget fill over
+    // the importance weights (two-phase ranks, no keyed windows)
+    "q_dsir_select" -> ((s, d) =>
+      TextAnalysis.dsirSelect(T(s, d)("documents"),
+        org.apache.spark.sql.functions.col("lang") === "en")),
     // substring-level dedup profile: strided-window repeated share
     "q_substring_dedup" -> ((s, d) =>
       Dedup.repeatedSubstrings(T(s, d)("documents"))),

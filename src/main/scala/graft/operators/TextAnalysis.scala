@@ -592,6 +592,52 @@ object TextAnalysis {
       .filter(col("cum_tok") <= budgetTokens)
   }
 
+  /** DSIR-weighted selection with per-source floors — the step that
+    * turns [[dsirWeights]] scores into a concrete training list the
+    * way production mixtures do: every source is guaranteed its
+    * `floorPerSource` best documents (by weight desc, doc_id
+    * tiebreak — a floor keeps minority domains from being starved by
+    * a target-heavy head), then the remaining global `budget` is
+    * filled with the best-scoring documents regardless of source.
+    * Floors are honored even when they alone exceed `budget` (the
+    * caller set contradictory knobs; starving a source silently
+    * would be worse). Output: the selected docs with their weight
+    * and which rule admitted them (`picked_via` = floor | fill).
+    *
+    * Scale shape: per-source rank is [[Layout.keyedRank]] and the
+    * global fill rank is [[Layout.prefixSum]] — both two-phase
+    * range-partitioned ranks, never a source-keyed or global window
+    * (the qualityPrune/packSequences straggler shapes). The floor
+    * count crossing into the fill filter is ONE broadcast scalar.
+    * Weight ordering is deterministic cross-engine: the doubles are
+    * the bit-exact scaled-BIGINT sums dsirWeights already
+    * guarantees, ties broken by doc_id.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column,
+                 budget: Long = 300L, floorPerSource: Long = 10L,
+                 buckets: Int = 64): DataFrame = {
+    val w = OperatorCaches.track(
+      dsirWeights(docs, targetPred, buckets)
+        .join(fan(docs).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("log_weight")))
+    val ranked = OperatorCaches.track(graft.operators.Layout.keyedRank(
+      w, "source", Seq(col("log_weight").desc, col("doc_id")),
+      "rnk", "n_src"))
+    val floor = ranked.filter(col("rnk") <= floorPerSource)
+    val nFloor = floor.agg(count(lit(1)).as("n_floor"))
+    val rest = ranked.filter(col("rnk") > floorPerSource)
+      .withColumn("neg_w", -col("log_weight"))
+      .withColumn("one", lit(1L))
+    val fill = graft.operators.Layout
+      .prefixSum(rest, Seq("neg_w", "doc_id"), "one", "grk")
+      .crossJoin(broadcast(nFloor))
+      .filter(col("grk") + col("n_floor") <= budget)
+    floor.select(col("doc_id"), col("source"), col("log_weight"),
+        lit("floor").as("picked_via"))
+      .unionAll(fill.select(col("doc_id"), col("source"),
+        col("log_weight"), lit("fill").as("picked_via")))
+  }
+
   /** Vocabulary coverage truncation — the BPE-style "smallest vocab
     * covering p of the token mass" cut: tokens in frequency order
     * (ties by token) are kept while the RUNNING mass stays within

@@ -1578,6 +1578,30 @@ object DocOracles {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.dsirSelect: per-source floor (top-10 by
+    * weight desc, doc_id tiebreak) then global fill to budget 300.
+    * The oracle may use the windows the engine refuses — single-node
+    * DuckDB has no straggler to avoid. Weight doubles are the exact
+    * scaled-BIGINT sums dsirSql already pins, so ordering agrees
+    * bit-for-bit.
+    */
+  private def dsirSelectSql: String =
+    s"""WITH w AS (SELECT doc_id, log_weight FROM ($dsirSql)),
+       |j AS (SELECT w.doc_id, d.source, w.log_weight
+       |      FROM w JOIN documents d USING (doc_id)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY log_weight DESC, doc_id) AS rnk FROM j),
+       |fl AS (SELECT doc_id, source, log_weight FROM r WHERE rnk <= 10),
+       |nf AS (SELECT COUNT(*) AS n_floor FROM fl),
+       |rest AS (SELECT doc_id, source, log_weight,
+       |           ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id)
+       |             AS grk
+       |         FROM r WHERE rnk > 10)
+       |SELECT doc_id, source, log_weight, 'floor' AS picked_via FROM fl
+       |UNION ALL
+       |SELECT doc_id, source, log_weight, 'fill' AS picked_via
+       |FROM rest, nf WHERE grk + n_floor <= 300""".stripMargin
+
   /** Mirror of Dedup.repeatedSubstrings: strided 20-char window
     * hashes, corpus-wide distinct-doc counts, per-doc repeated share.
     */
@@ -2107,6 +2131,7 @@ object DocOracles {
     "q_temperature_mix" -> temperatureMixSql,
     "q_source_length_profile" -> sourceLengthProfileSql,
     "q_dsir_weights" -> dsirSql,
+    "q_dsir_select" -> dsirSelectSql,
     "q_substring_dedup" -> repeatedSubstringsSql,
     "q_substring_scrub" -> substringScrubSql,
     "q_decontaminate_scrub" -> decontaminateScrubSql,

@@ -480,6 +480,39 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 1L, 1L)))
   }
 
+  test("dsir selection honors per-source floors then fills by weight") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val out = TextAnalysis.dsirSelect(d, col("lang") === "en",
+      budget = 60L, floorPerSource = 5L).collect()
+    graft.operators.OperatorCaches.releaseAll()
+    val perSource = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source gets exactly min(floor, its size) floor picks
+    perSource.foreach { case (s, n) =>
+      val fp = out.count(r =>
+        r.getString(1) == s && r.getString(3) == "floor")
+      assert(fp.toLong == math.min(5L, n), s"source $s")
+    }
+    val nFloor = out.count(_.getString(3) == "floor").toLong
+    val nFill = out.count(_.getString(3) == "fill").toLong
+    assert(nFill ==
+      math.max(0L, math.min(60L - nFloor, d.count() - nFloor)))
+    // the fill is the best-scoring remainder: every unselected doc is
+    // strictly worse than the worst fill pick by (weight desc, id)
+    val w = TextAnalysis.dsirWeights(d, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    val chosen = out.map(_.getLong(0)).toSet
+    val ord = implicitly[Ordering[(Double, Long)]]
+    if (nFill > 0) {
+      val worstFill = out.filter(_.getString(3) == "fill")
+        .map(r => (-r.getDouble(2), r.getLong(0))).max(ord)
+      w.keys.filterNot(chosen).foreach { id =>
+        assert(ord.gt((-w(id), id), worstFill), s"doc $id outranks a fill")
+      }
+    }
+  }
+
   test("sharded packSequences: per-shard output equals the global form run on that shard alone") {
     // shard-disjoint corpus: each shard is an independent token
     // stream, so the sharded spelling restricted to a shard must be
