@@ -134,22 +134,38 @@ object Dedup {
     * Scale shape at 100 TB: the filter is sized from a driver-side
     * count of the (benchmark-suite-sized) eval grams — one tiny job;
     * the corpus side stays a single scan with a row-local filter and
-    * shuffles only matched grams. The probe is a scala UDF (one
-    * Bloom lookup per gram) — off the codegen path by necessity, but
-    * it FOLLOWS the array_distinct/explode pipeline, so it runs once
-    * per distinct gram, not once per token.
+    * shuffles only matched grams. The probe is Spark's NATIVE
+    * `BloomFilterMightContain` expression (the codegen'd kernel the
+    * engine's own runtime row-filters use) over `xxhash64(gram)` —
+    * the r13-carried ScalaUDF is gone: the sketch is built over the
+    * same xxhash64 longs, serialized once, and embedded as a binary
+    * literal the expression deserializes once per task. The literal
+    * rides the plan exactly like the broadcast it replaces (same
+    * ~10-bits-per-gram payload, same eval-set-must-be-sketchable
+    * contract).
     */
   def decontaminateBloom(docs: DataFrame, evalPred: Column, n: Int = 5,
                          fpp: Double = 0.01): DataFrame = {
     // cached: sized (count), sketched (bloomFilter), and verify-joined
     val evalGrams = OperatorCaches.track(evalGramSet(docs.filter(evalPred), n))
     val expected = math.max(evalGrams.count(), 64L)
-    val bloom = evalGrams.stat.bloomFilter("sh", expected, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    // build over xxhash64 LONGS: BloomFilterMightContain probes with
+    // mightContainLong, so the sketch must be long-keyed (putLong and
+    // mightContainLong share the sketch's internal hash)
+    val bloom = evalGrams.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bos.toByteArray,
+            org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .expression(xxhash64(col("sh")))))
     val train = docs.filter(!evalPred)
     val hits = ngrams(train, n)
-      .filter(mightContain(col("sh")))
+      .filter(probe)
       .join(evalGrams, "sh") // exact verify: shuffle join, survivors only
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     train.select("doc_id")

@@ -784,6 +784,16 @@ class PlanSpec extends AnyFunSuite {
       s"dim profile should have exactly one keyed exchange, got $keyedProf:\n$prof")
   }
 
+  test("decontaminateBloom probes with the native bloom kernel, not a ScalaUDF (r13 carried item)") {
+    val plan = explainStr(Dedup.decontaminateBloom(
+      t("documents"), col("doc_id") % 20 === 1))
+    graft.operators.OperatorCaches.releaseAll()
+    assert(plan.contains("might_contain"),
+      s"native BloomFilterMightContain missing from the probe:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"the bloom probe fell back to a ScalaUDF:\n$plan")
+  }
+
   test("sharded packSequences has no unpartitioned WindowExec (r13 verdict #3)") {
     // the global (oracle-gate) spelling funnels the corpus through one
     // task by design; the production sharded spelling must NOT — every
