@@ -203,21 +203,21 @@ def fresh_con(sfdir):
     return c
 
 
-def run_one(con, sfdir, outdir, name, sql, strict, retry_con=True):
-    """One query's full oracle leg on `con`. Returns the driver-schema
-    record dict plus an 'issues' list. Transient allocator/thread
-    flakes can hit any DuckDB call; each call gets ONE retry on a
-    fresh connection (every flake observed to date passes on the
-    immediate retry). If both attempts fail, the FIRST exception is
-    reported (the retry's is usually the less informative cascade)."""
-    state = {"con": con}
+def run_one(state, sfdir, outdir, name, sql, strict):
+    """One query's full oracle leg on `state["con"]` (a dict holder so
+    an internal reconnect is visible to the CALLER's next query — a
+    plain parameter would leave the caller probing a closed
+    connection). Returns the driver-schema record dict plus an
+    'issues' list. Transient allocator/thread flakes can hit any
+    DuckDB call; each call gets ONE retry on a fresh connection
+    (every flake observed to date passes on the immediate retry). If
+    both attempts fail, the FIRST exception is reported (the retry's
+    is usually the less informative cascade)."""
 
     def with_retry(run):
         try:
             return run()
         except Exception as first:
-            if not retry_con:
-                raise
             time.sleep(2)
             try:
                 state["con"].close()
@@ -296,7 +296,8 @@ def sweep_order(names):
 
 def child_main(sfdir, outdir, name, strict):
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
-    r = run_one(fresh_con(sfdir), sfdir, outdir, name, oracle[name], strict)
+    r = run_one({"con": fresh_con(sfdir)}, sfdir, outdir, name,
+                oracle[name], strict)
     print("\nGRAFT_RESULT " + json.dumps(r))
 
 
@@ -384,15 +385,17 @@ def main():
     # Fresh connection every 25 queries: one long-lived connection
     # accumulates allocator state across ~150 oracle queries and has
     # twice produced a spurious mid-suite "Out of Memory Error".
-    con = fresh_con(sfdir) if inproc else None
+    state = {"con": fresh_con(sfdir)} if inproc else None
     since_reset = 0
     n_pass = n_fail = 0
     for name in names:
         if inproc:
             since_reset += 1
             if since_reset > 25:
-                con.close(); con = fresh_con(sfdir); since_reset = 0
-            r = run_one(con, sfdir, outdir, name, oracle[name], strict)
+                state["con"].close()
+                state["con"] = fresh_con(sfdir)
+                since_reset = 0
+            r = run_one(state, sfdir, outdir, name, oracle[name], strict)
         else:
             r, err = run_child(sfdir, outdir, name, strict)
             if r is None or looks_oom(r.get("err")):
