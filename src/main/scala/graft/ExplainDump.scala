@@ -90,8 +90,9 @@ object ExplainDump {
       // round 13c: BPE tokenizer training + encoding
       "q_bpe_merges", "q_bpe_encode",
       // round 14: ANN recall evals (IVF and LSH vs brute-force truth)
-      // + DSIR floor-then-fill selection
-      "q_ann_recall", "q_lsh_recall", "q_dsir_select")
+      // + DSIR floor-then-fill selection + eval-split contamination
+      "q_ann_recall", "q_lsh_recall", "q_dsir_select",
+      "q_eval_contamination")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (auto-generated by " +
       "graft.ExplainDump; do not edit)\n\n")

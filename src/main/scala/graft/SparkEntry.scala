@@ -623,6 +623,10 @@ object SparkEntry {
     // winnowing overlap pairs (>= 2 shared rare fingerprints)
     "q_winnow_overlap" -> ((s, d) =>
       TextAnalysis.winnowOverlap(T(s, d)("documents"))),
+    // eval-split contamination list: val/test docs sharing winnow
+    // fingerprints with any train doc (the docs a pipeline scrubs)
+    "q_eval_contamination" -> ((s, d) =>
+      TextAnalysis.evalContamination(T(s, d)("documents"))),
     // sketch-algebra corpus similarity: per-source MinHash signatures
     "q_source_minhash_sim" -> ((s, d) =>
       Dedup.sourceMinhashSim(T(s, d)("documents"))),

@@ -926,6 +926,42 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** EVAL-SPLIT CONTAMINATION LIST — the actionable form of the
+    * split-integrity audits: every val/test document that shares
+    * ≥ `minShared` winnowing fingerprints (character-level overlap,
+    * the MOSS guarantee — see [[winnowOverlap]]) with ANY train
+    * document, with how many train partners and how much shared
+    * fingerprint mass. [[splitLeakage]] flags leaky near-dup
+    * CLUSTERS; this lists the eval DOCS to scrub or re-split, which
+    * is what a pipeline actually consumes. Pairing is
+    * [[winnowOverlap]] verbatim (shared tail, so the df cap and
+    * guarantee carry over); splits are the house salted-hash
+    * assignment ([[datasetSplit]]'s exact rule).
+    *
+    * Scale shape: the overlap pass dominates (df-capped pair volume,
+    * never corpus²); the split tagging is row-local hash arithmetic
+    * on the pair list and the final aggregate is keyed by the
+    * (small) contaminated-doc set.
+    */
+  def evalContamination(docs: DataFrame, k: Int = 8, w: Int = 10,
+                        minShared: Long = 2, maxDocFreq: Long = 100)
+      : DataFrame = {
+    val pairs = winnowOverlap(docs, k, w, minShared, maxDocFreq)
+      .withColumn("split_a", splitHash(col("doc_a")))
+      .withColumn("split_b", splitHash(col("doc_b")))
+    val evalA = pairs
+      .filter(col("split_a") =!= "train" && col("split_b") === "train")
+      .select(col("doc_a").as("doc_id"), col("split_a").as("split"),
+        col("n_shared"))
+    val evalB = pairs
+      .filter(col("split_b") =!= "train" && col("split_a") === "train")
+      .select(col("doc_b").as("doc_id"), col("split_b").as("split"),
+        col("n_shared"))
+    evalA.unionAll(evalB).groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_train_partners"),
+        sum(col("n_shared")).as("total_shared"))
+  }
+
   /** Corpus-wide frequent n-grams per source — the heavy-hitter scan
     * a curation pass runs to find boilerplate and template text:
     * count EVERY occurrence (not the dedup family's per-doc distinct

@@ -1762,6 +1762,34 @@ object DocOracles {
        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 
+  /** Mirror of TextAnalysis.evalContamination: winnowOverlapSql's
+    * pairs, both endpoints tagged with the salted-hash split, eval
+    * docs (split ≠ train) aggregated over their train partners.
+    * CAST(SUM...) keeps DuckDB off HUGEINT.
+    */
+  private def evalContaminationSql: String = {
+    def splitCase(c: String) =
+      s"""CASE WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2)
+         |       < 'cc' THEN 'train'
+         |     WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2)
+         |       < 'e6' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH p AS (SELECT doc_a, doc_b, n_shared
+       |           FROM ($winnowOverlapSql)),
+       |ps AS (SELECT doc_a, doc_b, n_shared,
+       |         ${splitCase("doc_a")} AS split_a,
+       |         ${splitCase("doc_b")} AS split_b
+       |       FROM p),
+       |e AS (SELECT doc_a AS doc_id, split_a AS split, n_shared
+       |      FROM ps WHERE split_a <> 'train' AND split_b = 'train'
+       |      UNION ALL
+       |      SELECT doc_b AS doc_id, split_b AS split, n_shared
+       |      FROM ps WHERE split_b <> 'train' AND split_a = 'train')
+       |SELECT doc_id, split, COUNT(*) AS n_train_partners,
+       |       CAST(SUM(n_shared) AS BIGINT) AS total_shared
+       |FROM e GROUP BY 1, 2""".stripMargin
+  }
+
   /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
     * 8-slot MinHash signature per source over the source's gram
     * multiset, pairwise slot-match Jaccard estimate.
@@ -2137,6 +2165,7 @@ object DocOracles {
     "q_decontaminate_scrub" -> decontaminateScrubSql,
     "q_winnow_fingerprints" -> winnowSql,
     "q_winnow_overlap" -> winnowOverlapSql,
+    "q_eval_contamination" -> evalContaminationSql,
     "q_source_minhash_sim" -> sourceMinhashSimSql,
     "q_emb_dim_profile" -> embDimProfileSql,
     "q_top_ngrams" -> topNgramsSql,

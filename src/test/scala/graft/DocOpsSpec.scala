@@ -480,6 +480,38 @@ class DocOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 1L, 1L)))
   }
 
+  test("eval contamination lists exactly the cross-split winnow partners") {
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val out = TextAnalysis.evalContamination(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    // independent recomputation: winnowOverlap + the salted split rule
+    val pairs = TextAnalysis.winnowOverlap(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.operators.OperatorCaches.releaseAll()
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h2 = md.digest(s"split:$id".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h2 < "cc") "train" else if (h2 < "e6") "val" else "test"
+    }
+    val expect =
+      scala.collection.mutable.Map[(Long, String), (Long, Long)]()
+    def add(id: Long, s: String, n: Long): Unit = {
+      val (c, t) = expect.getOrElse((id, s), (0L, 0L))
+      expect((id, s)) = (c + 1, t + n)
+    }
+    pairs.foreach { case (a, b, n) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      if (sa != "train" && sb == "train") add(a, sa, n)
+      if (sb != "train" && sa == "train") add(b, sb, n)
+    }
+    assert(out == expect.toMap)
+    assert(out.nonEmpty, "corpus should have cross-split overlaps")
+    assert(out.keys.forall(_._2 != "train"))
+  }
+
   test("dsir selection honors per-source floors then fills by weight") {
     val d = graft.sources.Tables(spark, sf, "documents")
     val out = TextAnalysis.dsirSelect(d, col("lang") === "en",
