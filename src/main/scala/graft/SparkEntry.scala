@@ -270,6 +270,11 @@ object SparkEntry {
       Similarity.annRecall(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3,
         method = "lsh")),
+    // the IVF tuning curve: recall@3 at nprobe 1/2/4/8, one shared
+    // brute-force ground-truth leg
+    "q_ann_recall_curve" -> ((s, d) =>
+      Similarity.annRecallCurve(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // IVF ANN on the TRAINED coarse quantizer: one Lloyd round of
     // deterministic k-means over the corpus replaces the first-16
     // pivots — higher recall at equal nprobe (table in COVERAGE.md),

@@ -1346,4 +1346,34 @@ object Similarity {
         (count(col("hit")).cast("double") / count(lit(1)).cast("double"))
           .as("recall"))
   }
+
+  /** IVF TUNING CURVE — recall@k vs `nprobe`, the dial every IVF
+    * deployment sets by measurement: for each probe width, how much
+    * of the exact top-`k` the probe chain recovers, micro-averaged
+    * over the query panel. This is [[annRecall]] swept across probe
+    * widths with ONE shared ground-truth leg (the brute-force scan
+    * runs once; each curve point adds only the bounded probe chain
+    * and a k-bounded hit join). Output: one row per nprobe —
+    * (nprobe, n_hits, n_truth, recall), recall the exact
+    * small-integer IEEE division.
+    */
+  def annRecallCurve(embeddings: DataFrame, queryPred: Column,
+                     k: Int = 3, nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                     dim: Int = Dim): DataFrame = {
+    val truth = OperatorCaches.track(
+      bruteForceTopK(embeddings, queryPred, k, dim)
+        .select("query_id", "neighbor_id"))
+    nprobes.map { np =>
+      val approx = ivfTopK(embeddings, queryPred, k, nprobe = np,
+          dim = dim)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("n_hits"),
+          count(lit(1)).as("n_truth"),
+          (count(col("hit")).cast("double") /
+            count(lit(1)).cast("double")).as("recall"))
+        .select(lit(np).as("nprobe"), col("n_hits"), col("n_truth"),
+          col("recall"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -207,7 +207,8 @@ object DocOracles {
     * [[annIvfSql]] and [[hybridRrfSql]] so a probe-chain change
     * cannot diverge the two mirrors.
     */
-  private def ivfCosCtes(p: String, queryWhere: String): String =
+  private def ivfCosCtes(p: String, queryWhere: String,
+                         nprobe: Int = 4): String =
     s"""${p}d AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -221,7 +222,7 @@ object DocOracles {
        |${p}a AS (SELECT vec_id, v, pid AS list_id FROM ${p}ar
        |       WHERE prn = 1),
        |${p}qr AS (SELECT vec_id AS query_id, v AS qv, pid AS plist
-       |       FROM ${p}ar WHERE ($queryWhere) AND prn <= 4),
+       |       FROM ${p}ar WHERE ($queryWhere) AND prn <= $nprobe),
        |${p}s AS (SELECT query_id, ${p}a.vec_id AS neighbor_id,
        |        ${cos("qv", s"${p}a.v")} AS cos
        |      FROM ${p}qr JOIN ${p}a ON plist = list_id
@@ -1790,6 +1791,47 @@ object DocOracles {
        |FROM e GROUP BY 1, 2""".stripMargin
   }
 
+  /** Mirror of Similarity.annRecallCurve: the IVF tuning curve —
+    * recall@3 of the probe chain at nprobe ∈ {1,2,4,8} against the
+    * brute-force ground truth, micro-averaged over the 8-query
+    * panel. One brute CTE is shared; each nprobe point gets its own
+    * prefixed probe chain (ivfCosCtes is nprobe-parameterized).
+    */
+  private def annRecallCurveSql: String = {
+    val probes = Seq(1, 2, 4, 8)
+    val chains = probes.map { np =>
+      s"""${ivfCosCtes(s"p$np", "vec_id < 8", np)},
+         |ax$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM p${np}s) WHERE rn <= 3)""".stripMargin
+    }.mkString(",\n")
+    val legs = probes.map { np =>
+      s"""SELECT $np AS nprobe,
+         |       COUNT(ax$np.neighbor_id) AS n_hits,
+         |       COUNT(*) AS n_truth,
+         |       CAST(COUNT(ax$np.neighbor_id) AS DOUBLE) /
+         |         CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM bf LEFT JOIN ax$np
+         |  ON ax$np.query_id = bf.query_id
+         | AND ax$np.neighbor_id = bf.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bd AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bq AS (SELECT vec_id AS query_id, v AS qv FROM bd
+       |       WHERE vec_id < 8),
+       |bs AS (SELECT query_id, bd.vec_id AS neighbor_id,
+       |        ${cos("qv", "bd.v")} AS cos
+       |      FROM bq, bd WHERE bd.vec_id <> query_id),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM bs)
+       |  WHERE rn <= 3),
+       |$chains
+       |$legs""".stripMargin
+  }
+
   /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
     * 8-slot MinHash signature per source over the source's gram
     * multiset, pairwise slot-match Jaccard estimate.
@@ -2227,6 +2269,7 @@ object DocOracles {
     "q_ann_trained_rerank" -> annTrainedRerankSql,
     "q_ann_recall" -> annRecallSql("ivf"),
     "q_lsh_recall" -> annRecallSql("lsh"),
+    "q_ann_recall_curve" -> annRecallCurveSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,

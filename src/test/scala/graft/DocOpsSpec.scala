@@ -95,6 +95,21 @@ class DocOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann recall curve is monotone in nprobe and exact at full probe") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val out = Similarity.annRecallCurve(emb, col("vec_id") < 8, k = 3,
+        nprobes = Seq(1, 4, 16)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    graft.operators.OperatorCaches.releaseAll()
+    // candidate sets are nested in nprobe, and any candidate that
+    // displaces a true top-k hit must itself be a true top-k member
+    // (same cosine ordering) — so recall can never decrease
+    assert(out(1) <= out(4) && out(4) <= out(16),
+      s"recall curve not monotone: $out")
+    // probing every list IS brute force (nlist = 16 default)
+    assert(out(16) == 1.0)
+  }
+
   test("IVF-PQ ADC: probing all lists equals an independent full-ADC ranking") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     // independent spelling of full ADC: reconstruct each vector from
