@@ -250,9 +250,53 @@ object Bench {
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      ("\"" + name + "\"\\s*:\\s*([0-9.Ee+-]+)").r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble)
+      topLevelNumber(txt, name)
     } catch { case _: Throwable => None }
+
+  /** Numeric value of a TOP-LEVEL JSON key, found by a string-aware
+    * depth scanner rather than a raw-text regex: BENCH_REF carries
+    * provenance note strings, and a note that merely quotes a key like
+    * `"cpu_alloc": 0.1` would have satisfied the old first-match regex
+    * before (or instead of) the real field, silently shifting
+    * host_factor. String literals are consumed whole (escapes
+    * honoured), so quoted decoys inside notes can never surface as
+    * keys; only a key at object depth 1 followed by `:` and a number
+    * matches. BenchParseSpec pins a decoy-bearing fixture.
+    */
+  private[graft] def topLevelNumber(txt: String, name: String): Option[Double] = {
+    val n = txt.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = txt.charAt(i)
+      if (c == '"') {
+        val start = i + 1
+        i += 1
+        while (i < n && txt.charAt(i) != '"') {
+          if (txt.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        val content = if (i <= n) txt.substring(start, math.min(i, n)) else ""
+        i += 1
+        if (depth == 1 && content == name) {
+          var j = i
+          while (j < n && txt.charAt(j).isWhitespace) j += 1
+          if (j < n && txt.charAt(j) == ':') {
+            j += 1
+            while (j < n && txt.charAt(j).isWhitespace) j += 1
+            val k = j
+            while (j < n && "0123456789.eE+-".indexOf(txt.charAt(j)) >= 0) j += 1
+            if (j > k)
+              try return Some(txt.substring(k, j).toDouble)
+              catch { case _: NumberFormatException => }
+          }
+        }
+      } else if (c == '{' || c == '[') { depth += 1; i += 1 }
+      else if (c == '}' || c == ']') { depth -= 1; i += 1 }
+      else i += 1
+    }
+    None
+  }
 
   /** Host normalization factor for the drift gate (r13 verdict #5):
     * the MEAN of the available calibration ratios — md5 digest

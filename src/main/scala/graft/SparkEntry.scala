@@ -275,6 +275,12 @@ object SparkEntry {
     "q_ann_recall_curve" -> ((s, d) =>
       Similarity.annRecallCurve(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // measured recall@3 for EVERY shipped index variant (the two gate
+    // paths plus the six that previously graded only via rerank
+    // parity), one shared brute-force ground-truth leg
+    "q_ann_recall_ladder" -> ((s, d) =>
+      Similarity.annRecallLadder(T(s, d)("embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
     // IVF ANN on the TRAINED coarse quantizer: one Lloyd round of
     // deterministic k-means over the corpus replaces the first-16
     // pivots — higher recall at equal nprobe (table in COVERAGE.md),

@@ -1337,7 +1337,14 @@ object Similarity {
       case "lsh" => lshTopK(embeddings, queryPred, k, dim = dim)
       case other => throw new IllegalArgumentException(
         s"annRecall method must be ivf or lsh, got $other")
-    }).select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    }).select(col("query_id"), col("neighbor_id"))
+      // robustness over correctness-by-coincidence: today every
+      // approximate path dedupes via row_number, but a future method
+      // emitting a duplicate (query, neighbor) row would fan out the
+      // truth join and inflate BOTH the hit count and the denominator
+      // (r14 ADVICE). k-bounded input, so the distinct is ~free.
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("hit", lit(1L))
     bruteForceTopK(embeddings, queryPred, k, dim)
       .select("query_id", "neighbor_id")
       .join(approx, Seq("query_id", "neighbor_id"), "left")
@@ -1366,13 +1373,79 @@ object Similarity {
     nprobes.map { np =>
       val approx = ivfTopK(embeddings, queryPred, k, nprobe = np,
           dim = dim)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        .select(col("query_id"), col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id") // see annRecall note
+        .withColumn("hit", lit(1L))
       truth.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("n_hits"),
           count(lit(1)).as("n_truth"),
           (count(col("hit")).cast("double") /
             count(lit(1)).cast("double")).as("recall"))
         .select(lit(np).as("nprobe"), col("n_hits"), col("n_truth"),
+          col("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** ANN RECALL LADDER — one measured recall@k row for EVERY index
+    * variant the library ships (r14 verdict Next #3): the two gate
+    * paths ("ivf", "lsh") plus the six that previously graded only
+    * via rerank-parity oracles — raw PQ-ADC ("ivfpq"), its two-stage
+    * exact-rerank form ("ivfpq_rerank"), residual-encoded IVFADC
+    * ("ivfpq_residual") and its serving stack ("residual_rerank"),
+    * the JL random-projection prefilter ("rp_rerank"), and the fully
+    * trained production shape ("trained_rerank", coarse quantizer AND
+    * PQ book from one Lloyd round over the deterministic 25% sample —
+    * the exact shape q_ann_trained_rerank ships). Each method runs at
+    * the same defaults its gate query uses, so the number grades the
+    * shipped configuration, not a tuned one.
+    *
+    * Scale shape: ONE shared brute-force ground-truth leg (cached;
+    * linear-in-corpus per query by contract over the bounded
+    * `queryPred` panel — the documented eval contract of
+    * [[annRecall]]); each ladder rung adds only that method's own
+    * sub-linear probe chain plus a k-bounded hit join and a
+    * micro-averaged per-method aggregate. Output: one row per method
+    * (method, n_hits, n_truth, recall), recall the exact
+    * small-integer IEEE division shared bit-for-bit with the oracle.
+    */
+  def annRecallLadder(embeddings: DataFrame, queryPred: Column,
+                      k: Int = 3, dim: Int = Dim): DataFrame = {
+    val truth = OperatorCaches.track(
+      bruteForceTopK(embeddings, queryPred, k, dim)
+        .select("query_id", "neighbor_id"))
+    // the trained book is paid ONCE and reused for the trained rung
+    // (mirrors q_ann_trained_rerank's single-Lloyd-round training)
+    lazy val trainedBook = kmeansCarr(
+      embeddings.filter(pmod(col("vec_id"), lit(4L)) === 0),
+      k = 16, iters = 1)
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "ivf" -> (() => ivfTopK(embeddings, queryPred, k, dim = dim)),
+      "lsh" -> (() => lshTopK(embeddings, queryPred, k, dim = dim)),
+      "ivfpq" -> (() => ivfPqTopK(embeddings, queryPred, k, dim = dim)),
+      "ivfpq_rerank" -> (() =>
+        ivfPqRerankTopK(embeddings, queryPred, k, dim = dim)),
+      "ivfpq_residual" -> (() =>
+        ivfPqResidualTopK(embeddings, queryPred, k, dim = dim)),
+      "residual_rerank" -> (() =>
+        ivfPqResidualRerankTopK(embeddings, queryPred, k, rerank = 40,
+          dim = dim)),
+      "rp_rerank" -> (() =>
+        rpRerankTopK(embeddings, queryPred, k, dim = dim)),
+      "trained_rerank" -> (() =>
+        ivfPqRerankTopK(embeddings, queryPred, k, rerank = 40, dim = dim,
+          pivotsOpt = Some(carrToPivotArr(trainedBook)),
+          bookOpt = Some(trainedBook))))
+    methods.map { case (name, mk) =>
+      val approx = mk()
+        .select(col("query_id"), col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id") // see annRecall note
+        .withColumn("hit", lit(1L))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("n_hits"),
+          count(lit(1)).as("n_truth"),
+          (count(col("hit")).cast("double") /
+            count(lit(1)).cast("double")).as("recall"))
+        .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
           col("recall"))
     }.reduce(_ unionAll _)
   }

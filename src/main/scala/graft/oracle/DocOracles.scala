@@ -1832,6 +1832,53 @@ object DocOracles {
        |$legs""".stripMargin
   }
 
+  /** Mirror of Similarity.annRecallLadder: one micro-averaged
+    * recall@3 row per shipped ANN index variant against ONE
+    * brute-force ground truth. Each rung reuses that method's
+    * existing full oracle statement verbatim as a derived-table
+    * subquery (DuckDB scopes each nested WITH independently), so the
+    * ladder cannot drift from the per-method mirrors — a probe-chain
+    * change lands in both or neither. DISTINCT on the approximate leg
+    * mirrors the Spark side's dropDuplicates robustness guard.
+    */
+  private def annRecallLadderSql: String = {
+    val methods = Seq(
+      "ivf" -> annIvfSql,
+      "lsh" -> annLshSql,
+      "ivfpq" -> annIvfPqSql,
+      "ivfpq_rerank" -> annIvfPqRerankSql,
+      "ivfpq_residual" -> annIvfPqResidualSql,
+      "residual_rerank" -> annResidualRerankSql,
+      "rp_rerank" -> annRpRerankSql,
+      "trained_rerank" -> annTrainedRerankSql)
+    val legs = methods.map { case (name, sql) =>
+      s"""SELECT '$name' AS method, query_id, neighbor_id FROM (
+         |$sql
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
+       |$annTopkSql
+       |)),
+       |ax AS (SELECT DISTINCT method, query_id, neighbor_id FROM (
+       |$legs
+       |)),
+       |m AS (SELECT * FROM (VALUES ${
+            methods.map(m => s"('${m._1}')").mkString(", ")
+          }) t(method)),
+       |tm AS (SELECT m.method, bf.query_id, bf.neighbor_id
+       |       FROM bf CROSS JOIN m)
+       |SELECT tm.method,
+       |       COUNT(ax.neighbor_id) AS n_hits,
+       |       COUNT(*) AS n_truth,
+       |       CAST(COUNT(ax.neighbor_id) AS DOUBLE) /
+       |         CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM tm LEFT JOIN ax
+       |  ON ax.method = tm.method
+       | AND ax.query_id = tm.query_id
+       | AND ax.neighbor_id = tm.neighbor_id
+       |GROUP BY tm.method""".stripMargin
+  }
+
   /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
     * 8-slot MinHash signature per source over the source's gram
     * multiset, pairwise slot-match Jaccard estimate.
@@ -2270,6 +2317,7 @@ object DocOracles {
     "q_ann_recall" -> annRecallSql("ivf"),
     "q_lsh_recall" -> annRecallSql("lsh"),
     "q_ann_recall_curve" -> annRecallCurveSql,
+    "q_ann_recall_ladder" -> annRecallLadderSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,

@@ -66,6 +66,27 @@ class BenchParseSpec extends AnyFunSuite {
         "r14 blended host factor would silently degrade to md5-only")
   }
 
+  test("a quoted decoy key inside a note string cannot shift the " +
+    "calibration fields (r14 ADVICE)") {
+    // The decoy "cpu_alloc": 0.1 lives INSIDE a note string literal —
+    // the old raw-text first-match regex would have returned 0.1; the
+    // depth scanner must skip it and find the real top-level field.
+    val p = tmp("""{"metric":"total",""" +
+      """"note_r15":"anchor moved; was \"cpu_alloc\": 0.1 on the old box",""" +
+      """"queries":{"q_a":1.0},"cpu_1t":0.049,"cpu_alloc":0.095}""")
+    assert(Bench.loadRefCpuAlloc(p) === Some(0.095))
+    assert(Bench.loadRefCpu1t(p) === Some(0.049))
+    // decoy BEFORE the real field in an unescaped-quote-free note too
+    val q = tmp("""{"note":"see cpu_1t: 9.9 history","cpu_1t":0.051}""")
+    assert(Bench.loadRefCpu1t(q) === Some(0.051))
+    // a key nested inside the queries object is not top-level
+    val r = tmp("""{"queries":{"cpu_alloc":9.9},"cpu_alloc":0.095}""")
+    assert(Bench.loadRefCpuAlloc(r) === Some(0.095))
+    // absent for real: None, even with a decoy present
+    val s = tmp("""{"note":"mentions \"cpu_alloc\": 0.1 only"}""")
+    assert(Bench.loadRefCpuAlloc(s) === None)
+  }
+
   // == Blended host factor (r13 verdict #5) ==
 
   test("loadRefCpuAlloc parses both the compact and spaced spellings") {

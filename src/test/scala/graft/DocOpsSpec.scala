@@ -95,6 +95,35 @@ class DocOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann recall ladder: one row per variant, cross-checked vs annRecall, " +
+    "rerank rungs dominate their raw-ADC rungs") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") < 8
+    val out = Similarity.annRecallLadder(emb, pred, k = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet == Set("ivf", "lsh", "ivfpq", "ivfpq_rerank",
+      "ivfpq_residual", "residual_rerank", "rp_rerank", "trained_rerank"))
+    out.foreach { case (m, (hits, truth, recall)) =>
+      assert(truth == 24L, s"$m: 8 queries x k=3 truth rows")
+      assert(hits >= 0L && hits <= truth, m)
+      assert(recall == hits.toDouble / truth.toDouble, m)
+    }
+    // the two gate rungs must micro-average the per-query annRecall rows
+    for (method <- Seq("ivf", "lsh")) {
+      val per = Similarity.annRecall(emb, pred, k = 3, method = method)
+        .collect().map(_.getLong(1)).sum
+      assert(out(method)._1 == per, s"$method ladder vs annRecall")
+    }
+    // exact rerank over a superset shortlist can only displace a truth
+    // member with another truth member (higher exact cosine over the
+    // full corpus implies true-top-k membership), so the rerank rung's
+    // recall dominates its raw-ADC rung
+    assert(out("ivfpq_rerank")._3 >= out("ivfpq")._3)
+    assert(out("residual_rerank")._3 >= out("ivfpq_residual")._3)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("ann recall curve is monotone in nprobe and exact at full probe") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val out = Similarity.annRecallCurve(emb, col("vec_id") < 8, k = 3,

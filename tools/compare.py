@@ -31,10 +31,16 @@ went 13 rounds without a driver green despite being LOCAL-green at
 every SF. The sweep now orders queries by (never-driver-green first,
 stalest-green round next, alphabetical last), computed from the
 CORRECTNESS_r*.json history committed in the repo, so ANY partial sweep
-yields maximal NEW evidence. Queries whose implementation changed after
-their last green are listed in REVERIFY and treated as never-green
-(r13: q_budget_select — its r12 two-phase rewrite has a stale r11
-green).
+yields maximal NEW evidence. Since r15 the scan also credits the
+builder's CORRECTNESS_LOCAL_r*.json twins and the judge's
+CORRECTNESS_JUDGE_r*.json replicas (at a half-round discount, so a
+driver green outranks a same-round LOCAL/JUDGE green) — the r14 driver
+artifact was an empty {}, and without this the r15 sweep would re-treat
+the whole surface as debt-ordered by r13-era history despite a 190/190
+judge-verified round (r14 verdict, Next #2). Queries whose
+implementation changed after their last green are listed in REVERIFY
+and treated as never-green (r13 precedent: q_budget_select).
+Unit-covered by tools/test_compare.py (plain python3, no framework).
 
 == Oracle isolation: one subprocess per query (r13 verdict #2) ==
 Three of the last four driver rounds lost 60-77 oracle legs to
@@ -65,13 +71,21 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-REPO = Path("/root/repo")
+# Derive the repo root from the script location (tools/ -> repo); a
+# hardcoded path silently found no history from other checkouts and
+# degraded the debt ordering to alphabetical with no warning.
+REPO = Path(__file__).resolve().parent.parent
 # Queries whose current implementation postdates their latest driver
 # green (stale attestation): sweep them as if never verified.
-REVERIFY = {"q_budget_select"}
+REVERIFY = set()
 CHILD_TIMEOUT_S = 900
-OOM_MARKERS = ("out of memory", "outofmemory", "malloc", "bad_alloc",
-               "cannot allocate", "memoryerror", "std::bad_alloc")
+# Phrases actually observed in OOM failures, matched word-bounded: the
+# old broad substring 'malloc' also caught deterministic errors that
+# merely mentioned malloc-family text and triggered a pointless 30 s
+# backoff + full child re-run on genuine failures.
+OOM_MARKERS = ("out of memory", "outofmemory", "bad_alloc",
+               "cannot allocate", "memoryerror",
+               "allocation failed", "failed to allocate")
 
 
 def norm_type(t) -> str:
@@ -261,33 +275,63 @@ def run_one(state, sfdir, outdir, name, sql, strict):
     return rec(rows_m, schema_m, hash_m, len(sdf), len(odf), None, issues)
 
 
-def latest_green_round():
-    """Scan the committed CORRECTNESS_r*.json history for full driver
-    greens (rows+schema+hash). Returns {query: latest green round}."""
+# (pattern, credit discount) per artifact kind. A driver green at round
+# N credits N.0; a LOCAL/JUDGE green at the same round credits N-0.5 —
+# still green, but any query with a DRIVER attestation of the same
+# vintage carries less debt. Before r15 only the driver pattern was
+# scanned, so the r14 driver artifact being an empty {} left the sweep
+# blind to that round's 190/190 LOCAL+JUDGE evidence and re-ordered by
+# r13-era history (r14 verdict, What's wrong #1).
+ARTIFACT_KINDS = (
+    (r"CORRECTNESS_r(\d+)", 0.0),
+    (r"CORRECTNESS_LOCAL_r(\d+)", 0.5),
+    (r"CORRECTNESS_JUDGE_r(\d+)", 0.5),
+)
+
+
+def latest_green_round(repo=None):
+    """Scan the committed correctness history (driver + LOCAL twin +
+    JUDGE replica artifacts) for full greens (rows+schema+hash).
+    Returns {query: latest green credit} where credit = round minus the
+    artifact-kind discount, so a driver green outranks a same-round
+    LOCAL/JUDGE green. Warns when no history is found at all — that
+    means the debt ordering is degrading to alphabetical (likely a
+    wrong repo root)."""
+    repo = REPO if repo is None else Path(repo)
     greens = {}
-    for p in REPO.glob("CORRECTNESS_r*.json"):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem)
-        if not m:
-            continue  # skips the LOCAL twins by construction
-        rnd = int(m.group(1))
+    found_any = False
+    for p in repo.glob("CORRECTNESS_*r*.json"):
+        credit = None
+        for pat, discount in ARTIFACT_KINDS:
+            m = re.fullmatch(pat, p.stem)
+            if m:
+                credit = int(m.group(1)) - discount
+                break
+        if credit is None:
+            continue
         try:
             d = json.loads(p.read_text())
         except Exception:
             continue
         if not isinstance(d, dict):
             continue
+        found_any = True
         for q, r in d.items():
             if (isinstance(r, dict) and r.get("rows_match")
                     and r.get("schema_match") and r.get("hash_match")):
-                greens[q] = max(greens.get(q, 0), rnd)
+                greens[q] = max(greens.get(q, 0), credit)
+    if not found_any:
+        print(f"WARNING: no CORRECTNESS_*r*.json history under {repo}; "
+              "sweep order degrades to alphabetical", file=sys.stderr)
     return greens
 
 
-def sweep_order(names):
+def sweep_order(names, repo=None):
     """Verification-debt-first ordering (see module scaladoc): queries
-    with no driver green ever (or in REVERIFY) come first, then stale
-    greens oldest-round first, alphabetical within each band."""
-    greens = latest_green_round()
+    with no green ever (or in REVERIFY) come first, then stale greens
+    oldest-credit first (LOCAL/JUDGE greens count at a half-round
+    discount vs driver greens), alphabetical within each band."""
+    greens = latest_green_round(repo)
     def key(q):
         g = 0 if q in REVERIFY else greens.get(q, 0)
         return (g, q)
