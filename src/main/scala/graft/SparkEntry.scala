@@ -354,6 +354,21 @@ object SparkEntry {
       Similarity.nearDupPairs(
         Similarity.perturbedCopies(T(s, d)("embeddings")),
         threshold = 0.9, bitsPerBand = 8, bands = 8)),
+    // IMAGE near-dup through the REAL codec path: id-derived 9x8 PNGs
+    // (+ one-cell-perturbed copies, the image twin of perturbedCopies)
+    // are ImageIO-encoded, ImageIO-decoded, dHashed (64 horizontal-
+    // gradient bits off the block-averaged luma grid), then paired by
+    // the same byte-block LSH + exact-hamming verify the SimHash
+    // family uses. PNG losslessness makes the decoded grid equal the
+    // integer formula grid, so the DuckDB oracle replays hash and
+    // pairs exactly — a broken codec round-trip fails the gate.
+    "q_image_neardup" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.imagesFromIds(
+        T(s, d)("embeddings").select("vec_id"))
+      val hashes = graft.multimodal.Multimodal.imageDHashes(media)
+        .toDF().withColumnRenamed("dhash", "ahash")
+      graft.multimodal.Multimodal.imageNearDup(hashes, maxHamming = 6)
+    }),
     // kNN label propagation (weak supervision): majority label of the
     // 5 IVF-ANN nearest neighbors per query vector
     "q_knn_label" -> ((s, d) =>

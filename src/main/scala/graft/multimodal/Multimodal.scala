@@ -267,6 +267,146 @@ object Multimodal {
     }
   }
 
+  final case class ImageDHash(media_id: Long, decoded: Boolean, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over the REAL image decode
+    * path: block-average the luminance onto a 9-wide × 8-tall grid,
+    * then set bit (y*8 + x) iff cell(y, x+1) > cell(y, x) — 64
+    * horizontal-gradient bits. dHash survives uniform brightness and
+    * contrast shifts that flip aHash bits (the threshold is LOCAL — a
+    * neighbour comparison — not the global mean), which is why it is
+    * the standard cheap near-dup fingerprint for recompressed and
+    * re-exposed copies. Same kernel shape and partly-corrupt-corpus
+    * guarantee as [[imageHashes]]: per-partition ImageIO init, bytes
+    * never leave the partition, undecodable rows degrade to a
+    * deterministic byte-fold with `decoded = false`.
+    */
+  def imageDHashes(media: Dataset[MediaRow]): Dataset[ImageDHash] = {
+    implicit val enc = Encoders.product[ImageDHash]
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      def fold(row: MediaRow): Long = {
+        var h = 1125899906842597L
+        row.bytes.foreach(b => h = h * 31 + (b & 0xff))
+        h
+      }
+      it.map { row =>
+        val img =
+          if (row.kind != "image") None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.bytes)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val sum = new Array[Double](72) // 9 wide x 8 tall
+            val cnt = new Array[Long](72)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+                val gi = math.min(y * 8 / h, 7) * 9 + math.min(x * 9 / w, 8)
+                sum(gi) += lum
+                cnt(gi) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val avg = Array.tabulate(72)(i =>
+              if (cnt(i) > 0) sum(i) / cnt(i) else 0.0)
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (avg(gy * 9 + gx + 1) > avg(gy * 9 + gx))
+                  hash |= (1L << (gy * 8 + gx))
+                gx += 1
+              }
+              gy += 1
+            }
+            ImageDHash(row.media_id, decoded = true, hash)
+          case None => ImageDHash(row.media_id, decoded = false, fold(row))
+        }
+      }
+    }
+  }
+
+  /** The deterministic gray level of grid cell `i` (0..71, row-major
+    * 9×8) of the image derived from `baseId`, with the single-cell
+    * perturbation applied when `perturbed` — shared by the PNG writer
+    * ([[imagesFromIds]]), the spec's independent recomputation, and
+    * the DuckDB oracle mirror (same integer arithmetic in SQL). A
+    * perturbed copy differs from its base in exactly ONE cell, so its
+    * dHash differs in at most 2 horizontal-gradient bits — always
+    * within the byte-block LSH's pigeonhole recall bound.
+    */
+  def cellGray(baseId: Long, i: Int, perturbed: Boolean): Int = {
+    // md5 of "id:i", first byte: polynomial formulas were tried first
+    // and collide STRUCTURALLY — any g(id,i) whose cell-to-cell
+    // difference is id-independent (true for every id + f(i) shape mod
+    // 256, however nonlinear f is) gives the whole corpus the same
+    // gradient wrap pattern up to phase, and the measured hamming≤6
+    // pair count exploded to ~20k over 625 images. md5 grays are
+    // genuinely 2-D-mixed, cross-id hashes decorrelate, and only the
+    // planted perturbed copies pair up; both engines ship md5, so the
+    // oracle replays this exactly.
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$baseId:$i".getBytes("UTF-8"))
+    val g = h(0) & 0xff
+    if (perturbed && i == (baseId % 72L).toInt) ((g + 96) % 256) else g
+  }
+
+  /** Deterministic image corpus DERIVED FROM A DRIVER TABLE's id
+    * column: one REAL encoded 9×8 PNG per id (cell grays from
+    * [[cellGray]] — pure integer arithmetic a SQL oracle can replay),
+    * plus a perturbed near-duplicate copy (`id + copyOffset`, one cell
+    * shifted) for every `copyEvery`-th id — the image twin of
+    * `Similarity.perturbedCopies`. Because PNG is lossless and the
+    * image is exactly grid-sized, the decoded luminance grid equals
+    * the formula grid bit-for-bit, which is what lets a DuckDB oracle
+    * verify the REAL encode→ImageIO-decode→dHash path end-to-end: any
+    * corruption in the codec round-trip changes the hashes and fails
+    * the gate. Encoding happens inside the partition (mapPartitions),
+    * so the corpus scales with partitions like any spark.range.
+    */
+  def imagesFromIds(ids: DataFrame, idCol: String = "vec_id",
+                    copyEvery: Int = 4,
+                    copyOffset: Long = 10000000L): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import ids.sparkSession.implicits._
+    val base = ids.select(col(idCol).cast("long")).as[Long]
+      .flatMap { id =>
+        val copies =
+          if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil
+        (id, id, false) +: copies
+      }
+    base.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (mediaId, baseId, perturbed) =>
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 72) {
+          val g = cellGray(baseId, i, perturbed)
+          img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(mediaId, "image", bos.toByteArray,
+          MediaMeta(9, 8, 0, 0, "png"))
+      }
+    }
+  }
+
   /** Hamming near-duplicate pairs over 64-bit perceptual hashes — the
     * image leg of the dedup family, same byte-block LSH as
     * `Dedup.simhashPairs`: candidates come from an equi-join on one of

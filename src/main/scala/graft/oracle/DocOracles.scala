@@ -1879,6 +1879,76 @@ object DocOracles {
        |GROUP BY tm.method""".stripMargin
   }
 
+  /** Mirror of q_image_neardup — the image leg of the dedup family.
+    * The Spark side builds REAL 9×8 PNGs from the embeddings table's
+    * ids (Multimodal.imagesFromIds: cell grays from the cellGray
+    * integer formula, plus a one-cell-perturbed copy per 4th id),
+    * round-trips them through ImageIO encode→decode, dHashes the
+    * decoded luminance grid (bit y*8+x ⟺ cell(y,x+1) > cell(y,x)),
+    * and pairs hashes by byte-block LSH + exact hamming ≤ 6. PNG is
+    * lossless and the image is exactly grid-sized, so the DECODED
+    * grid equals the FORMULA grid — this SQL replays the formula,
+    * the 64 gradient bits, the 8-bit block keys, the first-shared-
+    * block candidate dedup, and the hamming verify, making the whole
+    * codec round-trip oracle-checked: a corrupted byte anywhere in
+    * encode/decode changes a hash and fails the gate. The 64-bit
+    * hash is never packed into one SQL BIGINT (bit 63 would need
+    * two's-complement gymnastics); blocks stay separate — Spark's
+    * bit_count(xor(hash)) equals the Σ of per-block bit_counts.
+    */
+  private def imageNearDupSql: String = {
+    val pivotCols = (0 until 8).map(b =>
+      s"MAX(CASE WHEN block = $b THEN bkey END) AS b$b").mkString(", ")
+    val firstShared = (0 until 7).map(b =>
+      s"WHEN pa.b$b = pb.b$b THEN $b").mkString(" ")
+    val hamming = (0 until 8).map(b =>
+      s"bit_count(xor(pa.b$b, pb.b$b))").mkString(" + ")
+    s"""WITH ids AS (
+       |  SELECT vec_id AS id, vec_id AS base, FALSE AS pert
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, vec_id, TRUE FROM embeddings
+       |  WHERE vec_id % 4 = 0),
+       |cells AS (
+       |  SELECT id, base, pert,
+       |         UNNEST(generate_series(0, 71)) AS i
+       |  FROM ids),
+       |hx AS (
+       |  SELECT id, i,
+       |    (strpos('0123456789abcdef',
+       |       substr(md5(base || ':' || i), 1, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef',
+       |       substr(md5(base || ':' || i), 2, 1)) - 1) AS graw,
+       |    pert AND i = base % 72 AS hit
+       |  FROM cells),
+       |cg AS (
+       |  SELECT id, i,
+       |    CASE WHEN hit THEN (graw + 96) % 256 ELSE graw END AS g
+       |  FROM hx),
+       |bits AS (
+       |  SELECT c1.id, (c1.i // 9) * 8 + (c1.i % 9) AS k,
+       |    CASE WHEN c2.g > c1.g THEN 1 ELSE 0 END AS bit
+       |  FROM cg c1 JOIN cg c2 ON c2.id = c1.id AND c2.i = c1.i + 1
+       |  WHERE c1.i % 9 < 8),
+       |blk AS (
+       |  SELECT id, CAST(k // 8 AS INTEGER) AS block,
+       |    CAST(SUM(bit * (1 << CAST(k % 8 AS INTEGER))) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY id, k // 8),
+       |pv AS (SELECT id, $pivotCols FROM blk GROUP BY id),
+       |pr AS (
+       |  SELECT a.id AS img_a, b.id AS img_b, a.block AS blk
+       |  FROM blk a JOIN blk b
+       |    ON a.block = b.block AND a.bkey = b.bkey AND a.id < b.id),
+       |fs AS (
+       |  SELECT pr.img_a, pr.img_b,
+       |    CAST($hamming AS INTEGER) AS hamming
+       |  FROM pr
+       |  JOIN pv pa ON pa.id = pr.img_a
+       |  JOIN pv pb ON pb.id = pr.img_b
+       |  WHERE pr.blk = (CASE $firstShared ELSE 7 END))
+       |SELECT img_a, img_b, hamming FROM fs WHERE hamming <= 6""".stripMargin
+  }
+
   /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
     * 8-slot MinHash signature per source over the source's gram
     * multiset, pairwise slot-match Jaccard estimate.
@@ -2318,6 +2388,7 @@ object DocOracles {
     "q_lsh_recall" -> annRecallSql("lsh"),
     "q_ann_recall_curve" -> annRecallCurveSql,
     "q_ann_recall_ladder" -> annRecallLadderSql,
+    "q_image_neardup" -> imageNearDupSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,

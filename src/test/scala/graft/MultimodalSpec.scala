@@ -116,6 +116,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("image dHash near-dup: full recall vs exact pixel-distance truth, " +
+    "decoded grid equals the writer formula") {
+    // corpus: 60 base images + 15 one-cell-perturbed copies, through
+    // the REAL PNG encode -> ImageIO decode path
+    val ids = spark.range(60).select(col("id").as("vec_id"))
+    val media = Multimodal.imagesFromIds(ids)
+    val rows = media.collect()
+    assert(rows.length == 75)
+
+    // EXACT truth, independent of the operator under test: decode each
+    // PNG in plain test code, read the raw pixel grid, recompute dHash
+    // bits from pixels, and count exact pairwise hamming
+    def pixelGrid(bytes: Array[Byte]): Array[Int] = {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(im.getWidth == 9 && im.getHeight == 8)
+      Array.tabulate(72)(i => im.getRGB(i % 9, i / 9) & 0xff)
+    }
+    val grids = rows.map(r => r.media_id -> pixelGrid(r.bytes)).toMap
+    // PNG losslessness: the decoded grid IS the writer formula — the
+    // premise the DuckDB oracle mirror rests on
+    rows.foreach { r =>
+      val baseId = if (r.media_id >= 10000000L) r.media_id - 10000000L
+                   else r.media_id
+      val pert = r.media_id >= 10000000L
+      val expect = Array.tabulate(72)(i =>
+        Multimodal.cellGray(baseId, i, pert))
+      assert(grids(r.media_id).toSeq == expect.toSeq, s"id=${r.media_id}")
+    }
+    def dhashOf(g: Array[Int]): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= (1L << (y * 8 + x))
+      h
+    }
+    val hashes = grids.map { case (id, g) => id -> dhashOf(g) }
+    val idsAll = hashes.keys.toSeq.sorted
+    val truth = (for {
+      a <- idsAll; b <- idsAll if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 6
+    } yield (a, b, d)).toSet
+
+    val got = Multimodal.imageNearDup(
+        Multimodal.imageDHashes(media).toDF()
+          .withColumnRenamed("dhash", "ahash"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole (8 byte-blocks, hamming <= 6 < 8) makes the banded
+    // operator FULL-recall against the exact pairwise truth — and the
+    // exact-hamming verify makes it full-precision, so set equality
+    assert(got == truth,
+      s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    // every planted perturbed copy pairs with its base within 2 bits
+    // (one cell changed -> at most 2 horizontal-gradient bits flip)
+    for (id <- 0L until 60L if id % 4 == 0) {
+      val p = truth.find(t => t._1 == id && t._2 == id + 10000000L)
+      assert(p.nonEmpty, s"planted pair for id=$id not in exact truth")
+      assert(p.get._3 <= 2, s"planted pair hamming ${p.get._3} > 2")
+    }
+  }
+
+  test("dHash block-averaging on non-grid-sized images matches an " +
+    "independent pixel recomputation") {
+    // 36x16: each dHash cell averages a 4x2 pixel block
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(
+      36, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 36) {
+      val g = (x * 31 + y * 97 + (x * y) % 13 * 20) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(MediaRow(1L, "image", bos.toByteArray,
+      Multimodal.MediaMeta(36, 16, 0, 0, "png"))).toDS()
+    val got = Multimodal.imageDHashes(media).collect()(0)
+    assert(got.decoded)
+    // independent recomputation: same block map, plain arrays
+    val sum = new Array[Double](72)
+    val cnt = new Array[Long](72)
+    for (y <- 0 until 16; x <- 0 until 36) {
+      val g = (x * 31 + y * 97 + (x * y) % 13 * 20) % 256
+      val gi = math.min(y * 8 / 16, 7) * 9 + math.min(x * 9 / 36, 8)
+      sum(gi) += g; cnt(gi) += 1
+    }
+    val avg = Array.tabulate(72)(i => if (cnt(i) > 0) sum(i) / cnt(i) else 0.0)
+    var expect = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (avg(y * 9 + x + 1) > avg(y * 9 + x)) expect |= (1L << (y * 8 + x))
+    assert(got.dhash == expect)
+  }
+
   test("real WAV decode: sample rate, duration, RMS and ZCR match the tone formula") {
     val sr = 8000
     val wavs = Multimodal.syntheticWavMedia(spark, 12, sampleRate = sr, ms = 250)
