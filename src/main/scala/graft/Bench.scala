@@ -21,7 +21,8 @@ import scala.collection.mutable.ArrayBuffer
   *  2. 1-minute loadavg is sampled before and after every query
   *     (`"load"`) — a spike correlated with a slow reading is ambient
   *     load, not a regression;
-  *  3. if the two runs disagree by >3x, a third run decides (median);
+  *  3. if the two runs disagree by >3x, a third evidence run is
+  *     taken; the value is the min of all runs (one-sided noise);
   *  4. if a committed reference file (`BENCH_REF.json`, overridable via
   *     SPARK_GRAFT_BENCH_REF) knows this query and the reading is still
   *     >5x the reference, up to two spaced retry runs attempt a clean
@@ -397,12 +398,19 @@ object Bench {
         }
         attempt(); attempt()
         // >3x disagreement between the two runs: one of them is
-        // contaminated — a third run breaks the tie via median.
+        // contaminated — take a third sample for evidence. The value
+        // is then the MIN of all samples, not the median: r15 idle
+        // forensics (BENCH_TREND_r15.txt) showed the >3x trigger fires
+        // almost exclusively because run 1 paid codegen/cache builds,
+        // and the median of [fast, comparable, codegen-heavy] returns
+        // the SLOWER of the two comparable runs — at true idle
+        // (foreign_mean 0.003) this alone stamped warm-fast queries
+        // 2-3x over anchor. Wall noise is one-sided (contention and
+        // cold caches only ever inflate; the work cannot run faster
+        // than the code allows), so min is the sound estimator — the
+        // same axiom every retry path here already states.
         if (ok.size == 2 && ok.max / math.max(ok.min, 1e-9) > 3.0) attempt()
-        var value =
-          if (ok.size >= 3) ok.sorted.apply(ok.size / 2) // median
-          else if (ok.nonEmpty) ok.min
-          else Double.NaN
+        var value = if (ok.nonEmpty) ok.min else Double.NaN
         // Reference-guided retry: a reading far above the committed
         // clean value is almost certainly ambient load (code changes
         // land with their own updated reference). Retries are spaced
@@ -545,7 +553,7 @@ object Bench {
     val suspectNames = suspectList.map(_._1).toSet
     val cleanTotal = results.map { case (k, v) =>
       if (suspectNames(k)) reference(k) else v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"cpu_alloc":${r3(cpuAlloc)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third run, median; readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = mean of this host's calibration ratios over the reference's - single-thread md5 cpu_1t and small-string alloc/hash-group cpu_alloc, the explode-family regime md5 cannot see - floored at 1; rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"load_start":$loadStart,"load_end":$loadEnd,"suspect":$suspectJson,"clean_total":${r3(cleanTotal)},"cpu_1t":${r3(cpu1t)},"cpu_mt":${r3(cpuMt)},"cpu_alloc":${r3(cpuAlloc)},"host_factor":${r3(hostFactor)},"run_drift":${r3(runDrift)},"run_drift_norm":${r3(runDriftNorm)},"run_retried":$runRetried,"run_suspect":$runSuspect,"invalid_load":$invalidLoad,"foreign_mean":${r3(foreignMean)},"foreign_peak":${r3(foreignPeak)},"foreign_n":${foreignSamples.size},"midrun_load_breach":$midrunBreach,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","methodology":"min of 2 runs per query (run 1 pays one-time codegen/broadcast builds); >3x run disagreement -> third evidence run, value = min of all runs (r15: the median of [fast, comparable, codegen-heavy] returned the slower comparable run and stamped warm-fast queries 2-3x over anchor at true idle; wall noise is one-sided so min is sound); readings >5x the committed BENCH_REF.json value retried up to 2x spaced 500ms then flagged suspect (ambient-load audit: per-run times in runs, 1-min loadavg before/after each query in load); clean_total substitutes reference values for suspect readings; run-level gate: if suspect-substituted total exceeds 1.25x the reference total over jointly-known queries (normalized by host_factor = mean of this host's calibration ratios over the reference's - single-thread md5 cpu_1t and small-string alloc/hash-group cpu_alloc, the explode-family regime md5 cannot see - floored at 1; rounds land on different-speed hosts), one full extra pass re-measures every query (min taken), and a run still above the gate is stamped run_suspect; load defense: the run waits up to SPARK_GRAFT_LOAD_WAIT_SECS (default 600s) for 1-min loadavg <= SPARK_GRAFT_LOAD_MAX (default 2.0) before measuring and is stamped invalid_load if it must start loaded, a daemon thread additionally samples FOREIGN cpu (system busy jiffies minus this process, /proc/stat vs /proc/self/stat, every 5s) for the whole suite and a mean above SPARK_GRAFT_FOREIGN_MAX (default 2.0 cores) stamps midrun_load_breach and run_suspect - the start-only loadavg gate is blind to co-tenants arriving mid-run and raw loadavg cannot police the middle of a run that itself runs local[32], and any query still >=2x its reference after in-flight retries gets one end-of-suite requeue (min taken); BENCH_REF refresh rule: a new reference requires two back-to-back verified-idle runs agreeing within ~1%, a committed tools/bench_trend.py comparison vs the outgoing anchor, and a stated cause in the commit - serial refreshes without that evidence could hide a slow creep"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

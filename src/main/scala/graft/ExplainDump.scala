@@ -92,7 +92,10 @@ object ExplainDump {
       // round 14: ANN recall evals (IVF and LSH vs brute-force truth)
       // + DSIR floor-then-fill selection + eval-split contamination
       "q_ann_recall", "q_lsh_recall", "q_dsir_select",
-      "q_eval_contamination", "q_ann_recall_curve")
+      "q_eval_contamination", "q_ann_recall_curve",
+      // round 15: full-ladder ANN recall eval + image perceptual dedup
+      // through the real codec path
+      "q_ann_recall_ladder", "q_image_neardup")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (auto-generated by " +
       "graft.ExplainDump; do not edit)\n\n")

@@ -86,7 +86,17 @@ object ScaleRehearsal {
           .withColumn("shard", pmod(col("doc_id"), lit(32L))),
         shardCol = Some("shard"))),
     "x_pack_global" -> ((s, d) => graft.operators.TextAnalysis
-      .packSequences(graft.sources.Tables(s, d, "documents"))))
+      .packSequences(graft.sources.Tables(s, d, "documents"))),
+    // r15: the exact stride-1 substring sweep vs the shipped strided
+    // default — the measured cost of the full-recall option the
+    // repeatedSubstrings scaladoc points span-DETECTION callers at
+    // (window volume ~stride× the default's)
+    "x_substring_exact" -> ((s, d) => graft.operators.Dedup
+      .repeatedSubstrings(graft.sources.Tables(s, d, "documents"),
+        k = 20, stride = 1)),
+    "x_substring_strided" -> ((s, d) => graft.operators.Dedup
+      .repeatedSubstrings(graft.sources.Tables(s, d, "documents"),
+        k = 20, stride = 10)))
 
   private def timeQuery(spark: SparkSession, name: String,
                         dir: String): (Double, Long) = {

@@ -214,12 +214,21 @@ object SoakAudit {
           } else graft.streaming.StreamWinnow.consolidate(winState)
           winConsolidateWall += (System.nanoTime() - tc0) / 1e6
         } else winConsolidateWall += 0.0
-        winStoreRows += winState.fpRows
         // batch fingerprint rows, untimed (audit instrumentation;
         // ONE pass, nothing cached — the r14 first 10× run showed an
         // extra untimed store probe here perturbs the timed legs)
         winBatchFps += graft.operators.TextAnalysis
           .winnowFingerprints(db).count()
+        // store size tracked ARITHMETICALLY (previous + this batch's
+        // fingerprints): ingest is append-only and consolidate/compact
+        // (keep-all) preserve rows, so the series equals the counted
+        // one — and the per-batch O(store) count() this replaces was
+        // itself the class of extra store probe the comment above
+        // bans (r14 ADVICE). The ONE real count() happens after the
+        // soak (winStoreExact), which certifies the whole arithmetic
+        // series against the corpus's exact fingerprint rows.
+        winStoreRows += (winStoreRows.lastOption.getOrElse(0L) +
+          winBatchFps.last)
         (): Unit
       }
       .start()
@@ -273,12 +282,17 @@ object SoakAudit {
     graft.operators.OperatorCaches.releaseAll()
     val winSuperset = winExpect.forall { case (k, n0) =>
       winPairs.get(k).exists(_ >= n0) }
-    val winStoreExact = winStoreRows.lastOption.contains(
-      TextAnalysis.winnowFingerprints(docs).count())
-    val winAppendsExact = winStoreRows.toSeq.zip(0L +: winStoreRows.toSeq)
-      .map { case (a, b) => a - b }.zip(winBatchFps.toSeq)
-      .forall { case (d, f) => d == f }
-    val winParity = winSuperset && winStoreExact && winAppendsExact
+    // the soak's ONE real store count: the arithmetically-tracked
+    // series must land exactly on the corpus's fingerprint rows —
+    // this certifies both the final store contents AND that every
+    // append was exactly its batch's fingerprints in aggregate
+    // (Σ batch fps == final store rows); the per-batch delta==fps
+    // check the arithmetic series replaced is tautological now and
+    // was dropped with it (r14 ADVICE)
+    val winStoreExact = winState.fpRows ==
+      TextAnalysis.winnowFingerprints(docs).count() &&
+      winStoreRows.lastOption.contains(winState.fpRows)
+    val winParity = winSuperset && winStoreExact
 
     val n = ingestWall.size
     val qn = math.max(1, n / 4)
@@ -353,6 +367,14 @@ object SoakAudit {
     val winCostPerRow = winWall.indices
       .map(i => winWall(i) * 1000.0 / winWork(i))
     val winCostTrend = trendOf(winCostPerRow)
+    // the winnow leg's END-TO-END bounded invariant (r14 verdict Next
+    // #6): µs per unit of work must hold the STRICT ratio bound at
+    // every scale. Trend.flat's sub-50 jitter escape is for small
+    // MILLISECOND phases; per-row costs are a few µs, so flat() would
+    // be vacuously true on them (q4 <= q2 + 100) and a future
+    // O(store) regression in the probe path could hide behind
+    // "output grew". Measured 0.55/0.60 at 1×/10× — 2× headroom.
+    val winCostBounded = winCostTrend.ratio <= 1.2
     val novNew = novStoreRows.toSeq.zip(0L +: novStoreRows.toSeq)
       .map { case (a, b) => (a - b).toDouble }
     val novRate = novNew.zip(novBatchGrams.toSeq)
@@ -400,7 +422,7 @@ object SoakAudit {
       f""""winnow_cost_trend_q4_over_q2":${winCostTrend.ratio}%.3f,""" +
       f""""winnow_wall_trend_q4_over_q2":${winWallTrend.ratio}%.3f,""" +
       s""""winnow_compacted_mid_soak":$winCompacted,""" +
-      s""""winnow_appends_exact":$winAppendsExact,""" +
+      s""""winnow_cost_bounded":$winCostBounded,""" +
       s""""winnow_store_exact":$winStoreExact,""" +
       s""""winnow_pair_superset":$winSuperset,""" +
       s""""winnow_parity":$winParity,""" +
@@ -408,7 +430,8 @@ object SoakAudit {
     Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
-    if (!parity || !novParity || !novSubLinear || !winParity || !flat)
+    if (!parity || !novParity || !novSubLinear || !winParity ||
+        !winCostBounded || !flat)
       sys.exit(1)
   }
 }

@@ -1044,6 +1044,20 @@ object Dedup {
     * hash (the only wide shuffle, same volume as the shingle df pass),
     * one keyed join back + per-doc aggregate. No suffix structure, no
     * cross-doc pair enumeration.
+    *
+    * MEASURED accuracy vs the exact sweep (r14 verdict Next #5 —
+    * `stride = 1` IS the exact full n-gram profile; the strided form
+    * samples its window set, so strided repeats are a SUBSET of exact
+    * repeats: flag precision is structurally 1.0). At sf0.01/sf0.001,
+    * k=20, default stride 10 vs exact: repeated_frac MAE 0.055/0.052,
+    * corr 0.99, and the ≥0.5-threshold scrub decision — the documented
+    * use — agrees with exact at recall 1.0 / precision 1.0. The
+    * strided form is NOT a detector of "has ANY repeated span": that
+    * flag's recall reads 0.28/0.32 (misaligned cross-doc spans fall
+    * between sampled starts). Callers needing span DETECTION should
+    * pass stride = 1 and pay the ~stride× window volume (measured in
+    * SCALE_r15); callers thresholding a duplication SCORE keep the
+    * default. DocOpsSpec pins all three numbers.
     */
   def repeatedSubstrings(docs: DataFrame, k: Int = 20,
                          stride: Int = 10): DataFrame = {
