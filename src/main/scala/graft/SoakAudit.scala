@@ -289,9 +289,10 @@ object SoakAudit {
     // (Σ batch fps == final store rows); the per-batch delta==fps
     // check the arithmetic series replaced is tautological now and
     // was dropped with it (r14 ADVICE)
-    val winStoreExact = winState.fpRows ==
+    val winStoreFinal = winState.fpRows // the ONE store-wide count
+    val winStoreExact = winStoreFinal ==
       TextAnalysis.winnowFingerprints(docs).count() &&
-      winStoreRows.lastOption.contains(winState.fpRows)
+      winStoreRows.lastOption.contains(winStoreFinal)
     val winParity = winSuperset && winStoreExact
 
     val n = ingestWall.size

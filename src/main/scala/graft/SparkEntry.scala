@@ -358,8 +358,9 @@ object SparkEntry {
     // (+ one-cell-perturbed copies, the image twin of perturbedCopies)
     // are ImageIO-encoded, ImageIO-decoded, dHashed (64 horizontal-
     // gradient bits off the block-averaged luma grid), then paired by
-    // the same byte-block LSH + exact-hamming verify the SimHash
-    // family uses. PNG losslessness makes the decoded grid equal the
+    // composite-band LSH (28 two-block 16-bit keys — full recall at
+    // hamming <= 6 by pigeonhole) + exact-hamming verify. PNG
+    // losslessness makes the decoded grid equal the
     // integer formula grid, so the DuckDB oracle replays hash and
     // pairs exactly — a broken codec round-trip fails the gate.
     "q_image_neardup" -> ((s, d) => {

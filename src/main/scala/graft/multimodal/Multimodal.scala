@@ -357,8 +357,18 @@ object Multimodal {
     // genuinely 2-D-mixed, cross-id hashes decorrelate, and only the
     // planted perturbed copies pair up; both engines ship md5, so the
     // oracle replays this exactly.
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$baseId:$i".getBytes("UTF-8"))
+    cellGray(baseId, i, perturbed,
+      java.security.MessageDigest.getInstance("MD5"))
+  }
+
+  /** Digest-reusing overload for the per-partition encode loop: 72
+    * cells per image would otherwise pay a JCA provider lookup + a
+    * fresh digest allocation each (digest() resets the instance, so
+    * reuse is safe).
+    */
+  def cellGray(baseId: Long, i: Int, perturbed: Boolean,
+               md: java.security.MessageDigest): Int = {
+    val h = md.digest(s"$baseId:$i".getBytes("UTF-8"))
     val g = h(0) & 0xff
     if (perturbed && i == (baseId % 72L).toInt) ((g + 96) % 256) else g
   }
@@ -390,12 +400,13 @@ object Multimodal {
     base.mapPartitions { rows =>
       System.setProperty("java.awt.headless", "true")
       javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { case (mediaId, baseId, perturbed) =>
         val img = new java.awt.image.BufferedImage(
           9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var i = 0
         while (i < 72) {
-          val g = cellGray(baseId, i, perturbed)
+          val g = cellGray(baseId, i, perturbed, md)
           img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
           i += 1
         }
@@ -407,35 +418,57 @@ object Multimodal {
     }
   }
 
+  /** The 28 (i, j) byte-block index pairs, i < j, in lexicographic
+    * order — the composite-band enumeration shared by the operator,
+    * its plan, and the DuckDB oracle mirror.
+    */
+  private[multimodal] val bandPairs: IndexedSeq[(Int, Int)] =
+    for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+
   /** Hamming near-duplicate pairs over 64-bit perceptual hashes — the
-    * image leg of the dedup family, same byte-block LSH as
-    * `Dedup.simhashPairs`: candidates come from an equi-join on one of
-    * 8 shared bytes (pigeonhole: full recall up to hamming ≤ 7), kept
-    * only at their FIRST shared block (row-local when-chain — no
-    * distinct shuffle), then verified by exact `bit_count(xor)`. Pair
-    * volume is Σ per-(block,byte) bucket², never N².
+    * image leg of the dedup family. Candidates come from an equi-join
+    * on COMPOSITE 16-bit band keys (one per pair of the 8 byte-blocks,
+    * 28 bands): a pair within hamming d dirties at most d blocks, so
+    * d ≤ 6 leaves ≥ 2 clean blocks and therefore SOME clean block
+    * PAIR — full recall by pigeonhole. Each candidate is kept only at
+    * its FIRST clean band (row-local when-chain — no distinct
+    * shuffle), then verified by exact `bit_count(xor)`.
+    *
+    * Why composite and not single-byte bands: pair volume is
+    * Σ per-(band, key) bucket². Perceptual hashes of a diverse corpus
+    * are near-uniform, so single 8-bit keys give ~N²·8/2⁸ candidate
+    * pairs — measured 16× wall at 10× rows (SCALE_r15, the r15
+    * first-cut banding). 16-bit composite keys cut the constant 2⁸×
+    * (~N²·28/2¹⁶) at the price of 28 bands instead of 8; at the same
+    * 10× point the rewrite measures near-linear. The banding remains
+    * inherently quadratic in bucket occupancy — at larger corpora,
+    * widen the bands (3-block keys: full recall to d ≤ 4) the same
+    * way, trading the recall bound for selectivity.
     */
   def imageNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
-    // pigeonhole over 8 byte-blocks: a pair within hamming d shares
-    // an identical block only when d <= 7, so recall is total iff
-    // maxHamming <= 7 — reject configs that would silently lose pairs
-    require(maxHamming <= 7,
-      s"imageNearDup: byte-block LSH guarantees full recall only for " +
-        s"maxHamming <= 7 (8 blocks, pigeonhole); got $maxHamming")
+    require(maxHamming <= 6,
+      s"imageNearDup: composite 2-block bands guarantee full recall " +
+        s"only for maxHamming <= 6 (>= 2 clean blocks needed); got " +
+        s"$maxHamming")
     def blockOf(c: Column, b: Int): Column =
       shiftrightunsigned(c, b * 8).bitwiseAND(lit(255L))
+    def bandKey(c: Column, i: Int, j: Int): Column =
+      blockOf(c, i) * lit(256L) + blockOf(c, j)
     val bd = hashes.select(col("media_id"), col("ahash"),
-      posexplode(array((0 until 8).map(i => blockOf(col("ahash"), i)): _*))
-        .as(Seq("block", "bkey")))
-    val firstShared = (1 until 8).foldLeft(
-      when(blockOf(col("a.ahash"), 0) === blockOf(col("b.ahash"), 0), 0)) {
-      (acc, b) => acc.when(
-        blockOf(col("a.ahash"), b) === blockOf(col("b.ahash"), b), b)
+      posexplode(array(bandPairs.map { case (i, j) =>
+        bandKey(col("ahash"), i, j) }: _*)).as(Seq("band", "bkey")))
+    val firstShared = bandPairs.zipWithIndex.tail.foldLeft {
+      val (i0, j0) = bandPairs.head
+      when(bandKey(col("a.ahash"), i0, j0) ===
+        bandKey(col("b.ahash"), i0, j0), 0)
+    } { case (acc, ((i, j), b)) =>
+      acc.when(bandKey(col("a.ahash"), i, j) ===
+        bandKey(col("b.ahash"), i, j), b)
     }
     bd.as("a").join(bd.as("b"),
-        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey") &&
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
-      .filter(col("a.block") === firstShared)
+      .filter(col("a.band") === firstShared)
       .select(col("a.media_id").as("img_a"), col("b.media_id").as("img_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -1330,28 +1330,47 @@ object Similarity {
     * side); the approximate leg is the scale path being graded. The
     * hit join and per-query aggregate are k-bounded.
     */
+  /** The shared recall-eval scaffold (ONE definition so a change to
+    * the recall contract lands in annRecall, annRecallCurve and
+    * annRecallLadder together or not at all): left-join the
+    * brute-force truth against an approximate top-k leg, marking
+    * hits. The dropDuplicates is robustness over correctness-by-
+    * coincidence: today every approximate path dedupes via
+    * row_number, but a future method emitting a duplicate (query,
+    * neighbor) row would fan out the truth join and inflate BOTH the
+    * hit count and the denominator (r14 ADVICE). k-bounded input, so
+    * the distinct is ~free.
+    */
+  private def truthHits(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.join(
+      approx.select(col("query_id"), col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("hit", lit(1L)),
+      Seq("query_id", "neighbor_id"), "left")
+
+  /** The recall aggregate columns over a [[truthHits]] frame —
+    * n_hits / `denom` / recall, the exact small-integer IEEE division
+    * every recall eval shares bit-for-bit with its oracle.
+    */
+  private def recallAggs(denom: String): Seq[Column] = Seq(
+    count(col("hit")).as("n_hits"), count(lit(1)).as(denom),
+    (count(col("hit")).cast("double") / count(lit(1)).cast("double"))
+      .as("recall"))
+
   def annRecall(embeddings: DataFrame, queryPred: Column, k: Int,
                 method: String = "ivf", dim: Int = Dim): DataFrame = {
-    val approx = (method match {
+    val approx = method match {
       case "ivf" => ivfTopK(embeddings, queryPred, k, dim = dim)
       case "lsh" => lshTopK(embeddings, queryPred, k, dim = dim)
       case other => throw new IllegalArgumentException(
         s"annRecall method must be ivf or lsh, got $other")
-    }).select(col("query_id"), col("neighbor_id"))
-      // robustness over correctness-by-coincidence: today every
-      // approximate path dedupes via row_number, but a future method
-      // emitting a duplicate (query, neighbor) row would fan out the
-      // truth join and inflate BOTH the hit count and the denominator
-      // (r14 ADVICE). k-bounded input, so the distinct is ~free.
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("hit", lit(1L))
-    bruteForceTopK(embeddings, queryPred, k, dim)
-      .select("query_id", "neighbor_id")
-      .join(approx, Seq("query_id", "neighbor_id"), "left")
+    }
+    val aggs = recallAggs("k")
+    truthHits(
+        bruteForceTopK(embeddings, queryPred, k, dim)
+          .select("query_id", "neighbor_id"), approx)
       .groupBy("query_id")
-      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"),
-        (count(col("hit")).cast("double") / count(lit(1)).cast("double"))
-          .as("recall"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** IVF TUNING CURVE — recall@k vs `nprobe`, the dial every IVF
@@ -1370,17 +1389,11 @@ object Similarity {
     val truth = OperatorCaches.track(
       bruteForceTopK(embeddings, queryPred, k, dim)
         .select("query_id", "neighbor_id"))
+    val aggs = recallAggs("n_truth")
     nprobes.map { np =>
-      val approx = ivfTopK(embeddings, queryPred, k, nprobe = np,
-          dim = dim)
-        .select(col("query_id"), col("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id") // see annRecall note
-        .withColumn("hit", lit(1L))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .agg(count(col("hit")).as("n_hits"),
-          count(lit(1)).as("n_truth"),
-          (count(col("hit")).cast("double") /
-            count(lit(1)).cast("double")).as("recall"))
+      truthHits(truth,
+          ivfTopK(embeddings, queryPred, k, nprobe = np, dim = dim))
+        .agg(aggs.head, aggs.tail: _*)
         .select(lit(np).as("nprobe"), col("n_hits"), col("n_truth"),
           col("recall"))
     }.reduce(_ unionAll _)
@@ -1435,16 +1448,10 @@ object Similarity {
         ivfPqRerankTopK(embeddings, queryPred, k, rerank = 40, dim = dim,
           pivotsOpt = Some(carrToPivotArr(trainedBook)),
           bookOpt = Some(trainedBook))))
+    val aggs = recallAggs("n_truth")
     methods.map { case (name, mk) =>
-      val approx = mk()
-        .select(col("query_id"), col("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id") // see annRecall note
-        .withColumn("hit", lit(1L))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .agg(count(col("hit")).as("n_hits"),
-          count(lit(1)).as("n_truth"),
-          (count(col("hit")).cast("double") /
-            count(lit(1)).cast("double")).as("recall"))
+      truthHits(truth, mk())
+        .agg(aggs.head, aggs.tail: _*)
         .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
           col("recall"))
     }.reduce(_ unionAll _)

@@ -1885,11 +1885,12 @@ object DocOracles {
     * integer formula, plus a one-cell-perturbed copy per 4th id),
     * round-trips them through ImageIO encode→decode, dHashes the
     * decoded luminance grid (bit y*8+x ⟺ cell(y,x+1) > cell(y,x)),
-    * and pairs hashes by byte-block LSH + exact hamming ≤ 6. PNG is
-    * lossless and the image is exactly grid-sized, so the DECODED
-    * grid equals the FORMULA grid — this SQL replays the formula,
-    * the 64 gradient bits, the 8-bit block keys, the first-shared-
-    * block candidate dedup, and the hamming verify, making the whole
+    * and pairs hashes by composite-band LSH (28 two-block 16-bit
+    * keys) + exact hamming ≤ 6. PNG is lossless and the image is
+    * exactly grid-sized, so the DECODED grid equals the FORMULA grid
+    * — this SQL replays the formula, the 64 gradient bits, the
+    * composite band keys, the first-clean-band candidate dedup, and
+    * the hamming verify, making the whole
     * codec round-trip oracle-checked: a corrupted byte anywhere in
     * encode/decode changes a hash and fails the gate. The 64-bit
     * hash is never packed into one SQL BIGINT (bit 63 would need
@@ -1899,8 +1900,14 @@ object DocOracles {
   private def imageNearDupSql: String = {
     val pivotCols = (0 until 8).map(b =>
       s"MAX(CASE WHEN block = $b THEN bkey END) AS b$b").mkString(", ")
-    val firstShared = (0 until 7).map(b =>
-      s"WHEN pa.b$b = pb.b$b THEN $b").mkString(" ")
+    // composite 2-block bands, lexicographic (i, j) order — mirrors
+    // Multimodal.bandPairs exactly (28 bands of 16-bit keys)
+    val pairs = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+    val bandSel = pairs.zipWithIndex.map { case ((i, j), b) =>
+      s"SELECT id, $b AS band, b$i * 256 + b$j AS key FROM pv" }
+      .mkString("\n  UNION ALL\n  ")
+    val firstShared = pairs.zipWithIndex.init.map { case ((i, j), b) =>
+      s"WHEN pa.b$i = pb.b$i AND pa.b$j = pb.b$j THEN $b" }.mkString(" ")
     val hamming = (0 until 8).map(b =>
       s"bit_count(xor(pa.b$b, pb.b$b))").mkString(" + ")
     s"""WITH ids AS (
@@ -1935,17 +1942,19 @@ object DocOracles {
        |    CAST(SUM(bit * (1 << CAST(k % 8 AS INTEGER))) AS BIGINT) AS bkey
        |  FROM bits GROUP BY id, k // 8),
        |pv AS (SELECT id, $pivotCols FROM blk GROUP BY id),
+       |bands AS (
+       |  $bandSel),
        |pr AS (
-       |  SELECT a.id AS img_a, b.id AS img_b, a.block AS blk
-       |  FROM blk a JOIN blk b
-       |    ON a.block = b.block AND a.bkey = b.bkey AND a.id < b.id),
+       |  SELECT a.id AS img_a, b.id AS img_b, a.band AS bnd
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
        |fs AS (
        |  SELECT pr.img_a, pr.img_b,
        |    CAST($hamming AS INTEGER) AS hamming
        |  FROM pr
        |  JOIN pv pa ON pa.id = pr.img_a
        |  JOIN pv pb ON pb.id = pr.img_b
-       |  WHERE pr.blk = (CASE $firstShared ELSE 7 END))
+       |  WHERE pr.bnd = (CASE $firstShared ELSE ${pairs.size - 1} END))
        |SELECT img_a, img_b, hamming FROM fs WHERE hamming <= 6""".stripMargin
   }
 

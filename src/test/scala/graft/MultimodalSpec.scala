@@ -162,7 +162,8 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.imageDHashes(media).toDF()
           .withColumnRenamed("dhash", "ahash"), maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // pigeonhole (8 byte-blocks, hamming <= 6 < 8) makes the banded
+    // pigeonhole (hamming <= 6 leaves >= 2 clean blocks, so some
+    // clean 2-block band exists among the 28) makes the banded
     // operator FULL-recall against the exact pairwise truth — and the
     // exact-hamming verify makes it full-precision, so set equality
     assert(got == truth,

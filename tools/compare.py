@@ -75,17 +75,24 @@ import pyarrow as pa
 # hardcoded path silently found no history from other checkouts and
 # degraded the debt ordering to alphabetical with no warning.
 REPO = Path(__file__).resolve().parent.parent
-# Queries whose current implementation postdates their latest driver
-# green (stale attestation): sweep them as if never verified.
-REVERIFY = set()
+# Queries whose current implementation postdates their latest green
+# (stale attestation): sweep them as if never verified.
+# r15: the three recall queries gained a dropDuplicates robustness
+# guard on the approximate leg (result-identical by construction, but
+# the rule is implementation-changed => re-attest first).
+REVERIFY = {"q_ann_recall", "q_lsh_recall", "q_ann_recall_curve"}
 CHILD_TIMEOUT_S = 900
-# Phrases actually observed in OOM failures, matched word-bounded: the
-# old broad substring 'malloc' also caught deterministic errors that
-# merely mentioned malloc-family text and triggered a pointless 30 s
-# backoff + full child re-run on genuine failures.
+# Phrases actually observed in OOM failures, matched WORD-BOUNDED
+# (regex \b on both sides): the old broad substring 'malloc' caught
+# deterministic errors that merely mentioned malloc-family text and
+# triggered a pointless 30 s backoff + full child re-run on genuine
+# failures — and a plain substring test would still match e.g.
+# 'Preallocation failed' against 'allocation failed'.
 OOM_MARKERS = ("out of memory", "outofmemory", "bad_alloc",
                "cannot allocate", "memoryerror",
                "allocation failed", "failed to allocate")
+OOM_RE = re.compile(
+    "|".join(r"\b" + re.escape(m) + r"\b" for m in OOM_MARKERS))
 
 
 def norm_type(t) -> str:
@@ -366,8 +373,7 @@ def run_child(sfdir, outdir, name, strict):
 
 
 def looks_oom(err):
-    e = (err or "").lower()
-    return any(m in e for m in OOM_MARKERS)
+    return OOM_RE.search((err or "").lower()) is not None
 
 
 def main():

@@ -82,6 +82,9 @@ def main():
     assert compare.looks_oom("cannot allocate memory")
     assert not compare.looks_oom(
         "Binder Error: function 'malloc_trim' does not exist")
+    # word-bounded: a marker inside a longer word must not match
+    assert not compare.looks_oom("Preallocation failed: invalid argument")
+    assert compare.looks_oom("allocation failed: out of budget")
     assert not compare.looks_oom("column amount not found")
     assert not compare.looks_oom(None)
 
