@@ -38,19 +38,19 @@ object ClusterAudit {
       }
       println(f"CLUSTER ${label}%-14s steady=${runs.map(_._1).min}%.3f s rows=${runs.head._2}")
     }
-    timed("simhash") { Dedup.simhash(docs).count() }
-    timed("pairs") { Dedup.simhashPairs(docs).count() }
+    timed("simhash") { Bench.force(Dedup.simhash(docs)) }
+    timed("pairs") { Bench.force(Dedup.simhashPairs(docs)) }
     val audit = new Dedup.CcAudit
     timed("cc_only") {
       val sig = Dedup.simhash(docs)
       val reps = sig.groupBy("simhash")
         .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
       val pairs = Dedup.simhashPairs(docs).select("doc_a", "doc_b")
-      Dedup.connectedComponents(pairs, reps.select("doc_id"), "doc_id",
-        Some(audit)).count()
+      Bench.force(Dedup.connectedComponents(pairs,
+        reps.select("doc_id"), "doc_id", Some(audit)))
     }
     println(s"CLUSTER cc_rounds      ${audit.rounds}")
-    timed("clusters_full") { Dedup.simhashClusters(docs).count() }
+    timed("clusters_full") { Bench.force(Dedup.simhashClusters(docs)) }
     spark.stop()
   }
 }

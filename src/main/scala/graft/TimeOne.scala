@@ -22,7 +22,7 @@ object TimeOne {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      Bench.force(fn(spark, sfDir)) // full-plan forcing, not count()
       (System.nanoTime() - t0) / 1e9
     }
     val cold = once()

@@ -1064,9 +1064,22 @@ object Dedup {
     val starts = when(length(col("text")) >= k,
       sequence(lit(1), length(col("text")) - (k - 1), lit(stride)))
       .otherwise(array().cast("array<int>"))
-    val wins = OperatorCaches.track(graft.sources.Par.fan(docs)
+    // NOT cached (r15): the cache pinned |text|/stride rows of
+    // (doc_id, md5) in executor storage — at the stride=1 exact sweep
+    // that is the corpus's entire character volume, and 217M cached
+    // window rows OOM'd the 100x rehearsal JVM. Uncached, the window
+    // generation runs twice (once per consumer) but every pass is
+    // fully streaming: scan -> explode -> md5 -> shuffle, zero
+    // resident state. 2x compute for O(1) memory is the right side of
+    // the trade for an operator whose exact mode is corpus-character-
+    // sized by definition. Caveat that comes with the trade: the two
+    // consumers evaluate `docs` independently, so a NONDETERMINISTIC
+    // input (sample(), rand() filters) would give freq and the join
+    // different snapshots — pass a deterministic frame (every in-repo
+    // caller is a parquet scan) or cache upstream yourself.
+    val wins = graft.sources.Par.fan(docs)
       .select(col("doc_id"), col("text"), explode(starts).as("i"))
-      .select(col("doc_id"), md5(expr(s"substr(text, i, $k)")).as("h")))
+      .select(col("doc_id"), md5(expr(s"substr(text, i, $k)")).as("h"))
     val freq = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     val perDoc = wins.join(freq, "h")
