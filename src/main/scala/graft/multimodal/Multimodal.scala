@@ -419,11 +419,35 @@ object Multimodal {
   }
 
   /** The 28 (i, j) byte-block index pairs, i < j, in lexicographic
-    * order — the composite-band enumeration shared by the operator,
-    * its plan, and the DuckDB oracle mirror.
+    * order — the composite-band enumeration shared by the batch
+    * operator, the streaming twin ([[graft.streaming.StreamImageDedup]]),
+    * the plan, and the DuckDB oracle mirror.
     */
-  private[multimodal] val bandPairs: IndexedSeq[(Int, Int)] =
+  private[graft] val bandPairs: IndexedSeq[(Int, Int)] =
     for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+
+  /** Composite 16-bit band key of band (i, j) over a 64-bit hash —
+    * ONE definition for batch and stream, so bucket layouts agree
+    * bit-for-bit by construction.
+    */
+  private[graft] def bandKeyOf(c: Column, i: Int, j: Int): Column = {
+    def blockOf(b: Int): Column =
+      shiftrightunsigned(c, b * 8).bitwiseAND(lit(255L))
+    blockOf(i) * lit(256L) + blockOf(j)
+  }
+
+  /** Index of the FIRST band on which two hashes agree — the
+    * candidate-dedup rule shared by batch and stream (a candidate
+    * pair is kept only at this band, so the banded join never needs
+    * a distinct shuffle).
+    */
+  private[graft] def firstSharedBand(a: Column, b: Column): Column =
+    bandPairs.zipWithIndex.tail.foldLeft {
+      val (i0, j0) = bandPairs.head
+      when(bandKeyOf(a, i0, j0) === bandKeyOf(b, i0, j0), 0)
+    } { case (acc, ((i, j), bandIdx)) =>
+      acc.when(bandKeyOf(a, i, j) === bandKeyOf(b, i, j), bandIdx)
+    }
 
   /** Hamming near-duplicate pairs over 64-bit perceptual hashes — the
     * image leg of the dedup family. Candidates come from an equi-join
@@ -450,25 +474,14 @@ object Multimodal {
       s"imageNearDup: composite 2-block bands guarantee full recall " +
         s"only for maxHamming <= 6 (>= 2 clean blocks needed); got " +
         s"$maxHamming")
-    def blockOf(c: Column, b: Int): Column =
-      shiftrightunsigned(c, b * 8).bitwiseAND(lit(255L))
-    def bandKey(c: Column, i: Int, j: Int): Column =
-      blockOf(c, i) * lit(256L) + blockOf(c, j)
     val bd = hashes.select(col("media_id"), col("ahash"),
       posexplode(array(bandPairs.map { case (i, j) =>
-        bandKey(col("ahash"), i, j) }: _*)).as(Seq("band", "bkey")))
-    val firstShared = bandPairs.zipWithIndex.tail.foldLeft {
-      val (i0, j0) = bandPairs.head
-      when(bandKey(col("a.ahash"), i0, j0) ===
-        bandKey(col("b.ahash"), i0, j0), 0)
-    } { case (acc, ((i, j), b)) =>
-      acc.when(bandKey(col("a.ahash"), i, j) ===
-        bandKey(col("b.ahash"), i, j), b)
-    }
+        bandKeyOf(col("ahash"), i, j) }: _*)).as(Seq("band", "bkey")))
     bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
-      .filter(col("a.band") === firstShared)
+      .filter(col("a.band") ===
+        firstSharedBand(col("a.ahash"), col("b.ahash")))
       .select(col("a.media_id").as("img_a"), col("b.media_id").as("img_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -842,4 +855,87 @@ object Multimodal {
   def asEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF().select(col("media_id").as("vec_id"),
       col("features").as("embedding"))
+
+  /** AUDIO near-duplicate pairs — the audio leg of the dedup family:
+    * the REAL WAV decode's RMS energy envelope ([[decodeAudio]], the
+    * cheap temporal fingerprint) is the perceptual signature, and the
+    * pairing is the SAME sign-band LSH + exact-cosine verify the
+    * embedding corpus ships (`Similarity.nearDupPairs` — composed,
+    * not cloned, so the banding's measured selectivity/recall
+    * characteristics carry over). Re-encodes, level changes (gain is
+    * cosine-invariant), and minor edits land above the threshold;
+    * different tones/content fall away. Scale shape inherits both
+    * parents': per-file decode is partition-local and linear; the
+    * pair join is the banded Σ bucket² bound, never N².
+    */
+  def audioNearDup(media: Dataset[MediaRow],
+                   threshold: Double = 0.98,
+                   envelopeDim: Int = 16): DataFrame = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    // the envelope is CENTERED (x - mean(x)) before pairing: RMS
+    // energies are all-positive, so raw envelopes would put every
+    // file in the all-ones sign bucket and degenerate the banded join
+    // to N² — centered, the sign pattern is which windows sit above
+    // the file's own mean energy (balanced AND gain-invariant, since
+    // both the values and the mean scale with gain). Honesty note:
+    // like any energy-envelope fingerprint this needs temporally
+    // STRUCTURED audio; a constant tone's centered envelope is
+    // numerical noise (the MultimodalSpec fixture is AM-modulated for
+    // exactly this reason).
+    val centered = decodeAudio(media, envelopeDim).map { f =>
+      val m = f.envelope.sum / math.max(1, f.envelope.length)
+      MediaFeatures(f.media_id, "audio", f.envelope.map(_ - m))
+    }
+    graft.operators.Similarity.nearDupPairs(
+      asEmbeddings(centered),
+      threshold = threshold, bitsPerBand = 8, bands = 2,
+      dim = envelopeDim)
+  }
+
+  /** Deterministic corpus of REAL encoded WAVs with amplitude
+    * MODULATION (id-derived carrier + id-derived AM rate): unlike the
+    * constant tones of [[syntheticWavMedia]], these have a shaped
+    * energy envelope — the structure an envelope fingerprint needs.
+    * `copyOf` re-synthesizes the waveform of a BASE id under a new
+    * media_id with a small gain change, giving the near-dup structure
+    * ([[audioNearDup]]'s cosine is gain-invariant by construction).
+    */
+  def syntheticAmWavMedia(spark: SparkSession, n: Long,
+                          sampleRate: Int = 8000, ms: Int = 250,
+                          copyEvery: Int = 4,
+                          copyOffset: Long = 1000L): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).as[Long].flatMap { id =>
+      val copies = if (id % copyEvery == 0)
+        Seq((id + copyOffset, id, 1.1)) else Nil
+      ((id, id, 1.0) +: copies).iterator
+    }.mapPartitions { rows =>
+      rows.map { case (mediaId, baseId, gain) =>
+        val freq = 300.0 + (baseId % 10) * 70.0
+        val fm = 4.0 + (baseId % 5) * 3.0 // 4..16 Hz AM — shapes windows
+        val nSamp = sampleRate * ms / 1000
+        val pcm = new Array[Byte](nSamp * 2)
+        var i = 0
+        while (i < nSamp) {
+          val t = i.toDouble / sampleRate
+          val amp = 0.35 * gain * (1.0 + 0.8 * math.sin(2 * math.Pi * fm * t))
+          val v = (amp * math.sin(2 * math.Pi * freq * t) * 20000).toInt
+            .toShort
+          pcm(i * 2) = (v & 0xff).toByte
+          pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(mediaId, "audio", bos.toByteArray,
+          MediaMeta(0, 0, sampleRate, ms, "wav"))
+      }
+    }
+  }
 }

@@ -177,6 +177,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming image dedup: batch-parity on the cross pairs and a " +
+    "real MemoryStream leg in append mode") {
+    import graft.streaming.StreamImageDedup
+    // standing corpus: 40 base images (drop the built-in perturbed
+    // copies — arrivals will supply them)
+    val corpus = Multimodal.imagesFromIds(
+        spark.range(40).select(col("id").as("vec_id")))
+      .filter(_.media_id < 10000000L)
+    // arrivals: the one-cell-perturbed copies of every 4th corpus id
+    // (true near-dups of the standing corpus) + 5 unrelated new images
+    val arrivals = Multimodal.imagesFromIds(
+        spark.range(40).select(col("id").as("vec_id")))
+      .filter(_.media_id >= 10000000L)
+      .union(Multimodal.imagesFromIds(
+          spark.range(100, 105).select(col("id").as("vec_id")))
+        .filter(_.media_id < 10000000L))
+    val idx = StreamImageDedup.bandIndex(corpus)
+
+    // static-frame invocation (the same stream-static plan, batch input)
+    val got = StreamImageDedup.imageDedupStream(arrivals, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // batch-operator truth: imageNearDup over corpus ∪ arrivals,
+    // restricted to cross pairs (corpus ids < arrival ids here, so
+    // img_a is always the corpus side)
+    val corpusIds = corpus.collect().map(_.media_id).toSet
+    val batchPairs = Multimodal.imageNearDup(
+        Multimodal.imageDHashes(corpus.union(arrivals)).toDF()
+          .withColumnRenamed("dhash", "ahash"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => corpusIds(a) ^ corpusIds(b) }
+      .map { case (a, b, d) =>
+        if (corpusIds(a)) (b, a, d) else (a, b, d) }.toSet
+    assert(got == batchPairs,
+      s"missed=${(batchPairs -- got).take(3)} extra=${(got -- batchPairs).take(3)}")
+    // every planted perturbed copy found its base within 2 bits
+    for (id <- 0L until 40L if id % 4 == 0)
+      assert(got.exists(p => p._1 == id + 10000000L && p._2 == id &&
+        p._3 <= 2), s"arrival for base $id not matched")
+
+    // end-to-end: the SAME plan runs as a real streaming query,
+    // append mode, stateless
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MediaRow](spark)
+    val q = StreamImageDedup.imageDedupStream(in.toDS(), idx)
+      .writeStream.format("memory").queryName("img_dedup_stream")
+      .outputMode("append").start()
+    val arrivalRows = arrivals.collect()
+    in.addData(arrivalRows.take(10).toSeq)
+    q.processAllAvailable()
+    in.addData(arrivalRows.drop(10).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("img_dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == got, "MemoryStream leg diverged from the static plan")
+  }
+
   test("dHash block-averaging on non-grid-sized images matches an " +
     "independent pixel recomputation") {
     // 36x16: each dHash cell averages a 4x2 pixel block
@@ -234,6 +292,36 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.decodeAudio(wavs.repartition(5), dim = 8)
       .collect().map(f => f.media_id -> f.envelope.toSeq).toMap
     assert(again == feats.map(f => f.media_id -> f.envelope.toSeq).toMap)
+  }
+
+  test("audio near-dup: re-gained copies pair through the real WAV " +
+    "decode; distinct AM shapes do not") {
+    // 12 AM-modulated tones + a 10%-regained re-synthesis of every
+    // 4th (ids 1000/1004/1008) — the audio twin of perturbedCopies
+    val wavs = Multimodal.syntheticAmWavMedia(spark, 12)
+    val pairs = Multimodal.audioNearDup(wavs, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted gain-copy pairs with its base (cosine of the
+    // centered envelope is gain-invariant)
+    for (id <- 0L until 12L if id % 4 == 0)
+      assert(pairs.contains((id, id + 1000L)) ||
+             pairs.contains((id + 1000L, id)), s"copy of $id not paired")
+    // nothing ELSE pairs at 0.98: distinct AM rates shape distinct
+    // envelopes, and distinct carriers with the SAME AM rate (e.g.
+    // ids 0 and 5 share fm only if baseId%5 collides — they do; the
+    // envelope sees only the AM, so same-fm pairs are legitimately
+    // similar and excluded from this assert)
+    val planted = (0L until 12L by 4).map(id =>
+      Set((id, id + 1000L), (id + 1000L, id))).reduce(_ ++ _)
+    val extras = pairs -- planted
+    extras.foreach { case (a, b) =>
+      val fmOf = (x: Long) => (if (x >= 1000L) x - 1000L else x) % 5
+      assert(fmOf(a) == fmOf(b),
+        s"unexpected pair ($a,$b) across DIFFERENT AM shapes")
+    }
+    // the fingerprint rides the REAL decode: every row decodes
+    val feats = Multimodal.decodeAudio(wavs, dim = 16).collect()
+    assert(feats.forall(_.decoded))
   }
 
   test("undecodable and non-audio rows fall back, flagged decoded=false") {
