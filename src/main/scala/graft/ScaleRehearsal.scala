@@ -96,7 +96,14 @@ object ScaleRehearsal {
         k = 20, stride = 1)),
     "x_substring_strided" -> ((s, d) => graft.operators.Dedup
       .repeatedSubstrings(graft.sources.Tables(s, d, "documents"),
-        k = 20, stride = 10)))
+        k = 20, stride = 10)),
+    // r15b: video near-dup over a corpus sized by the dir's embeddings
+    // row count — real MJPEG encode/decode per video, banded per-frame
+    // fingerprint pairs (the video leg of the dedup family)
+    "x_video_neardup" -> ((s, d) => graft.multimodal.Multimodal
+      .videoNearDup(graft.multimodal.Multimodal
+        .syntheticTexturedAviMedia(s,
+          graft.sources.Tables(s, d, "embeddings").count()))))
 
   private def timeQuery(spark: SparkSession, name: String,
                         dir: String): (Double, Long) = {

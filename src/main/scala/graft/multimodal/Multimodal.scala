@@ -281,6 +281,48 @@ object Multimodal {
     * never leave the partition, undecodable rows degrade to a
     * deterministic byte-fold with `decoded = false`.
     */
+  /** dHash of a decoded image: block-average the luminance onto the
+    * 9-wide × 8-tall grid, bit (y*8 + x) ⟺ cell(y, x+1) > cell(y, x).
+    * ONE kernel shared by [[imageDHashes]] (whole images) and
+    * [[videoFrameHashes]] (per decoded frame), so image and video
+    * fingerprints live in the same hamming space by construction.
+    */
+  private[multimodal] def dhashOfImage(
+      im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sum = new Array[Double](72) // 9 wide x 8 tall
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+        val gi = math.min(y * 8 / h, 7) * 9 + math.min(x * 9 / w, 8)
+        sum(gi) += lum
+        cnt(gi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avg = Array.tabulate(72)(i =>
+      if (cnt(i) > 0) sum(i) / cnt(i) else 0.0)
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (avg(gy * 9 + gx + 1) > avg(gy * 9 + gx))
+          hash |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   def imageDHashes(media: Dataset[MediaRow]): Dataset[ImageDHash] = {
     implicit val enc = Encoders.product[ImageDHash]
     media.mapPartitions { it =>
@@ -300,38 +342,7 @@ object Multimodal {
           } catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case Some(im) =>
-            val w = im.getWidth
-            val h = im.getHeight
-            val sum = new Array[Double](72) // 9 wide x 8 tall
-            val cnt = new Array[Long](72)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = im.getRGB(x, y)
-                val lum = (((rgb >> 16) & 0xff) * 299 +
-                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
-                val gi = math.min(y * 8 / h, 7) * 9 + math.min(x * 9 / w, 8)
-                sum(gi) += lum
-                cnt(gi) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val avg = Array.tabulate(72)(i =>
-              if (cnt(i) > 0) sum(i) / cnt(i) else 0.0)
-            var hash = 0L
-            var gy = 0
-            while (gy < 8) {
-              var gx = 0
-              while (gx < 8) {
-                if (avg(gy * 9 + gx + 1) > avg(gy * 9 + gx))
-                  hash |= (1L << (gy * 8 + gx))
-                gx += 1
-              }
-              gy += 1
-            }
-            ImageDHash(row.media_id, decoded = true, hash)
+            ImageDHash(row.media_id, decoded = true, dhashOfImage(im))
           case None => ImageDHash(row.media_id, decoded = false, fold(row))
         }
       }
@@ -645,17 +656,57 @@ object Multimodal {
     * undecodable rows degrade to the byte-fold fallback
     * (`decoded = false`) so a mixed corpus never fails the task.
     */
+  /** RIFF/AVI walk + per-frame MJPEG decode, factored so
+    * [[decodeVideo]] (temporal features) and [[videoFrameHashes]]
+    * (per-frame perceptual fingerprints) parse the container with ONE
+    * definition. Returns (dwMicroSecPerFrame, decoded frames) or None
+    * for non-AVI/truncated bytes.
+    */
+  private[multimodal] def decodeAviFrames(b: Array[Byte])
+      : Option[(Long, Seq[java.awt.image.BufferedImage])] = {
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    try {
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        None
+      else {
+        var usPerFrame = 0L
+        val chunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        // walk chunks; descend into LISTs (hdrl/movi/strl)
+        def walk(from: Int, to: Int): Unit = {
+          var off = from
+          while (off + 8 <= to) {
+            val id = fourcc(off)
+            val sz = u32(off + 4).toInt
+            val body = off + 8
+            if (body + sz > to) return // truncated chunk: stop
+            if (id == "LIST") walk(body + 4, body + sz)
+            else if (id == "avih" && sz >= 4) usPerFrame = u32(body)
+            else if (id.length == 4 &&
+                     (id.endsWith("dc") || id.endsWith("db")))
+              chunks += ((body, sz))
+            off = body + sz + (sz & 1) // word-align odd sizes
+          }
+        }
+        walk(12, b.length)
+        val imgs = chunks.toSeq.flatMap { case (off, sz) =>
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, sz)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        Some((usPerFrame, imgs))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def decodeVideo(media: Dataset[MediaRow], dim: Int = 16)
       : Dataset[VideoFeatures] = {
     implicit val enc = Encoders.product[VideoFeatures]
     media.mapPartitions { it =>
       System.setProperty("java.awt.headless", "true")
       javax.imageio.ImageIO.setUseCache(false)
-      def u32(b: Array[Byte], off: Int): Long =
-        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-      def fourcc(b: Array[Byte], off: Int): String =
-        new String(b, off, 4, "US-ASCII")
       def fallback(row: MediaRow): VideoFeatures = {
         val acc = new Array[Float](dim)
         var i = 0
@@ -664,43 +715,10 @@ object Multimodal {
       }
       it.map { row =>
         val parsed =
-          if (row.kind != "video") None
-          else try {
-            val b = row.bytes
-            if (b.length < 12 || fourcc(b, 0) != "RIFF" ||
-                fourcc(b, 8) != "AVI ") None
-            else {
-              var usPerFrame = 0L
-              val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-              // walk chunks; descend into LISTs (hdrl/movi/strl)
-              def walk(from: Int, to: Int): Unit = {
-                var off = from
-                while (off + 8 <= to) {
-                  val id = fourcc(b, off)
-                  val sz = u32(b, off + 4).toInt
-                  val body = off + 8
-                  if (body + sz > to) return // truncated chunk: stop
-                  if (id == "LIST") walk(body + 4, body + sz)
-                  else if (id == "avih" && sz >= 4) usPerFrame = u32(b, body)
-                  else if (id.length == 4 &&
-                           (id.endsWith("dc") || id.endsWith("db")))
-                    frames += ((body, sz))
-                  off = body + sz + (sz & 1) // word-align odd sizes
-                }
-              }
-              walk(12, b.length)
-              Some((usPerFrame, frames.toSeq, b))
-            }
-          } catch { case scala.util.control.NonFatal(_) => None }
+          if (row.kind != "video") None else decodeAviFrames(row.bytes)
         parsed match {
-          case Some((usPerFrame, frameChunks, b)) if frameChunks.nonEmpty =>
-            val imgs = frameChunks.flatMap { case (off, sz) =>
-              try Option(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(b, off, sz)))
-              catch { case scala.util.control.NonFatal(_) => None }
-            }
-            if (imgs.isEmpty) fallback(row)
-            else {
+          case Some((usPerFrame, imgs)) if imgs.nonEmpty =>
+            {
               val lum = new Array[Float](dim)
               val cnt = new Array[Int](dim)
               imgs.zipWithIndex.foreach { case (im, fi) =>
@@ -737,6 +755,179 @@ object Multimodal {
     }
   }
 
+  final case class FrameHash(media_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Per-FRAME perceptual fingerprints through the REAL video decode:
+    * every MJPEG frame ([[decodeAviFrames]], the same RIFF walk
+    * [[decodeVideo]] uses) is dHashed by the same 9×8 gradient kernel
+    * as whole images ([[dhashOfImage]]) — video and image
+    * fingerprints share one hamming space, so a frame extracted as a
+    * thumbnail would match its source video's fingerprint row.
+    * Undecodable or non-video rows emit NO frame rows (a near-dup
+    * pass has nothing to pair them on; [[decodeVideo]]'s fallback
+    * covers the feature path).
+    */
+  def videoFrameHashes(media: Dataset[MediaRow]): Dataset[FrameHash] = {
+    implicit val enc = Encoders.product[FrameHash]
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        if (row.kind != "video") Iterator.empty
+        else decodeAviFrames(row.bytes) match {
+          case Some((_, imgs)) =>
+            imgs.iterator.zipWithIndex.map { case (im, fi) =>
+              FrameHash(row.media_id, fi, dhashOfImage(im))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** VIDEO near-duplicate pairs — the video leg of the dedup family:
+    * two videos are near-dups when ≥ `minSharedFrames` of their
+    * frames match within `maxHamming` bits of per-frame dHash (the
+    * shared-scene criterion: re-containered, re-encoded, or
+    * one-frame-edited copies keep most frames matching; unrelated
+    * footage matches none). Frame candidates come from the SAME
+    * composite-band LSH as the image operator ([[bandPairs]] /
+    * [[bandKeyOf]] / [[firstSharedBand]] — one definition), verified
+    * by exact hamming, then rolled up per video pair.
+    *
+    * Scale shape: per-video decode is partition-local and linear in
+    * frames; the frame-pair join is the banded Σ bucket² bound over
+    * FRAME fingerprints (never |frames|²); the roll-up is one keyed
+    * aggregate on (video_a, video_b).
+    */
+  def videoNearDup(media: Dataset[MediaRow], minSharedFrames: Int = 2,
+                   maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6,
+      s"videoNearDup: composite 2-block bands guarantee full recall " +
+        s"only for maxHamming <= 6; got $maxHamming")
+    val fh = videoFrameHashes(media).toDF()
+    val bd = fh.select(col("media_id"), col("frame_idx"), col("fhash"),
+      posexplode(array(bandPairs.map { case (i, j) =>
+        bandKeyOf(col("fhash"), i, j) }: _*)).as(Seq("band", "bkey")))
+    bd.as("a").join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(col("a.band") ===
+        firstSharedBand(col("a.fhash"), col("b.fhash")))
+      .filter(bit_count(col("a.fhash").bitwiseXOR(col("b.fhash")))
+        <= maxHamming)
+      .groupBy(col("a.media_id").as("vid_a"),
+        col("b.media_id").as("vid_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(bit_count(col("a.fhash").bitwiseXOR(col("b.fhash"))))
+          .as("min_hamming"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
+  /** Deterministic corpus of REAL MJPEG-in-AVI videos with TEXTURED
+    * frames (9×8 solid blocks scaled up, block grays from [[cellGray]]
+    * keyed by (id, frame)) — unlike [[syntheticAviMedia]]'s solid-gray
+    * frames, whose dHash is degenerately 0 (no gradients anywhere).
+    * Block-constant texture makes the block AVERAGES robust to JPEG
+    * loss, so a re-encoded copy's frame dHash lands within a few bits
+    * of its source. Every `copyEvery`-th id also emits a copy
+    * (`id + copyOffset`) with ONE frame's texture replaced — the
+    * video twin of the image fixture's one-cell perturbation: the
+    * copy shares frames-1 near-identical frames with its base.
+    */
+  def syntheticTexturedAviMedia(spark: SparkSession, n: Long,
+                                frames: Int = 4, width: Int = 36,
+                                height: Int = 16, fps: Int = 10,
+                                copyEvery: Int = 4,
+                                copyOffset: Long = 5000L)
+      : Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).as[Long].flatMap { id =>
+      val copies =
+        if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil
+      ((id, id, false) +: copies).iterator
+    }.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (mediaId, baseId, perturbed) =>
+        val jpegs = (0 until frames).map { f =>
+          // the perturbed copy swaps frame 0's texture wholesale
+          // (a different generator id), keeping frames 1..n-1 shared
+          val genId = if (perturbed && f == 0) baseId * 7919L + 13L
+                      else baseId * 31L + f
+          val im = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val cell = math.min(y * 8 / height, 7) * 9 +
+                math.min(x * 9 / width, 8)
+              val g = cellGray(genId, cell, perturbed = false, md)
+              im.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "jpg", bos)
+          bos.toByteArray
+        }
+        aviBytes(mediaId, jpegs, width, height, fps)
+      }
+    }
+  }
+
+  /** Pack pre-encoded JPEG frames into a spec-shaped RIFF/AVI
+    * MediaRow — the container writer shared by both AVI fixtures.
+    */
+  private def aviBytes(mediaId: Long, jpegs: Seq[Array[Byte]],
+                       width: Int, height: Int, fps: Int): MediaRow = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = new Array[Byte](8 + body.length + pad)
+      System.arraycopy(cc(id4), 0, out, 0, 4)
+      System.arraycopy(le32(body.length), 0, out, 4, 4)
+      System.arraycopy(body, 0, out, 8, body.length)
+      out
+    }
+    def list(typ: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", bodies.foldLeft(cc(typ))(_ ++ _))
+    val frames = jpegs.length
+    val usPerFrame = 1000000L / fps
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames) ++
+      le32(0) ++ le32(0) ++ le32(0) ++
+      Array[Byte](0, 0, 0, 0, (width & 0xff).toByte,
+        ((width >> 8) & 0xff).toByte, (height & 0xff).toByte,
+        ((height >> 8) & 0xff).toByte)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++
+      le32(width.toLong * height * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih),
+      list("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = list("movi",
+      jpegs.map(j => chunk("00dc", j)).toArray.flatten)
+    val riffBody = cc("AVI ") ++ hdrl ++ movi
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(cc("RIFF"))
+    bb.write(le32(riffBody.length))
+    bb.write(riffBody)
+    MediaRow(mediaId, "video", bb.toByteArray,
+      MediaMeta(width, height, 0, frames * 1000 / fps, "avi"))
+  }
+
   /** Deterministic corpus of REAL MJPEG-in-AVI videos (id-derived
     * solid-gray frames, JPEG-encoded via ImageIO, packed into a
     * spec-shaped RIFF: hdrl(avih + strl(strh'vids'/MJPG + strf
@@ -754,10 +945,6 @@ object Multimodal {
     spark.range(n).as[Long].mapPartitions { ids =>
       System.setProperty("java.awt.headless", "true")
       javax.imageio.ImageIO.setUseCache(false)
-      def le32(v: Long): Array[Byte] = Array(
-        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-      def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
       ids.map { id =>
         val jpegs = (0 until frames).map { f =>
           val g = grayLevel(id, f)
@@ -771,44 +958,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(im, "jpg", bos)
           bos.toByteArray
         }
-        val bb = new java.io.ByteArrayOutputStream()
-        def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
-          val pad = body.length & 1
-          val out = new Array[Byte](8 + body.length + pad)
-          System.arraycopy(cc(id4), 0, out, 0, 4)
-          System.arraycopy(le32(body.length), 0, out, 4, 4)
-          System.arraycopy(body, 0, out, 8, body.length)
-          out
-        }
-        def list(typ: String, bodies: Array[Byte]*): Array[Byte] = {
-          val inner = bodies.foldLeft(cc(typ))(_ ++ _)
-          chunk("LIST", inner)
-        }
-        val usPerFrame = 1000000L / fps
-        val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
-          le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
-          le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++
-          le32(0) ++ le32(0)
-        val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++
-          le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames) ++
-          le32(0) ++ le32(0) ++ le32(0) ++
-          Array[Byte](0, 0, 0, 0, (width & 0xff).toByte,
-            ((width >> 8) & 0xff).toByte, (height & 0xff).toByte,
-            ((height >> 8) & 0xff).toByte)
-        val strf = le32(40) ++ le32(width) ++ le32(height) ++
-          Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++
-          le32(width.toLong * height * 3) ++ le32(0) ++ le32(0) ++
-          le32(0) ++ le32(0)
-        val hdrl = list("hdrl", chunk("avih", avih),
-          list("strl", chunk("strh", strh), chunk("strf", strf)))
-        val movi = list("movi",
-          jpegs.map(j => chunk("00dc", j)).toArray.flatten)
-        val riffBody = cc("AVI ") ++ hdrl ++ movi
-        bb.write(cc("RIFF"))
-        bb.write(le32(riffBody.length))
-        bb.write(riffBody)
-        MediaRow(id, "video", bb.toByteArray,
-          MediaMeta(width, height, 0, frames * 1000 / fps, "avi"))
+        aviBytes(id, jpegs, width, height, fps)
       }
     }
   }
