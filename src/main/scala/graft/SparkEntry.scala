@@ -370,6 +370,32 @@ object SparkEntry {
         .toDF().withColumnRenamed("dhash", "ahash")
       graft.multimodal.Multimodal.imageNearDup(hashes, maxHamming = 6)
     }),
+    // AUDIO near-dup through the REAL codec path: id-derived WAVs
+    // (16 square-wave energy windows at power-of-two amplitudes from
+    // md5, + half-gain copies) are RIFF-encoded, decoded via
+    // javax.sound, RMS-envelope'd, centered, then paired by the
+    // embedding near-dup kernel (sign-band LSH + exact cosine).
+    // Power-of-two amplitudes keep every float an exact dyadic, so
+    // the DuckDB oracle replays envelope, bands, and cosines exactly
+    // — a broken WAV round-trip fails the gate.
+    "q_audio_neardup" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.wavsFromIds(
+        T(s, d)("embeddings").select("vec_id"))
+      graft.multimodal.Multimodal.audioNearDup(media, threshold = 0.98)
+    }),
+    // VIDEO near-dup through the REAL container path: id-derived
+    // RIFF/AVIs with 3 lossless PNG frames each (9x8 grids from md5,
+    // + one-frame-perturbed copies) are container-walked, per-frame
+    // decoded and dHashed (the image kernel — one hamming space),
+    // frame-paired by the composite-band LSH, and rolled up per video
+    // pair with n_shared = DISTINCT matching frames. PNG losslessness
+    // makes the decoded grids equal the formula grids, so the oracle
+    // replays frame hashes, pairs, and roll-up exactly.
+    "q_video_neardup" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.videosFromIds(
+        T(s, d)("embeddings").select("vec_id"))
+      graft.multimodal.Multimodal.videoNearDup(media, minSharedFrames = 2)
+    }),
     // kNN label propagation (weak supervision): majority label of the
     // 5 IVF-ANN nearest neighbors per query vector
     "q_knn_label" -> ((s, d) =>

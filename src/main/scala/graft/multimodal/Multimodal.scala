@@ -429,6 +429,161 @@ object Multimodal {
     }
   }
 
+  /** The deterministic amplitude EXPONENT of energy window `w`
+    * (0..15) of the WAV derived from `baseId`: 10 + (first md5 byte
+    * of "id:w" mod 5), so the PCM amplitude is the exact power of two
+    * 2^exp ∈ {1024..16384} — shared by the WAV writer
+    * ([[wavsFromIds]]), the spec's independent recomputation, and the
+    * DuckDB oracle mirror (md5 ships in both engines). Powers of two
+    * are the load-bearing choice: every float in the decode → RMS
+    * envelope → centering → cosine chain stays an exact dyadic
+    * rational (see [[wavsFromIds]]), which is what lets a SQL oracle
+    * replay [[audioNearDup]] bit-for-bit.
+    */
+  def windowAmpExp(baseId: Long, w: Int,
+                   md: java.security.MessageDigest): Int = {
+    val h = md.digest(s"$baseId:$w".getBytes("UTF-8"))
+    10 + ((h(0) & 0xff) % 5)
+  }
+
+  /** Deterministic audio corpus DERIVED FROM A DRIVER TABLE's id
+    * column: one REAL RIFF/WAV (PCM16 mono) per id, 16 energy
+    * windows × 128 samples, each window an alternating-sign square
+    * wave at amplitude 2^[[windowAmpExp]] — plus a HALF-GAIN copy
+    * (`id + copyOffset`, every `copyEvery`-th id), the audio twin of
+    * `Similarity.perturbedCopies` exercising [[audioNearDup]]'s
+    * documented gain invariance (the centered-envelope cosine of a
+    * pure gain change is ≡ 1 up to one sqrt rounding).
+    *
+    * Why every float downstream is EXACT (the oracle contract): WAV
+    * PCM is lossless, so decoded samples are ±A/32768 = ±2^(e−15)
+    * exactly; squares 2^(2e−30) are exact float32; a window sums 128
+    * EQUAL powers of two (exact at every step); mean-of-window
+    * divides by the power-of-two 128; sqrt of an even power of two is
+    * a power of two — so each envelope value is exactly 2^(e−15).
+    * Centering subtracts the envelope mean (16 values, multiples of
+    * 2^-5, sum ≤ 8 → exact float32; /16 exact), leaving multiples of
+    * 2^-9 below 1 — exact in float32 AND in the double the pair
+    * kernel casts to. From there the dot products are exact integer
+    * dyadics and sqrt/division are correctly rounded IEEE in both
+    * engines, so the emitted cosines are bit-identical. Any
+    * corruption in the encode→decode→envelope path lands on a
+    * non-dyadic value and fails the hash gate.
+    */
+  def wavsFromIds(ids: DataFrame, idCol: String = "vec_id",
+                  copyEvery: Int = 4,
+                  copyOffset: Long = 10000000L): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import ids.sparkSession.implicits._
+    val sampleRate = 8192
+    val windows = 16
+    val perWindow = 128
+    val base = ids.select(col(idCol).cast("long")).as[Long]
+      .flatMap { id =>
+        val copies =
+          if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil
+        (id, id, false) +: copies
+      }
+    base.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (mediaId, baseId, halfGain) =>
+        val nSamp = windows * perWindow
+        val pcm = new Array[Byte](nSamp * 2)
+        var w = 0
+        while (w < windows) {
+          val exp = windowAmpExp(baseId, w, md) - (if (halfGain) 1 else 0)
+          val amp = 1 << exp
+          var i = 0
+          while (i < perWindow) {
+            val s = w * perWindow + i
+            val v = (if (i % 2 == 0) amp else -amp).toShort
+            pcm(s * 2) = (v & 0xff).toByte
+            pcm(s * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          w += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(mediaId, "audio", bos.toByteArray,
+          MediaMeta(0, 0, sampleRate, nSamp * 1000 / sampleRate, "wav"))
+      }
+    }
+  }
+
+  /** The deterministic gray level of grid cell `i` (0..71) of frame
+    * `f` of the video derived from `baseId`, with the single-cell
+    * perturbation applied when `perturbedFrame` — the per-frame twin
+    * of [[cellGray]], shared by the video writer ([[videosFromIds]]),
+    * the spec, and the DuckDB oracle mirror.
+    */
+  def frameCellGray(baseId: Long, f: Int, i: Int, perturbedFrame: Boolean,
+                    md: java.security.MessageDigest): Int = {
+    val h = md.digest(s"$baseId:$f:$i".getBytes("UTF-8"))
+    val g = h(0) & 0xff
+    if (perturbedFrame && i == (baseId % 72L).toInt) ((g + 96) % 256) else g
+  }
+
+  /** Deterministic video corpus DERIVED FROM A DRIVER TABLE's id
+    * column: one REAL RIFF/AVI per id with `frames` PNG-encoded 9×8
+    * frames (cell grays from [[frameCellGray]] — pure integer
+    * arithmetic a SQL oracle can replay), plus a near-duplicate copy
+    * (`id + copyOffset`, every `copyEvery`-th id) whose frame
+    * `baseId % frames` has ONE cell shifted — the video twin of
+    * [[imagesFromIds]]: the copy shares `frames − 1` exact frames
+    * plus one within-hamming-2 frame with its base.
+    *
+    * PNG-in-AVI is the oracle-replayable frame codec:
+    * [[decodeAviFrames]] is codec-agnostic (each `..dc` chunk goes
+    * through ImageIO's format sniffing), PNG is lossless, and the
+    * frame is exactly grid-sized — so the DECODED luminance grid
+    * equals the FORMULA grid and the DuckDB oracle replays the whole
+    * container-walk → frame-decode → dHash → banded-pair →
+    * roll-up path exactly ([[imagesFromIds]]'s trick lifted to
+    * video). The lossy MJPEG path stays covered by
+    * [[syntheticTexturedAviMedia]] + MultimodalSpec's
+    * JPEG-tolerance pins.
+    */
+  def videosFromIds(ids: DataFrame, idCol: String = "vec_id",
+                    frames: Int = 3, copyEvery: Int = 4,
+                    copyOffset: Long = 10000000L): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import ids.sparkSession.implicits._
+    val base = ids.select(col(idCol).cast("long")).as[Long]
+      .flatMap { id =>
+        val copies =
+          if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil
+        (id, id, false) +: copies
+      }
+    base.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (mediaId, baseId, perturbed) =>
+        val pngs = (0 until frames).map { f =>
+          val pf = perturbed && f == (baseId % frames).toInt
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < 72) {
+            val g = frameCellGray(baseId, f, i, pf, md)
+            img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        aviBytes(mediaId, pngs, 9, 8, 10)
+      }
+    }
+  }
+
   /** The 28 (i, j) byte-block index pairs, i < j, in lexicographic
     * order — the composite-band enumeration shared by the batch
     * operator, the streaming twin ([[graft.streaming.StreamImageDedup]]),
@@ -786,19 +941,26 @@ object Multimodal {
   }
 
   /** VIDEO near-duplicate pairs — the video leg of the dedup family:
-    * two videos are near-dups when ≥ `minSharedFrames` of their
-    * frames match within `maxHamming` bits of per-frame dHash (the
-    * shared-scene criterion: re-containered, re-encoded, or
-    * one-frame-edited copies keep most frames matching; unrelated
-    * footage matches none). Frame candidates come from the SAME
-    * composite-band LSH as the image operator ([[bandPairs]] /
-    * [[bandKeyOf]] / [[firstSharedBand]] — one definition), verified
-    * by exact hamming, then rolled up per video pair.
+    * two videos are near-dups when ≥ `minSharedFrames` DISTINCT
+    * frames of the lower-id video each match some frame of the other
+    * within `maxHamming` bits of per-frame dHash (the shared-scene
+    * criterion: re-containered, re-encoded, or one-frame-edited
+    * copies keep most frames matching; unrelated footage matches
+    * none). `n_shared` is countDistinct on the lower-id side's
+    * frame index — NOT a frame-PAIR count, which a single repeated
+    * frame (static scenes, black frames) would inflate past the
+    * threshold from one genuinely shared frame (r15 ADVICE). Frame
+    * candidates come from the SAME composite-band LSH as the image
+    * operator ([[bandPairs]] / [[bandKeyOf]] / [[firstSharedBand]] —
+    * one definition), verified by exact hamming, then rolled up per
+    * video pair ([[rollupFramePairs]], shared verbatim with the
+    * streaming twin [[graft.streaming.StreamVideoDedup]]).
     *
     * Scale shape: per-video decode is partition-local and linear in
     * frames; the frame-pair join is the banded Σ bucket² bound over
     * FRAME fingerprints (never |frames|²); the roll-up is one keyed
-    * aggregate on (video_a, video_b).
+    * aggregate on (video_a, video_b) — countDistinct adds a dedup on
+    * (pair, frame_idx), bounded by frames-per-video.
     */
   def videoNearDup(media: Dataset[MediaRow], minSharedFrames: Int = 2,
                    maxHamming: Int = 6): DataFrame = {
@@ -809,20 +971,34 @@ object Multimodal {
     val bd = fh.select(col("media_id"), col("frame_idx"), col("fhash"),
       posexplode(array(bandPairs.map { case (i, j) =>
         bandKeyOf(col("fhash"), i, j) }: _*)).as(Seq("band", "bkey")))
-    bd.as("a").join(bd.as("b"),
+    val framePairs = bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
       .filter(col("a.band") ===
         firstSharedBand(col("a.fhash"), col("b.fhash")))
       .filter(bit_count(col("a.fhash").bitwiseXOR(col("b.fhash")))
         <= maxHamming)
-      .groupBy(col("a.media_id").as("vid_a"),
-        col("b.media_id").as("vid_b"))
-      .agg(count(lit(1)).as("n_shared"),
-        min(bit_count(col("a.fhash").bitwiseXOR(col("b.fhash"))))
-          .as("min_hamming"))
-      .filter(col("n_shared") >= minSharedFrames)
+      .select(col("a.media_id").as("vid_a"), col("a.frame_idx").as("frame_a"),
+        col("b.media_id").as("vid_b"), col("b.frame_idx").as("frame_b"),
+        bit_count(col("a.fhash").bitwiseXOR(col("b.fhash"))).as("hamming"))
+    rollupFramePairs(framePairs, minSharedFrames)
   }
+
+  /** Verified frame-match pairs → per-video-pair near-dup roll-up —
+    * ONE definition shared by [[videoNearDup]] (batch) and
+    * [[graft.streaming.StreamVideoDedup]] (per-batch rollup of the
+    * stateless stream pairs), so the two faces cannot diverge on the
+    * distinct-frames criterion. Input: (vid_a, frame_a, vid_b,
+    * frame_b, hamming) verified matches; output: (vid_a, vid_b,
+    * n_shared, min_hamming) with n_shared = distinct matching frames
+    * of the `vid_a` side.
+    */
+  def rollupFramePairs(framePairs: DataFrame,
+                       minSharedFrames: Int): DataFrame =
+    framePairs.groupBy(col("vid_a"), col("vid_b"))
+      .agg(countDistinct(col("frame_a")).as("n_shared"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("n_shared") >= minSharedFrames)
 
   /** Deterministic corpus of REAL MJPEG-in-AVI videos with TEXTURED
     * frames (9×8 solid blocks scaled up, block grays from [[cellGray]]

@@ -1958,6 +1958,159 @@ object DocOracles {
        |SELECT img_a, img_b, hamming FROM fs WHERE hamming <= 6""".stripMargin
   }
 
+  /** Mirror of q_audio_neardup — the audio leg of the dedup family.
+    * The Spark side builds REAL RIFF/WAVs from the embeddings table's
+    * ids (Multimodal.wavsFromIds: 16 square-wave energy windows at
+    * power-of-two amplitudes 2^(10 + md5-byte mod 5), plus a
+    * half-gain copy per 4th id), decodes them through javax.sound,
+    * computes the 16-window RMS envelope, centers it, and pairs by
+    * sign-band LSH (2 bands × 8 bits) + exact cosine > 0.98
+    * (Multimodal.audioNearDup ∘ Similarity.nearDupPairs). Because
+    * every amplitude is a power of two, the whole decode → square →
+    * window-mean → sqrt → center chain stays EXACT dyadic rationals
+    * (see wavsFromIds' scaladoc for the argument), so this SQL
+    * replays the envelope from the md5 formula, the band keys, and
+    * the 16-term cosine chain bit-for-bit — a corrupted byte anywhere
+    * in the WAV encode/decode changes an envelope value and fails the
+    * gate. Envelope values are emitted as exact CASE literals
+    * (2^-6..2^-1), not POWER() calls.
+    */
+  private def audioNearDupSql: String = {
+    // first md5 byte of "base:w" (the same two-nibble strpos trick the
+    // image oracle uses), mod 5 → amplitude exponent class 0..4
+    def gexp(d: String) =
+      s"((strpos('0123456789abcdef', substr($d, 1, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substr($d, 2, 1)) - 1)) % 5"
+    // envelope value 2^(e-15) with e = 10 + class (base) or 9 + class
+    // (half-gain copy) — exact dyadic literals
+    val evCase = (0 to 5).map { k =>
+      val v = java.lang.Double.toString(math.pow(2.0, k - 6))
+      s"WHEN $k THEN $v" }.mkString(" ")
+    def bandSel(b: Int): String = {
+      val key = (0 until 8).map(r =>
+        s"CASE WHEN v[${b * 8 + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT id, $b AS band, CAST($key AS BIGINT) AS bkey FROM pv"
+    }
+    val cosChain = {
+      def dot16(a: String, b: String) =
+        (1 to 16).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+      s"(${dot16("pa.v", "pb.v")}) / " +
+        s"(SQRT(${dot16("pa.v", "pa.v")}) * SQRT(${dot16("pb.v", "pb.v")}))"
+    }
+    s"""WITH ids AS (
+       |  SELECT vec_id AS id, vec_id AS base, FALSE AS half
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, vec_id, TRUE FROM embeddings
+       |  WHERE vec_id % 4 = 0),
+       |wn AS (SELECT id, base, half,
+       |         UNNEST(generate_series(0, 15)) AS w
+       |       FROM ids),
+       |ge AS (SELECT id, w,
+       |    ${gexp("md5(base || ':' || w)")} +
+       |      (CASE WHEN half THEN 0 ELSE 1 END) AS ek
+       |  FROM wn),
+       |env AS (SELECT id, w, CASE ek $evCase END AS ev FROM ge),
+       |cent AS (SELECT id, w,
+       |    ev - SUM(ev) OVER (PARTITION BY id) / 16.0 AS c
+       |  FROM env),
+       |pv AS (SELECT id, list(c ORDER BY w) AS v FROM cent GROUP BY id),
+       |bd AS (
+       |  ${bandSel(0)}
+       |  UNION ALL
+       |  ${bandSel(1)}),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS vec_a, b.id AS vec_b
+       |  FROM bd a JOIN bd b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT vec_a, vec_b, $cosChain AS cos
+       |  FROM cand JOIN pv pa ON vec_a = pa.id
+       |            JOIN pv pb ON vec_b = pb.id)
+       |WHERE cos > 0.98""".stripMargin
+  }
+
+  /** Mirror of q_video_neardup — the video leg of the dedup family.
+    * The Spark side builds REAL RIFF/AVIs from the embeddings table's
+    * ids (Multimodal.videosFromIds: 3 lossless PNG frames per video,
+    * cell grays from the frameCellGray md5 formula, plus a copy per
+    * 4th id with ONE cell of frame base%3 shifted), walks the
+    * container, decodes every frame through ImageIO, dHashes each
+    * frame with the image kernel, pairs frames by the composite-band
+    * LSH + exact hamming ≤ 6, and rolls up per video pair with
+    * n_shared = COUNT(DISTINCT lower-id side's frame). PNG
+    * losslessness makes each decoded frame grid equal the formula
+    * grid, so this SQL replays the per-frame hashes (the image
+    * oracle's block arithmetic with a frame dimension), the banded
+    * frame pairs (DISTINCT replaces the row-local first-clean-band
+    * rule — same pair set), and the distinct-frames roll-up exactly.
+    */
+  private def videoNearDupSql: String = {
+    val frames = 3
+    val pivotCols = (0 until 8).map(b =>
+      s"MAX(CASE WHEN block = $b THEN bkey END) AS b$b").mkString(", ")
+    val pairs = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+    val bandSel = pairs.zipWithIndex.map { case ((i, j), b) =>
+      s"SELECT id, f, $b AS band, b$i * 256 + b$j AS key FROM pv" }
+      .mkString("\n  UNION ALL\n  ")
+    val hamming = (0 until 8).map(b =>
+      s"bit_count(xor(pa.b$b, pb.b$b))").mkString(" + ")
+    s"""WITH ids AS (
+       |  SELECT vec_id AS id, vec_id AS base, FALSE AS pert
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, vec_id, TRUE FROM embeddings
+       |  WHERE vec_id % 4 = 0),
+       |fr AS (SELECT id, base, pert,
+       |         UNNEST(generate_series(0, ${frames - 1})) AS f
+       |       FROM ids),
+       |cells AS (
+       |  SELECT id, base, pert, f,
+       |         UNNEST(generate_series(0, 71)) AS i
+       |  FROM fr),
+       |hx AS (
+       |  SELECT id, f, i,
+       |    (strpos('0123456789abcdef',
+       |       substr(md5(base || ':' || f || ':' || i), 1, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef',
+       |       substr(md5(base || ':' || f || ':' || i), 2, 1)) - 1) AS graw,
+       |    pert AND f = base % $frames AND i = base % 72 AS hit
+       |  FROM cells),
+       |cg AS MATERIALIZED (
+       |  SELECT id, f, i,
+       |    CASE WHEN hit THEN (graw + 96) % 256 ELSE graw END AS g
+       |  FROM hx),
+       |bits AS (
+       |  SELECT c1.id, c1.f, (c1.i // 9) * 8 + (c1.i % 9) AS k,
+       |    CASE WHEN c2.g > c1.g THEN 1 ELSE 0 END AS bit
+       |  FROM cg c1 JOIN cg c2
+       |    ON c2.id = c1.id AND c2.f = c1.f AND c2.i = c1.i + 1
+       |  WHERE c1.i % 9 < 8),
+       |blk AS (
+       |  SELECT id, f, CAST(k // 8 AS INTEGER) AS block,
+       |    CAST(SUM(bit * (1 << CAST(k % 8 AS INTEGER))) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY id, f, k // 8),
+       |pv AS MATERIALIZED (SELECT id, f, $pivotCols FROM blk GROUP BY id, f),
+       |bands AS (
+       |  $bandSel),
+       |pr AS (
+       |  SELECT DISTINCT a.id AS vid_a, a.f AS fa, b.id AS vid_b, b.f AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |fs AS (
+       |  SELECT pr.vid_a, pr.fa, pr.vid_b,
+       |    CAST($hamming AS INTEGER) AS hamming
+       |  FROM pr
+       |  JOIN pv pa ON pa.id = pr.vid_a AND pa.f = pr.fa
+       |  JOIN pv pb ON pb.id = pr.vid_b AND pb.f = pr.fb)
+       |SELECT vid_a, vid_b, COUNT(DISTINCT fa) AS n_shared,
+       |       MIN(hamming) AS min_hamming
+       |FROM fs WHERE hamming <= 6
+       |GROUP BY vid_a, vid_b
+       |HAVING COUNT(DISTINCT fa) >= 2""".stripMargin
+  }
+
   /** Mirror of Dedup.sourceMinhashSim (n=3, numHashes=8): one
     * 8-slot MinHash signature per source over the source's gram
     * multiset, pairwise slot-match Jaccard estimate.
@@ -2398,6 +2551,8 @@ object DocOracles {
     "q_ann_recall_curve" -> annRecallCurveSql,
     "q_ann_recall_ladder" -> annRecallLadderSql,
     "q_image_neardup" -> imageNearDupSql,
+    "q_audio_neardup" -> audioNearDupSql,
+    "q_video_neardup" -> videoNearDupSql,
     "q_kmeans" -> kmeansSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_bm25" -> bm25Sql,

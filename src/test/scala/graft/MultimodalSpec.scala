@@ -448,21 +448,26 @@ class MultimodalSpec extends AnyFunSuite {
     val truthHashes = rows.map(r => r.media_id -> frameHashes(r.bytes)).toMap
     truthHashes.values.foreach(fs => assert(fs.length == 4))
     val ids = truthHashes.keys.toSeq.sorted
-    val truthPairs = (for {
+    // n_shared semantics (r15 ADVICE): DISTINCT frames of the
+    // lower-id video that match ≥1 frame of the other within hamming 6
+    val truth = (for {
       a <- ids; b <- ids if a < b
-      n = (for (ha <- truthHashes(a); hb <- truthHashes(b)
-                if java.lang.Long.bitCount(ha ^ hb) <= 6) yield 1).size
+      n = truthHashes(a).count(ha => truthHashes(b).exists(hb =>
+        java.lang.Long.bitCount(ha ^ hb) <= 6))
       if n >= 2
-    } yield (a, b)).toSet
+    } yield (a, b) -> n.toLong).toMap
+    val truthPairs = truth.keySet
 
-    val got = Multimodal.videoNearDup(vids, minSharedFrames = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotRows = Multimodal.videoNearDup(vids, minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = gotRows.keySet
     // full recall on pairs whose shared frames have hamming <= 6
-    // (composite-band pigeonhole), full precision from exact verify —
-    // but n_shared counts banded frame PAIRS, truth counts the same,
-    // so the video-pair sets must match exactly
+    // (composite-band pigeonhole), full precision from exact verify
     assert(got == truthPairs,
       s"missed=${(truthPairs -- got).take(3)} extra=${(got -- truthPairs).take(3)}")
+    // n_shared counts the lower-id side's DISTINCT matching frames
+    assert(gotRows == truth,
+      s"n_shared divergence: ${gotRows.toSet.diff(truth.toSet).take(3)}")
     // every planted copy shares 3 of 4 frames with its base
     for (id <- 0L until 16L if id % 4 == 0)
       assert(got.contains((id, id + 5000L)), s"copy of video $id not paired")
@@ -478,6 +483,85 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeVideo(rows).collect()
       .map(f => f.media_id -> f.decoded).toMap
     assert(out == Map(1L -> false, 2L -> false))
+  }
+
+  test("n_shared counts DISTINCT frames, not frame pairs: one repeated " +
+       "shared frame cannot clear minSharedFrames (r15 ADVICE)") {
+    // frame 0 of video 1 matches BOTH frames of video 2 (a static
+    // scene): 2 verified frame PAIRS but only 1 distinct matching
+    // frame — the old count(1) roll-up would have passed min=2
+    val pairs = Seq(
+      (1L, 0, 2L, 0, 2), (1L, 0, 2L, 1, 3)).toDF(
+      "vid_a", "frame_a", "vid_b", "frame_b", "hamming")
+    assert(Multimodal.rollupFramePairs(pairs, minSharedFrames = 2)
+      .count() == 0)
+    val one = Multimodal.rollupFramePairs(pairs, minSharedFrames = 1)
+      .collect()
+    assert(one.length == 1 && one.head.getLong(2) == 1L &&
+      one.head.getInt(3) == 2)
+  }
+
+  test("oracle WAV fixture: decoded RMS envelope equals the dyadic " +
+       "formula bit-for-bit, gain copies pair through audioNearDup") {
+    val ids = spark.range(16).select(col("id").as("vec_id"))
+    val media = Multimodal.wavsFromIds(ids)
+    val rows = media.collect()
+    assert(rows.length == 20) // 16 bases + 4 half-gain copies
+    val feats = Multimodal.decodeAudio(media, dim = 16).collect()
+    assert(feats.forall(_.decoded), "every fixture WAV must decode")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    feats.foreach { f =>
+      val baseId = if (f.media_id >= 10000000L) f.media_id - 10000000L
+                   else f.media_id
+      val half = f.media_id >= 10000000L
+      val expect = (0 until 16).map { w =>
+        val e = Multimodal.windowAmpExp(baseId, w, md) -
+          (if (half) 1 else 0)
+        // 2^(e-15) exactly — the envelope contract the oracle replays
+        java.lang.Math.scalb(1.0f, e - 15)
+      }
+      assert(f.envelope.toSeq == expect,
+        s"media ${f.media_id}: ${f.envelope.toSeq} != $expect")
+    }
+    val got = Multimodal.audioNearDup(media, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0L until 16L if id % 4 == 0)
+      assert(got.contains((id, id + 10000000L)),
+        s"half-gain copy of $id not paired")
+    // unrelated md5-enveloped tracks stay apart at t=0.98
+    assert(got.forall { case (a, b) => b - a == 10000000L })
+  }
+
+  test("oracle AVI fixture: PNG frames decode to the formula grid — " +
+       "frame dHashes equal the formula dHash, copies pair with " +
+       "n_shared = frames") {
+    val ids = spark.range(12).select(col("id").as("vec_id"))
+    val media = Multimodal.videosFromIds(ids, frames = 3)
+    val fh = Multimodal.videoFrameHashes(media).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.fhash).toMap
+    assert(fh.size == (12 + 3) * 3)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // independent truth: dHash straight off the integer formula grid
+    def formulaHash(baseId: Long, f: Int, pert: Boolean): Long = {
+      val g = Array.tabulate(72)(i =>
+        Multimodal.frameCellGray(baseId, f, i, pert, md).toDouble)
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= (1L << (y * 8 + x))
+      h
+    }
+    fh.foreach { case ((mid, f), hash) =>
+      val baseId = if (mid >= 10000000L) mid - 10000000L else mid
+      val pert = mid >= 10000000L && f == (baseId % 3).toInt
+      assert(hash == formulaHash(baseId, f, pert),
+        s"video $mid frame $f: codec round-trip diverged from formula")
+    }
+    val got = Multimodal.videoNearDup(media, minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (id <- 0L until 12L if id % 4 == 0)
+      assert(got.get((id, id + 10000000L)).contains(3L),
+        s"copy of video $id: ${got.get((id, id + 10000000L))}")
   }
 
   test("verified impossible: no inter-frame video codec exists on " +
