@@ -103,7 +103,41 @@ object ScaleRehearsal {
     "x_video_neardup" -> ((s, d) => graft.multimodal.Multimodal
       .videoNearDup(graft.multimodal.Multimodal
         .syntheticTexturedAviMedia(s,
-          graft.sources.Tables(s, d, "embeddings").count()))))
+          graft.sources.Tables(s, d, "embeddings").count()))),
+    // r16: the decode-once claim, measured — a FIXED 64-image arrival
+    // batch probed against the PERSISTED fingerprint index of the
+    // dir's whole image corpus (appended once, outside the timing —
+    // see the pre-warm in main). The r15 verdict's point: re-dedup
+    // against a standing corpus should not re-decode it. Probe cost =
+    // batch decode + bucket-pruned scan, so the 10× row should stay
+    // ~flat while q_image_neardup (the full-re-decode comparator, in
+    // the gate registry) grows super-linearly with the corpus.
+    "x_media_probe_persisted" -> ((s, d) =>
+      MediaScale.store(s, d).probeImages(
+        graft.multimodal.Multimodal.imagesFromIds(
+            s.range(64).select(col("id").as("vec_id")),
+            copyEvery = 1, copyOffset = 20000000L)
+          .filter(_.media_id >= 20000000L))))
+
+  /** Memoized per-dir media fingerprint stores for
+    * `x_media_probe_persisted`: the append (the one decode the corpus
+    * ever pays) happens at pre-warm time in main, NOT inside the
+    * timed probe — that amortized-once cost is exactly what the
+    * persisted layout moves out of the per-run path.
+    */
+  private[graft] object MediaScale {
+    private val stores =
+      scala.collection.mutable.Map[String, graft.streaming.BucketedMediaStore]()
+    def store(s: SparkSession, d: String): graft.streaming.BucketedMediaStore =
+      stores.getOrElseUpdate(d, {
+        val st = new graft.streaming.BucketedMediaStore(
+          s, s"scale_media_${math.abs(d.hashCode)}")
+        st.init()
+        st.append(graft.multimodal.Multimodal.imagesFromIds(
+          graft.sources.Tables(s, d, "embeddings").select("vec_id")))
+        st
+      })
+  }
 
   private def timeQuery(spark: SparkSession, name: String,
                         dir: String): (Double, Long) = {
@@ -156,6 +190,11 @@ object ScaleRehearsal {
     val targets = if (args.length > 2) args.drop(2).toSeq
       else Seq("q_dedup_simhash", "q_dedup_clusters",
         "q_cluster_family_shared", "q_ann_ivfpq_rerank", "q_record_linkage")
+    // the persisted-index probe's standing corpora are appended ONCE
+    // here, outside the timed region — append is the amortized
+    // build-the-index cost; the probe is the per-run cost measured
+    if (targets.contains("x_media_probe_persisted"))
+      Seq(base, out).foreach(d => MediaScale.store(spark, d))
     val results = targets.map { q =>
       // untimed warmup on the 1x corpus: JIT + codegen compile +
       // classloading land here, so neither timed leg pays them (a

@@ -390,11 +390,17 @@ object SparkEntry {
     // frame-paired by the composite-band LSH, and rolled up per video
     // pair with n_shared = DISTINCT matching frames. PNG losslessness
     // makes the decoded grids equal the formula grids, so the oracle
-    // replays frame hashes, pairs, and roll-up exactly.
+    // replays frame hashes, pairs, and roll-up exactly. 3-block bands
+    // (full recall to hamming 5) are the at-scale frame banding:
+    // per-frame rows triple N before the quadratic band-collision
+    // term, and the 2-block cut measured 22x wall at 10x videos
+    // (SCALE_r16) — the explicit band-width choice at the query site,
+    // same philosophy as nearDupPairs' no-default banding.
     "q_video_neardup" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.videosFromIds(
         T(s, d)("embeddings").select("vec_id"))
-      graft.multimodal.Multimodal.videoNearDup(media, minSharedFrames = 2)
+      graft.multimodal.Multimodal.videoNearDup(media, minSharedFrames = 2,
+        maxHamming = 5, bandBlocks = 3)
     }),
     // kNN label propagation (weak supervision): majority label of the
     // 5 IVF-ANN nearest neighbors per query vector

@@ -584,36 +584,59 @@ object Multimodal {
     }
   }
 
-  /** The 28 (i, j) byte-block index pairs, i < j, in lexicographic
-    * order — the composite-band enumeration shared by the batch
-    * operator, the streaming twin ([[graft.streaming.StreamImageDedup]]),
-    * the plan, and the DuckDB oracle mirror.
+  /** All C(8, `blocks`) byte-block index combinations in
+    * lexicographic order — the GENERAL composite-band enumeration.
+    * Band width is the selectivity-vs-recall dial the image
+    * operator's scaladoc promises: a pair within hamming d dirties at
+    * most d of the 8 blocks, so some all-clean `blocks`-tuple exists
+    * whenever d ≤ 8 − blocks — full recall by pigeonhole to hamming 6
+    * at 2 blocks (28 bands × 16-bit keys), hamming 5 at 3 blocks
+    * (56 bands × 24-bit keys, ~2⁸× fewer collisions per band: the
+    * Σ bucket² candidate volume drops from ~28·N²/2¹⁶ to ~56·N²/2²⁴).
+    * Per-frame video dedup is where this matters first: frames
+    * multiply N before the quadratic, and the r16 scale row measured
+    * 2-block frame banding at 22× wall for 10× videos.
     */
-  private[graft] val bandPairs: IndexedSeq[(Int, Int)] =
-    for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+  private[graft] def bandSets(blocks: Int): IndexedSeq[Seq[Int]] =
+    (0 until 8).combinations(blocks).map(_.toSeq).toIndexedSeq
 
-  /** Composite 16-bit band key of band (i, j) over a 64-bit hash —
-    * ONE definition for batch and stream, so bucket layouts agree
-    * bit-for-bit by construction.
+  /** Composite (8·blocks)-bit band key over a 64-bit hash — ONE
+    * definition for batch, stream, store, and the DuckDB oracle
+    * mirrors, so bucket layouts agree bit-for-bit by construction.
     */
-  private[graft] def bandKeyOf(c: Column, i: Int, j: Int): Column = {
+  private[graft] def bandKeyOfSet(c: Column, idxs: Seq[Int]): Column = {
     def blockOf(b: Int): Column =
       shiftrightunsigned(c, b * 8).bitwiseAND(lit(255L))
-    blockOf(i) * lit(256L) + blockOf(j)
+    idxs.map(blockOf).reduceLeft((acc, blk) => acc * lit(256L) + blk)
   }
+
+  /** The 28 (i, j) byte-block index pairs — the 2-block
+    * specialization ([[bandSets]](2)) the image/stream/store faces
+    * ship as their default.
+    */
+  private[graft] val bandPairs: IndexedSeq[(Int, Int)] =
+    bandSets(2).map { case Seq(i, j) => (i, j) }
+
+  private[graft] def bandKeyOf(c: Column, i: Int, j: Int): Column =
+    bandKeyOfSet(c, Seq(i, j))
 
   /** Index of the FIRST band on which two hashes agree — the
     * candidate-dedup rule shared by batch and stream (a candidate
     * pair is kept only at this band, so the banded join never needs
     * a distinct shuffle).
     */
-  private[graft] def firstSharedBand(a: Column, b: Column): Column =
-    bandPairs.zipWithIndex.tail.foldLeft {
-      val (i0, j0) = bandPairs.head
-      when(bandKeyOf(a, i0, j0) === bandKeyOf(b, i0, j0), 0)
-    } { case (acc, ((i, j), bandIdx)) =>
-      acc.when(bandKeyOf(a, i, j) === bandKeyOf(b, i, j), bandIdx)
+  private[graft] def firstSharedBandSet(a: Column, b: Column,
+                                        blocks: Int): Column = {
+    val sets = bandSets(blocks)
+    sets.zipWithIndex.tail.foldLeft(
+      when(bandKeyOfSet(a, sets.head) === bandKeyOfSet(b, sets.head), 0)
+    ) { case (acc, (s, bandIdx)) =>
+      acc.when(bandKeyOfSet(a, s) === bandKeyOfSet(b, s), bandIdx)
     }
+  }
+
+  private[graft] def firstSharedBand(a: Column, b: Column): Column =
+    firstSharedBandSet(a, b, 2)
 
   /** Hamming near-duplicate pairs over 64-bit perceptual hashes — the
     * image leg of the dedup family. Candidates come from an equi-join
@@ -635,19 +658,21 @@ object Multimodal {
     * widen the bands (3-block keys: full recall to d ≤ 4) the same
     * way, trading the recall bound for selectivity.
     */
-  def imageNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 6,
-      s"imageNearDup: composite 2-block bands guarantee full recall " +
-        s"only for maxHamming <= 6 (>= 2 clean blocks needed); got " +
-        s"$maxHamming")
+  def imageNearDup(hashes: DataFrame, maxHamming: Int = 6,
+                   bandBlocks: Int = 2): DataFrame = {
+    require(maxHamming <= 8 - bandBlocks,
+      s"imageNearDup: composite $bandBlocks-block bands guarantee full " +
+        s"recall only for maxHamming <= ${8 - bandBlocks} " +
+        s"(>= $bandBlocks clean blocks needed); got $maxHamming")
+    val sets = bandSets(bandBlocks)
     val bd = hashes.select(col("media_id"), col("ahash"),
-      posexplode(array(bandPairs.map { case (i, j) =>
-        bandKeyOf(col("ahash"), i, j) }: _*)).as(Seq("band", "bkey")))
+      posexplode(array(sets.map(s =>
+        bandKeyOfSet(col("ahash"), s)): _*)).as(Seq("band", "bkey")))
     bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
       .filter(col("a.band") ===
-        firstSharedBand(col("a.ahash"), col("b.ahash")))
+        firstSharedBandSet(col("a.ahash"), col("b.ahash"), bandBlocks))
       .select(col("a.media_id").as("img_a"), col("b.media_id").as("img_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -962,20 +987,28 @@ object Multimodal {
     * aggregate on (video_a, video_b) — countDistinct adds a dedup on
     * (pair, frame_idx), bounded by frames-per-video.
     */
+  /** `bandBlocks` is the frame-banding width dial ([[bandSets]]):
+    * 2-block bands give full recall to hamming 6; 3-block bands trade
+    * the bound down to hamming 5 for ~2⁸× fewer band collisions —
+    * the at-scale configuration for video, where per-frame rows
+    * multiply N before the quadratic Σ bucket² term (r16 scale rows:
+    * 2-block read 22× wall at 10× videos; 3-block is the fix).
+    */
   def videoNearDup(media: Dataset[MediaRow], minSharedFrames: Int = 2,
-                   maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 6,
-      s"videoNearDup: composite 2-block bands guarantee full recall " +
-        s"only for maxHamming <= 6; got $maxHamming")
+                   maxHamming: Int = 6, bandBlocks: Int = 2): DataFrame = {
+    require(maxHamming <= 8 - bandBlocks,
+      s"videoNearDup: composite $bandBlocks-block bands guarantee full " +
+        s"recall only for maxHamming <= ${8 - bandBlocks}; got $maxHamming")
+    val sets = bandSets(bandBlocks)
     val fh = videoFrameHashes(media).toDF()
     val bd = fh.select(col("media_id"), col("frame_idx"), col("fhash"),
-      posexplode(array(bandPairs.map { case (i, j) =>
-        bandKeyOf(col("fhash"), i, j) }: _*)).as(Seq("band", "bkey")))
+      posexplode(array(sets.map(s =>
+        bandKeyOfSet(col("fhash"), s)): _*)).as(Seq("band", "bkey")))
     val framePairs = bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
       .filter(col("a.band") ===
-        firstSharedBand(col("a.fhash"), col("b.fhash")))
+        firstSharedBandSet(col("a.fhash"), col("b.fhash"), bandBlocks))
       .filter(bit_count(col("a.fhash").bitwiseXOR(col("b.fhash")))
         <= maxHamming)
       .select(col("a.media_id").as("vid_a"), col("a.frame_idx").as("frame_a"),

@@ -2037,8 +2037,8 @@ object DocOracles {
     * cell grays from the frameCellGray md5 formula, plus a copy per
     * 4th id with ONE cell of frame base%3 shifted), walks the
     * container, decodes every frame through ImageIO, dHashes each
-    * frame with the image kernel, pairs frames by the composite-band
-    * LSH + exact hamming ≤ 6, and rolls up per video pair with
+    * frame with the image kernel, pairs frames by the composite
+    * 3-BLOCK band LSH + exact hamming ≤ 5, and rolls up per video pair with
     * n_shared = COUNT(DISTINCT lower-id side's frame). PNG
     * losslessness makes each decoded frame grid equal the formula
     * grid, so this SQL replays the per-frame hashes (the image
@@ -2050,9 +2050,14 @@ object DocOracles {
     val frames = 3
     val pivotCols = (0 until 8).map(b =>
       s"MAX(CASE WHEN block = $b THEN bkey END) AS b$b").mkString(", ")
-    val pairs = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
-    val bandSel = pairs.zipWithIndex.map { case ((i, j), b) =>
-      s"SELECT id, f, $b AS band, b$i * 256 + b$j AS key FROM pv" }
+    // 3-block lexicographic combinations mirror Multimodal.bandSets(3)
+    // (56 bands of 24-bit keys): the at-scale frame banding, full
+    // recall to hamming <= 5 by pigeonhole, ~2^8 fewer band
+    // collisions than the 2-block image banding (SCALE_r16 measured
+    // 2-block at 22x wall for 10x videos)
+    val triples = (0 until 8).combinations(3).map(_.toSeq).toIndexedSeq
+    val bandSel = triples.zipWithIndex.map { case (Seq(i, j, k), b) =>
+      s"SELECT id, f, $b AS band, (b$i * 256 + b$j) * 256 + b$k AS key FROM pv" }
       .mkString("\n  UNION ALL\n  ")
     val hamming = (0 until 8).map(b =>
       s"bit_count(xor(pa.b$b, pb.b$b))").mkString(" + ")
@@ -2106,7 +2111,7 @@ object DocOracles {
        |  JOIN pv pb ON pb.id = pr.vid_b AND pb.f = pr.fb)
        |SELECT vid_a, vid_b, COUNT(DISTINCT fa) AS n_shared,
        |       MIN(hamming) AS min_hamming
-       |FROM fs WHERE hamming <= 6
+       |FROM fs WHERE hamming <= 5
        |GROUP BY vid_a, vid_b
        |HAVING COUNT(DISTINCT fa) >= 2""".stripMargin
   }

@@ -562,6 +562,73 @@ class MultimodalSpec extends AnyFunSuite {
     for (id <- 0L until 12L if id % 4 == 0)
       assert(got.get((id, id + 10000000L)).contains(3L),
         s"copy of video $id: ${got.get((id, id + 10000000L))}")
+    // band-width dial: at a shared maxHamming both widths have FULL
+    // recall by pigeonhole (2-block to 6, 3-block to 5), so at 5 the
+    // outputs must be row-identical — the selectivity gain is free
+    def rows(bb: Int) = Multimodal.videoNearDup(media,
+        minSharedFrames = 2, maxHamming = 5, bandBlocks = bb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(rows(3) == rows(2), "3-block banding lost recall at hamming<=5")
+  }
+
+  test("streaming video dedup: batch-parity on the cross pairs " +
+       "(n_shared and min_hamming included) and a real MemoryStream leg") {
+    import graft.streaming.StreamVideoDedup
+    // standing corpus: 16 base videos (copies become the arrivals)
+    val all = Multimodal.videosFromIds(
+      spark.range(16).select(col("id").as("vec_id")), frames = 3)
+    val corpus = all.filter(_.media_id < 10000000L)
+    val arrivals = all.filter(_.media_id >= 10000000L)
+      .union(Multimodal.videosFromIds(
+          spark.range(100, 104).select(col("id").as("vec_id")), frames = 3)
+        .filter(_.media_id < 10000000L))
+    val idx = StreamVideoDedup.bandIndex(corpus)
+
+    // static-frame invocation of the same stream-static plan
+    val matches = StreamVideoDedup.videoFrameMatches(arrivals, idx)
+    val got = StreamVideoDedup.rollupArrivals(matches, minSharedFrames = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+    // batch-operator truth: videoNearDup over corpus ∪ arrivals,
+    // restricted to cross pairs (one side in each set)
+    val corpusIds = corpus.collect().map(_.media_id).toSet
+    val truth = Multimodal.videoNearDup(corpus.union(arrivals),
+        minSharedFrames = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .filter { case (a, b, _, _) => corpusIds(a) ^ corpusIds(b) }
+      .toSet
+    assert(got == truth,
+      s"missed=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    // every planted one-frame-perturbed copy pairs with all 3 frames
+    for (id <- 0L until 16L if id % 4 == 0)
+      assert(got.exists(p => p._1 == id && p._2 == id + 10000000L &&
+        p._3 == 3L), s"copy of video $id not rolled up")
+
+    // end-to-end: the frame-match plan runs as a real streaming
+    // query, append mode, stateless; the shared roll-up then
+    // reproduces the same video pairs from the streamed matches
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MediaRow](spark)
+    val q = StreamVideoDedup.videoFrameMatches(in.toDS(), idx)
+      .writeStream.format("memory").queryName("vid_dedup_stream")
+      .outputMode("append").start()
+    val arrivalRows = arrivals.collect()
+    in.addData(arrivalRows.take(4).toSeq)
+    q.processAllAvailable()
+    in.addData(arrivalRows.drop(4).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamVideoDedup.rollupArrivals(
+        spark.table("vid_dedup_stream"), minSharedFrames = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(streamed == got, "MemoryStream leg diverged from the static plan")
   }
 
   test("verified impossible: no inter-frame video codec exists on " +

@@ -87,6 +87,35 @@ def main():
     assert compare.looks_oom("allocation failed: out of budget")
     assert not compare.looks_oom("column amount not found")
     assert not compare.looks_oom(None)
+    # concatenated JVM/duckdb forms lowercase to ONE word — the
+    # leading-boundary-only marker must catch them (ADVICE r15 #2)
+    assert compare.looks_oom("java.lang.OutOfMemoryError: heap space")
+    assert compare.looks_oom("OutOfMemoryException in oracle leg")
+    assert compare.looks_oom("plain outofmemory text")
+    # ...but not inside a longer word on the LEFT
+    assert not compare.looks_oom("fakeoutofmemory is not a marker")
+
+    # preflight_wait: waits only while below the floor, spends the
+    # shared budget, stops when memory recovers or budget runs out;
+    # a None reading (no /proc/meminfo) disables the gate entirely.
+    readings = iter([1000, 1200, 9999])
+    slept = []
+    budget = {"s": 100}
+    waited = compare.preflight_wait(
+        budget, floor_mb=2600, step_s=15,
+        mem_fn=lambda: next(readings), sleep_fn=slept.append)
+    assert waited == 30 and slept == [15, 15], (waited, slept)
+    assert budget["s"] == 70, budget
+    budget = {"s": 20}
+    waited = compare.preflight_wait(
+        budget, floor_mb=2600, step_s=15,
+        mem_fn=lambda: 100, sleep_fn=lambda s: None)
+    assert waited == 20 and budget["s"] == 0, (waited, budget)
+    waited = compare.preflight_wait(
+        {"s": 100}, floor_mb=2600, step_s=15,
+        mem_fn=lambda: None, sleep_fn=lambda s: (_ for _ in ()).throw(
+            AssertionError("must not sleep when meminfo is unreadable")))
+    assert waited == 0, waited
 
     print("test_compare: all assertions passed")
 
