@@ -129,28 +129,10 @@ object RecallAudit {
     // points each — residuals are then pure within-cell offsets and
     // the residual book quantizes THEM instead of re-describing the
     // cells.
-    val centers = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id"), Similarity.asDouble(col("embedding"))
-        .as("embedding"))
-    def noisyCopies(copies: Int): DataFrame =
-      (1 to copies).map { c =>
-        val withD = centers.select(col("vec_id"), col("embedding"),
-          md5(concat(lit(s"clu:$c:a:"), col("vec_id").cast("string")))
-            .as("da"),
-          md5(concat(lit(s"clu:$c:b:"), col("vec_id").cast("string")))
-            .as("db"))
-        def eps(j: Int) = {
-          val digest = if (j <= 32) col("da") else col("db")
-          val pos = (j - 1) % 32 + 1
-          val a = ascii(substring(digest, pos, 1))
-          val nib = when(a >= 97, a - 87).otherwise(a - 48)
-          (nib.cast("double") - lit(7.5)) / lit(128.0)
-        }
-        withD.select((col("vec_id") + lit(16L * c)).as("vec_id"),
-          array((1 to 64).map(j =>
-            element_at(col("embedding"), j) + eps(j)): _*).as("embedding"))
-      }.reduce(_ unionByName _)
-    val clustered = centers.unionByName(noisyCopies(40))
+    // the generator is now the operator-surface Similarity
+    // .clusteredCopies (promoted in r16 so the clustered regime is
+    // oracle-checkable); the audit consumes the same corpus
+    val clustered = Similarity.clusteredCopies(emb)
       .localCheckpoint(true)
     val cqPred = col("vec_id") >= 320 && col("vec_id") < 328
     val ctruth = topkSets(Similarity.bruteForceTopK(clustered, cqPred, k))

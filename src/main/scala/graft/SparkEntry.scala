@@ -281,6 +281,18 @@ object SparkEntry {
     "q_ann_recall_ladder" -> ((s, d) =>
       Similarity.annRecallLadder(T(s, d)("embeddings"),
         org.apache.spark.sql.functions.col("vec_id") < 8, k = 3)),
+    // the CLUSTERED-regime recall panel (r15 verdict Next #4): the PQ
+    // rungs graded on the corpus shape they are sold for — 16 coarse
+    // cells x 40 md5-perturbed members (clusteredCopies, the
+    // RecallAudit two-regime generator promoted to the gate), queries
+    // = the c=20 copies of centers 0..7. Residual PQ's win over raw
+    // PQ is only visible here; the near-uniform ladder can't show it.
+    "q_ann_recall_clustered" -> ((s, d) =>
+      Similarity.annRecallLadder(
+        Similarity.clusteredCopies(T(s, d)("embeddings")),
+        org.apache.spark.sql.functions.col("vec_id") >= 320 &&
+          org.apache.spark.sql.functions.col("vec_id") < 328, k = 3,
+        methods = Seq("ivfpq", "ivfpq_residual", "residual_rerank"))),
     // IVF ANN on the TRAINED coarse quantizer: one Lloyd round of
     // deterministic k-means over the corpus replaces the first-16
     // pivots — higher recall at equal nprobe (table in COVERAGE.md),

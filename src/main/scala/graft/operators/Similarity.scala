@@ -1421,17 +1421,25 @@ object Similarity {
     * (method, n_hits, n_truth, recall), recall the exact
     * small-integer IEEE division shared bit-for-bit with the oracle.
     */
+  /** The ladder's full method inventory, in published order. */
+  val LadderMethods: Seq[String] = Seq("ivf", "lsh", "ivfpq",
+    "ivfpq_rerank", "ivfpq_residual", "residual_rerank", "rp_rerank",
+    "trained_rerank")
+
   def annRecallLadder(embeddings: DataFrame, queryPred: Column,
-                      k: Int = 3, dim: Int = Dim): DataFrame = {
+                      k: Int = 3, dim: Int = Dim,
+                      methods: Seq[String] = LadderMethods): DataFrame = {
     val truth = OperatorCaches.track(
       bruteForceTopK(embeddings, queryPred, k, dim)
         .select("query_id", "neighbor_id"))
     // the trained book is paid ONCE and reused for the trained rung
-    // (mirrors q_ann_trained_rerank's single-Lloyd-round training)
+    // (mirrors q_ann_trained_rerank's single-Lloyd-round training);
+    // lazy, so a `methods` subset that skips the trained rung never
+    // trains it
     lazy val trainedBook = kmeansCarr(
       embeddings.filter(pmod(col("vec_id"), lit(4L)) === 0),
       k = 16, iters = 1)
-    val methods: Seq[(String, () => DataFrame)] = Seq(
+    val allMethods: Seq[(String, () => DataFrame)] = Seq(
       "ivf" -> (() => ivfTopK(embeddings, queryPred, k, dim = dim)),
       "lsh" -> (() => lshTopK(embeddings, queryPred, k, dim = dim)),
       "ivfpq" -> (() => ivfPqTopK(embeddings, queryPred, k, dim = dim)),
@@ -1448,12 +1456,59 @@ object Similarity {
         ivfPqRerankTopK(embeddings, queryPred, k, rerank = 40, dim = dim,
           pivotsOpt = Some(carrToPivotArr(trainedBook)),
           bookOpt = Some(trainedBook))))
+    val byName = allMethods.toMap
+    val chosen = methods.map { m =>
+      m -> byName.getOrElse(m, throw new IllegalArgumentException(
+        s"annRecallLadder: unknown method $m (have ${LadderMethods})"))
+    }
     val aggs = recallAggs("n_truth")
-    methods.map { case (name, mk) =>
+    chosen.map { case (name, mk) =>
       truthHits(truth, mk())
         .agg(aggs.head, aggs.tail: _*)
         .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
           col("recall"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Deterministic CLUSTERED corpus derived from the embedding
+    * table's first `nCenters` vectors: each center plus `copies`
+    * md5-nibble-perturbed points around it (the RecallAudit
+    * two-regime generator, promoted to an oracle-replayable operator
+    * input). This is the IVFADC premise made concrete — the corpus
+    * CONCENTRATES around the coarse cells, so residuals are pure
+    * within-cell offsets and residual PQ has something to win on,
+    * unlike the near-uniform gate corpus where residual ≈ raw PQ by
+    * construction (r15 verdict, What's missing #3). Copy `c` of
+    * center `i` gets vec_id `i + nCenters·c`, noise
+    * (nibble − 7.5)/128 per coordinate from md5("clu:c:a|b:i") — the
+    * same exact-dyadic noise shape as [[perturbedCopies]], so a SQL
+    * oracle replays the corpus bit-for-bit. Size is FIXED
+    * (nCenters·(copies+1)) by design: this is a regime probe, not a
+    * corpus-scaling query.
+    */
+  def clusteredCopies(embeddings: DataFrame, nCenters: Int = 16,
+                      copies: Int = 40, dim: Int = Dim): DataFrame = {
+    require(dim <= 64, s"clusteredCopies draws nibbles from two md5 " +
+      s"digests (64 nibbles); dim=$dim > 64 would reuse noise")
+    val centers = embeddings.filter(col("vec_id") < nCenters)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    val noisy = (1 to copies).map { c =>
+      val withD = centers.select(col("vec_id"), col("embedding"),
+        md5(concat(lit(s"clu:$c:a:"), col("vec_id").cast("string")))
+          .as("da"),
+        md5(concat(lit(s"clu:$c:b:"), col("vec_id").cast("string")))
+          .as("db"))
+      def eps(j: Int): Column = {
+        val digest = if (j <= 32) col("da") else col("db")
+        val pos = (j - 1) % 32 + 1
+        val a = ascii(substring(digest, pos, 1))
+        val nib = when(a >= 97, a - 87).otherwise(a - 48)
+        (nib.cast("double") - lit(7.5)) / lit(128.0)
+      }
+      withD.select((col("vec_id") + lit(nCenters.toLong * c)).as("vec_id"),
+        array((1 to dim).map(j =>
+          element_at(col("embedding"), j) + eps(j)): _*).as("embedding"))
+    }.reduce(_ unionByName _)
+    centers.unionByName(noisy)
   }
 }

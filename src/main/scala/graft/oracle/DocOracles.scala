@@ -327,12 +327,13 @@ object DocOracles {
     * follows any CTE chain ending in `s` = (query_id, neighbor_id,
     * adist). Shared by the untrained and trained rerank oracles.
     */
-  private def pqRerankTail(rerank: Int): String =
+  private def pqRerankTail(rerank: Int,
+                           qpred: String = "vec_id < 8"): String =
     s"""sl AS (SELECT query_id, neighbor_id FROM (
        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                   ORDER BY adist, neighbor_id) AS arn FROM s)
        |       WHERE arn <= $rerank),
-       |qv AS (SELECT vec_id AS query_id, v AS q FROM d WHERE vec_id < 8),
+       |qv AS (SELECT vec_id AS query_id, v AS q FROM d WHERE $qpred),
        |ex AS (SELECT sl.query_id, sl.neighbor_id,
        |         ${cos("q", "nd.v")} AS cos
        |       FROM sl JOIN qv USING (query_id)
@@ -378,7 +379,14 @@ object DocOracles {
     * neighbor_id, adist); also defines `d` (corpus) for the rerank
     * tail.
     */
-  private def annIvfPqResidualCtes: String = {
+  private def annIvfPqResidualCtes: String =
+    s"""$embCte,
+       |${annIvfPqResidualBody()}""".stripMargin
+
+  /** The residual chain over an ambient corpus CTE `d` — the
+    * qpred-parameterized form the clustered-regime panel reuses.
+    */
+  private def annIvfPqResidualBody(qpred: String = "vec_id < 8"): String = {
     val msub = 8; val dsub = 8
     def rsub(va: String, pa: String): String =
       (1 to 64).map(i => s"($va[$i] - $pa[$i])")
@@ -398,15 +406,14 @@ object DocOracles {
       s"JOIN qd q$m ON q$m.query_id = qr.query_id AND q$m.plist = qr.plist AND q$m.m = $m AND q$m.cid = e.c$m")
       .mkString("\n|        ")
     val adChain = (0 until msub).map(m => s"q$m.sdv").mkString(" + ")
-    s"""$embCte,
-       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+    s"""p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
        |ar AS (SELECT d.vec_id, d.v, pid, ${cos("d.v", "pv")} AS pcos,
        |         ROW_NUMBER() OVER (PARTITION BY d.vec_id
        |           ORDER BY ${cos("d.v", "pv")} DESC, pid) AS prn
        |       FROM d, p),
        |a AS (SELECT vec_id, pid AS list_id FROM ar WHERE prn = 1),
        |qr AS (SELECT vec_id AS query_id, pid AS plist
-       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
+       |       FROM ar WHERE ($qpred) AND prn <= 4),
        |rv AS MATERIALIZED (SELECT d.vec_id, a.list_id,
        |        ${rsub("d.v", "p.pv")} AS r
        |      FROM d JOIN a USING (vec_id) JOIN p ON p.pid = a.list_id),
@@ -449,7 +456,7 @@ object DocOracles {
        |${kmeansTrainedCte(16, 1, "vec_id % 4 = 0")},
        |p AS (SELECT cid AS pid, cv AS pv FROM c1),
        |cb AS (SELECT cid, cv FROM c1),
-       |$ivfPqCandidateBody,
+       |${ivfPqCandidateBody()},
        |${pqRerankTail(40)}""".stripMargin
 
   /** Shared CTE chain of the IVF-PQ oracles, through `s` =
@@ -458,16 +465,24 @@ object DocOracles {
     */
   private def ivfPqCandidateCtes: String =
     s"""$embCte,
-       |p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
-       |cb AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 16),
-       |$ivfPqCandidateBody""".stripMargin
+       |$ivfPqDefaultBook,
+       |${ivfPqCandidateBody()}""".stripMargin
+
+  /** The default first-16-vectors codebook CTEs (coarse pivots `p` +
+    * PQ centroids `cb`) over an ambient corpus CTE `d` — shared by
+    * the gate-corpus chain and the clustered-regime panel.
+    */
+  private def ivfPqDefaultBook: String =
+    """p AS (SELECT vec_id AS pid, v AS pv FROM d WHERE vec_id < 16),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 16)"""
+      .stripMargin
 
   /** The codebook-independent part of the IVF-PQ chain: consumes CTEs
     * `d` (corpus), `p` (pid, pv coarse pivots) and `cb` (cid, cv PQ
     * centroids — cids MUST be dense 0..15, the positional-ADC
     * contract), produces `s` = (query_id, neighbor_id, adist).
     */
-  private def ivfPqCandidateBody: String = {
+  private def ivfPqCandidateBody(qpred: String = "vec_id < 8"): String = {
     val msub = 8; val dsub = 8
     def sd(a: String, b: String, mi: Int): String =
       (1 to dsub).map { j =>
@@ -490,7 +505,7 @@ object DocOracles {
        |       FROM d, p),
        |a AS (SELECT vec_id, pid AS list_id FROM ar WHERE prn = 1),
        |qr AS (SELECT vec_id AS query_id, pid AS plist
-       |       FROM ar WHERE vec_id < 8 AND prn <= 4),
+       |       FROM ar WHERE ($qpred) AND prn <= 4),
        |ms AS (SELECT * FROM (VALUES $msVals) AS t(m)),
        |enc AS (SELECT d.vec_id, ms.m, cid, ${caseSd("d.v")} AS sdv
        |        FROM d, cb, ms),
@@ -501,7 +516,7 @@ object DocOracles {
        |               FROM enc) WHERE rn = 1 GROUP BY vec_id),
        |qd AS (SELECT q.vec_id AS query_id, ms.m, cid,
        |         ${caseSd("q.v")} AS sdv
-       |       FROM (SELECT vec_id, v FROM d WHERE vec_id < 8) q, cb, ms),
+       |       FROM (SELECT vec_id, v FROM d WHERE $qpred) q, cb, ms),
        |s AS (SELECT qr.query_id, a.vec_id AS neighbor_id,
        |        $adChain AS adist
        |      FROM qr JOIN a ON plist = list_id
@@ -1958,6 +1973,98 @@ object DocOracles {
        |SELECT img_a, img_b, hamming FROM fs WHERE hamming <= 6""".stripMargin
   }
 
+  /** The clustered corpus as a `d` CTE — mirror of
+    * Similarity.clusteredCopies (16 centers = the first 16 corpus
+    * vectors, 40 md5-nibble-perturbed copies each, copy `c` of
+    * center `i` at vec_id i + 16c). The noise replays embNearDupSql's
+    * pertTerms shape with the clu:c:a|b digest keys, so every
+    * coordinate is the identical correctly-rounded double in both
+    * engines.
+    */
+  private def clusteredCorpusCte: String = {
+    val nibble = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN $i" }.mkString(" ")
+    val pertTerms = (1 to 64).map { j =>
+      val dg = if (j <= 32) "da" else "db"
+      val pos = (j - 1) % 32 + 1
+      s"v[$j] + ((CASE substr($dg, $pos, 1) $nibble END) - 7.5) / 128.0"
+    }.mkString(",\n  ")
+    s"""d AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 16
+       |  UNION ALL
+       |  SELECT vid + 16 * c AS vec_id, [
+       |  $pertTerms] AS v
+       |  FROM (SELECT e.vec_id AS vid,
+       |          list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |          g.c AS c,
+       |          md5('clu:' || g.c || ':a:' || CAST(e.vec_id AS VARCHAR)) AS da,
+       |          md5('clu:' || g.c || ':b:' || CAST(e.vec_id AS VARCHAR)) AS db
+       |        FROM embeddings e, generate_series(1, 40) g(c)
+       |        WHERE e.vec_id < 16))""".stripMargin
+  }
+
+  /** Mirror of q_ann_recall_clustered — the PQ rungs graded on the
+    * clustered regime (r15 verdict Next #4): the SAME candidate-chain
+    * SQL the gate oracles use (ivfPqCandidateBody /
+    * annIvfPqResidualBody / pqRerankTail, qpred-parameterized), run
+    * over the clusteredCorpusCte with the copy-panel queries
+    * (vec_id 320..327 = the c=20 copies of centers 0..7). Each leg is
+    * an inner WITH referencing the outer MATERIALIZED `d`; the
+    * roll-up is the ladder's truth-join recall aggregate.
+    */
+  private def annRecallClusteredSql: String = {
+    val cq = "vec_id >= 320 AND vec_id < 328"
+    val top3 =
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY adist, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin
+    val methods = Seq(
+      "ivfpq" ->
+        s"""WITH $ivfPqDefaultBook,
+           |${ivfPqCandidateBody(cq)}
+           |$top3""".stripMargin,
+      "ivfpq_residual" ->
+        s"""WITH ${annIvfPqResidualBody(cq)}
+           |$top3""".stripMargin,
+      "residual_rerank" ->
+        s"""WITH ${annIvfPqResidualBody(cq)},
+           |${pqRerankTail(40, cq)}""".stripMargin)
+    val legs = methods.map { case (name, sql) =>
+      s"""SELECT '$name' AS method, query_id, neighbor_id FROM (
+         |$sql
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $clusteredCorpusCte,
+       |bq AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE $cq),
+       |bs AS (SELECT query_id, d.vec_id AS neighbor_id,
+       |        ${cos("qv", "d.v")} AS cos
+       |      FROM bq, d WHERE d.vec_id <> query_id),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn FROM bs)
+       |  WHERE rn <= 3),
+       |ax AS (SELECT DISTINCT method, query_id, neighbor_id FROM (
+       |$legs
+       |)),
+       |m AS (SELECT * FROM (VALUES ${
+            methods.map(m => s"('${m._1}')").mkString(", ")
+          }) t(method)),
+       |tm AS (SELECT m.method, bf.query_id, bf.neighbor_id
+       |       FROM bf CROSS JOIN m)
+       |SELECT tm.method,
+       |       COUNT(ax.neighbor_id) AS n_hits,
+       |       COUNT(*) AS n_truth,
+       |       CAST(COUNT(ax.neighbor_id) AS DOUBLE) /
+       |         CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM tm LEFT JOIN ax
+       |  ON ax.method = tm.method
+       | AND ax.query_id = tm.query_id
+       | AND ax.neighbor_id = tm.neighbor_id
+       |GROUP BY tm.method""".stripMargin
+  }
+
   /** Mirror of q_audio_neardup — the audio leg of the dedup family.
     * The Spark side builds REAL RIFF/WAVs from the embeddings table's
     * ids (Multimodal.wavsFromIds: 16 square-wave energy windows at
@@ -2555,6 +2662,7 @@ object DocOracles {
     "q_lsh_recall" -> annRecallSql("lsh"),
     "q_ann_recall_curve" -> annRecallCurveSql,
     "q_ann_recall_ladder" -> annRecallLadderSql,
+    "q_ann_recall_clustered" -> annRecallClusteredSql,
     "q_image_neardup" -> imageNearDupSql,
     "q_audio_neardup" -> audioNearDupSql,
     "q_video_neardup" -> videoNearDupSql,

@@ -169,6 +169,37 @@ class DocOpsSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("clustered-regime recall panel: deterministic corpus shape, " +
+    "methods subset honored, serving stack recovers full recall") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val clustered = Similarity.clusteredCopies(emb)
+    // 16 centers + 16 x 40 copies, ids center + 16c — fixed by design
+    assert(clustered.count() == 16L * 41)
+    val ids = clustered.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until 16 * 41).map(_.toLong).toSet)
+    // a copy sits within noise distance of its center: max |eps| is
+    // 8.5/128 per coordinate
+    val pair = clustered.filter(col("vec_id") === 0 || col("vec_id") === 320)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val diff = pair(0L).zip(pair(320L)).map { case (a, b) => math.abs(a - b) }
+    assert(diff.max <= 8.5 / 128 + 1e-12, diff.max)
+    val out = Similarity.annRecallLadder(clustered,
+        col("vec_id") >= 320 && col("vec_id") < 328, k = 3,
+        methods = Seq("ivfpq", "ivfpq_residual", "residual_rerank"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set("ivfpq", "ivfpq_residual", "residual_rerank"))
+    // the serving stack (coarse probe -> residual ADC -> exact rerank)
+    // must recover full recall on the regime it is sold for — the
+    // clustered corpus concentrates truth inside the probed cells
+    assert(out("residual_rerank") == 1.0, out)
+    assert(out("residual_rerank") >= out("ivfpq_residual"))
+    assertThrows[IllegalArgumentException](
+      Similarity.annRecallLadder(clustered, col("vec_id") < 8,
+        methods = Seq("nope")))
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("ann recall curve is monotone in nprobe and exact at full probe") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val out = Similarity.annRecallCurve(emb, col("vec_id") < 8, k = 3,
