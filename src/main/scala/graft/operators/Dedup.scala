@@ -1059,6 +1059,26 @@ object Dedup {
     * SCALE_r15); callers thresholding a duplication SCORE keep the
     * default. DocOpsSpec pins all three numbers.
     */
+  /** Reject inputs whose plan carries nondeterministic expressions —
+    * the guard for operators that deliberately evaluate their input
+    * TWICE instead of caching it (the O(1)-memory trade): a rand()
+    * filter or projection would hand the two passes different
+    * snapshots and silently corrupt the result. Plan-level, so the
+    * check costs nothing at runtime; a cached/localCheckpointed frame
+    * passes (its plan is the materialized scan).
+    */
+  private[graft] def requireDeterministicInput(df: DataFrame,
+                                               op: String): Unit = {
+    val bad = df.queryExecution.analyzed.collect {
+      case p => p.expressions.filterNot(_.deterministic)
+    }.flatten
+    require(bad.isEmpty,
+      s"$op evaluates its input twice (uncached streaming passes); " +
+        s"nondeterministic expressions would give the passes different " +
+        s"snapshots: ${bad.take(3).mkString(", ")} — cache() or " +
+        s"localCheckpoint() the input to fix a snapshot first")
+  }
+
   def repeatedSubstrings(docs: DataFrame, k: Int = 20,
                          stride: Int = 10): DataFrame = {
     val starts = when(length(col("text")) >= k,
@@ -1074,9 +1094,12 @@ object Dedup {
     // the trade for an operator whose exact mode is corpus-character-
     // sized by definition. Caveat that comes with the trade: the two
     // consumers evaluate `docs` independently, so a NONDETERMINISTIC
-    // input (sample(), rand() filters) would give freq and the join
-    // different snapshots — pass a deterministic frame (every in-repo
-    // caller is a parquet scan) or cache upstream yourself.
+    // input (rand() projections/filters) would give freq and the join
+    // different snapshots — ENFORCED below (r15 ADVICE #4), not just
+    // documented: such inputs are rejected; cache/localCheckpoint the
+    // frame upstream to fix a snapshot first. Every in-repo caller is
+    // a parquet scan.
+    requireDeterministicInput(docs, "repeatedSubstrings")
     val wins = graft.sources.Par.fan(docs)
       .select(col("doc_id"), col("text"), explode(starts).as("i"))
       .select(col("doc_id"), md5(expr(s"substr(text, i, $k)")).as("h"))

@@ -140,6 +140,23 @@ class DocOpsSpec extends AnyFunSuite {
         "— re-measure the scaladoc/COVERAGE numbers")
   }
 
+  test("repeatedSubstrings rejects nondeterministic inputs (the " +
+    "uncached two-pass trade needs a fixed snapshot)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"))
+      .toDF("doc_id", "text")
+    // deterministic frame: fine
+    graft.operators.Dedup.repeatedSubstrings(docs, k = 10).collect()
+    // a rand() filter would give the freq pass and the join pass
+    // different snapshots — must be rejected at plan time
+    assertThrows[IllegalArgumentException](
+      graft.operators.Dedup.repeatedSubstrings(
+        docs.filter(rand(7) < lit(2.0)), k = 10))
+    // fixing a snapshot makes the same shape legal again
+    val pinned = docs.filter(rand(7) < lit(2.0)).localCheckpoint(true)
+    graft.operators.Dedup.repeatedSubstrings(pinned, k = 10).collect()
+  }
+
   test("ann recall ladder: one row per variant, cross-checked vs annRecall, " +
     "rerank rungs dominate their raw-ADC rungs") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
