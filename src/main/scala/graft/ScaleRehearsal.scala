@@ -117,6 +117,19 @@ object ScaleRehearsal {
         graft.multimodal.Multimodal.imagesFromIds(
             s.range(64).select(col("id").as("vec_id")),
             copyEvery = 1, copyOffset = 20000000L)
+          .filter(_.media_id >= 20000000L))),
+    // r16b: the audio face of the same decode-once claim — a FIXED
+    // 64-file arrival batch probed against the persisted envelope
+    // index of the dir's whole audio corpus (appended once at
+    // pre-warm). Expect ~flat vs q_audio_neardup's full re-decode
+    // growth; the audio sign-key space is 2^8 per band, so the
+    // bucket prune saturates and the flatness comes from decode
+    // amortization + the O(index/2^8-ish) banded candidate scan.
+    "x_audio_probe_persisted" -> ((s, d) =>
+      MediaScale.audioStore(s, d).probeAudio(
+        graft.multimodal.Multimodal.wavsFromIds(
+            s.range(64).select(col("id").as("vec_id")),
+            copyEvery = 1, copyOffset = 20000000L)
           .filter(_.media_id >= 20000000L))))
 
   /** Memoized per-dir media fingerprint stores for
@@ -134,6 +147,17 @@ object ScaleRehearsal {
           s, s"scale_media_${math.abs(d.hashCode)}")
         st.init()
         st.append(graft.multimodal.Multimodal.imagesFromIds(
+          graft.sources.Tables(s, d, "embeddings").select("vec_id")))
+        st
+      })
+    private val audioStores =
+      scala.collection.mutable.Map[String, graft.streaming.BucketedMediaStore]()
+    def audioStore(s: SparkSession, d: String): graft.streaming.BucketedMediaStore =
+      audioStores.getOrElseUpdate(d, {
+        val st = new graft.streaming.BucketedMediaStore(
+          s, s"scale_audio_${math.abs(d.hashCode)}")
+        st.init()
+        st.appendAudio(graft.multimodal.Multimodal.wavsFromIds(
           graft.sources.Tables(s, d, "embeddings").select("vec_id")))
         st
       })
@@ -195,6 +219,8 @@ object ScaleRehearsal {
     // build-the-index cost; the probe is the per-run cost measured
     if (targets.contains("x_media_probe_persisted"))
       Seq(base, out).foreach(d => MediaScale.store(spark, d))
+    if (targets.contains("x_audio_probe_persisted"))
+      Seq(base, out).foreach(d => MediaScale.audioStore(spark, d))
     val results = targets.map { q =>
       // untimed warmup on the 1x corpus: JIT + codegen compile +
       // classloading land here, so neither timed leg pays them (a

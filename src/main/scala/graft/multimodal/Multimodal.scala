@@ -1227,29 +1227,38 @@ object Multimodal {
     * parents': per-file decode is partition-local and linear; the
     * pair join is the banded Σ bucket² bound, never N².
     */
-  def audioNearDup(media: Dataset[MediaRow],
-                   threshold: Double = 0.98,
-                   envelopeDim: Int = 16): DataFrame = {
+  /** The audio family's shared fingerprint kernel: the REAL WAV
+    * decode's RMS energy envelope, CENTERED (x − mean(x)) per file.
+    * RMS energies are all-positive, so raw envelopes would put every
+    * file in the all-ones sign bucket and degenerate any sign-banded
+    * join to N² — centered, the sign pattern is which windows sit
+    * above the file's own mean energy (balanced AND gain-invariant,
+    * since both the values and the mean scale with gain). ONE
+    * definition for [[audioNearDup]] (batch),
+    * [[graft.streaming.StreamAudioDedup]] (stream-static probe), and
+    * the persistent store's audio face, so their sign-bucket layouts
+    * agree bit-for-bit by construction. Honesty note: like any
+    * energy-envelope fingerprint this needs temporally STRUCTURED
+    * audio; a constant tone's centered envelope is numerical noise
+    * (the MultimodalSpec fixture is AM-modulated for exactly this
+    * reason).
+    */
+  def centeredEnvelopes(media: Dataset[MediaRow],
+                        envelopeDim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
-    // the envelope is CENTERED (x - mean(x)) before pairing: RMS
-    // energies are all-positive, so raw envelopes would put every
-    // file in the all-ones sign bucket and degenerate the banded join
-    // to N² — centered, the sign pattern is which windows sit above
-    // the file's own mean energy (balanced AND gain-invariant, since
-    // both the values and the mean scale with gain). Honesty note:
-    // like any energy-envelope fingerprint this needs temporally
-    // STRUCTURED audio; a constant tone's centered envelope is
-    // numerical noise (the MultimodalSpec fixture is AM-modulated for
-    // exactly this reason).
-    val centered = decodeAudio(media, envelopeDim).map { f =>
+    decodeAudio(media, envelopeDim).map { f =>
       val m = f.envelope.sum / math.max(1, f.envelope.length)
       MediaFeatures(f.media_id, "audio", f.envelope.map(_ - m))
     }
+  }
+
+  def audioNearDup(media: Dataset[MediaRow],
+                   threshold: Double = 0.98,
+                   envelopeDim: Int = 16): DataFrame =
     graft.operators.Similarity.nearDupPairs(
-      asEmbeddings(centered),
+      asEmbeddings(centeredEnvelopes(media, envelopeDim)),
       threshold = threshold, bitsPerBand = 8, bands = 2,
       dim = envelopeDim)
-  }
 
   /** Deterministic corpus of REAL encoded WAVs with amplitude
     * MODULATION (id-derived carrier + id-derived AM rate): unlike the

@@ -999,28 +999,45 @@ object Similarity {
     orig.unionByName(perturbed)
   }
 
+  /** 0-based index of the FIRST band on which two band-key vectors
+    * agree — the candidate-dedup rule of every sign-banded join (a
+    * pair sharing k bands appears k times in the band equi-join; it
+    * is kept only where `band === firstSharedKeyIdx`, so the join
+    * never needs a distinct shuffle). ONE definition for
+    * [[nearDupPairs]] (batch), the streaming audio twin, and the
+    * persistent store's audio face.
+    */
+  private[graft] def firstSharedKeyIdx(aKeys: Column, bKeys: Column): Column =
+    array_position(
+      zip_with(aKeys, bKeys, (x, y) => x === y), true) - 1
+
+  /** The per-vector sign-band projection [[nearDupPairs]] joins on:
+    * (vec_id, bkeys, band, bkey) with the full `bands`-long key
+    * vector carried (~8·bands B) so the first-shared-band rule stays
+    * a row-local expression. Shared verbatim by the stream-static
+    * audio index so stream and batch bucket layouts agree
+    * bit-for-bit.
+    */
+  private[graft] def signBandProjection(all: DataFrame, bitsPerBand: Int,
+                                        bands: Int): DataFrame = {
+    val bandArr = array(
+      (0 until bands).map(b => bandKey(col("v"), b, bitsPerBand)): _*)
+    all.select(col("vec_id"), bandArr.as("bkeys"))
+      .select(col("vec_id"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
                    bitsPerBand: Int, bands: Int,
                    dim: Int = Dim): DataFrame = {
     // cached: consumed three times (band projection + both verify sides)
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val bandArr = array(
-      (0 until bands).map(b => bandKey(col("v"), b, bitsPerBand)): _*)
-    val bd = all.select(col("vec_id"),
-        bandArr.as("bkeys"))
-      .select(col("vec_id"), col("bkeys"),
-        posexplode(col("bkeys")).as(Seq("band", "bkey")))
-    // a pair sharing k bands appears k times in the band join; instead
-    // of a distinct (an extra 1-per-candidate shuffle) each pair is
-    // kept only at its FIRST shared band — both sides carry their full
-    // band-key vector (bands longs, ~128 B), so the first-match index
-    // is a row-local expression
-    val firstShared = array_position(
-      zip_with(col("a.bkeys"), col("b.bkeys"), (x, y) => x === y), true)
+    val bd = signBandProjection(all, bitsPerBand, bands)
     val cand = bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
-      .filter(col("a.band") === firstShared - 1)
+      .filter(col("a.band") ===
+        firstSharedKeyIdx(col("a.bkeys"), col("b.bkeys")))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val va = all.select(col("vec_id").as("vec_a"), col("v").as("va"),
                         col("nrm").as("na"))

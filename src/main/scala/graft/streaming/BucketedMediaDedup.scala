@@ -53,6 +53,15 @@ final class BucketedMediaStore(spark: SparkSession, prefix: String,
 
   val table: String = s"${prefix}_media_bands"
 
+  /** The audio face's own table: sign-band envelope rows, not hamming
+    * hash rows — envelopes must travel with the fingerprint for the
+    * exact-cosine verify, and the key space (2^8 sign patterns per
+    * band vs 2^16 hamming band keys) is coarse enough that mixing the
+    * modalities in one table would ruin the hash faces' bucket
+    * selectivity.
+    */
+  val audioTable: String = s"${prefix}_audio_bands"
+
   /** (Re)create the fingerprint table empty with its bucket spec;
     * pins autoBucketedScan off while the store lives (same rationale
     * as [[BucketedCurationStore.init]]: broadcast-probed point
@@ -68,14 +77,19 @@ final class BucketedMediaStore(spark: SparkSession, prefix: String,
     spark.sql(s"DROP TABLE IF EXISTS $table")
     writeBucketed(Seq.empty[(Long, String, Int, Long, Int, Long)]
       .toDF("media_id", "kind", "frame_idx", "fhash", "band", "bkey"))
+    spark.sql(s"DROP TABLE IF EXISTS $audioTable")
+    writeBucketed(Seq.empty[(Long, Seq[Long], Seq[Double], Double, Int, Long)]
+      .toDF("media_id", "bkeys", "v", "nrm", "band", "bkey"),
+      into = audioTable)
   }
 
   private def writeBucketed(df: DataFrame,
-                            mode: String = "overwrite"): Unit =
+                            mode: String = "overwrite",
+                            into: String = table): Unit =
     df.repartition(buckets, col("bkey"))
       .write.mode(mode).format("parquet").bucketBy(buckets, "bkey")
       .sortBy("bkey")
-      .saveAsTable(table)
+      .saveAsTable(into)
 
   /** One fingerprint row per (item, band): images contribute their
     * whole-image dHash at frame_idx = -1; videos one row per decoded
@@ -104,6 +118,49 @@ final class BucketedMediaStore(spark: SparkSession, prefix: String,
     */
   def append(media: Dataset[MediaRow]): Unit =
     writeBucketed(fingerprints(media), mode = "append")
+
+  /** Decode the batch's WAVs once and append their centered-envelope
+    * sign-band rows — the audio face of the same decode-once
+    * contract. Kernel and banding are [[StreamAudioDedup.signBands]]
+    * verbatim, so the persisted layout is bit-identical to the
+    * in-memory index's.
+    */
+  def appendAudio(media: Dataset[MediaRow], envelopeDim: Int = 16): Unit =
+    writeBucketed(
+      StreamAudioDedup.signBands(media.filter(_.kind == "audio"),
+          envelopeDim)
+        .select(col("vec_id").as("media_id"), col("bkeys"),
+          col("v"), col("nrm"), col("band"), col("bkey")),
+      mode = "append", into = audioTable)
+
+  /** Batch of arriving audio → verified (media_id, corpus_id, cos)
+    * near-dup matches vs the persisted envelope fingerprints —
+    * row-identical to [[StreamAudioDedup.audioDedupStream]] against
+    * an in-memory index of the same corpus, but the corpus side here
+    * is a bucket-pruned table scan, not a re-decode. The audio key
+    * space is only 2^8 patterns per band, so the `isin` prune earns
+    * its keep on SMALL batches (a handful of arrivals touch a
+    * handful of buckets); large batches degrade gracefully to a full
+    * index scan — still zero decodes of the standing corpus, which
+    * is the dominant cost this store exists to amortize.
+    */
+  def probeAudio(media: Dataset[MediaRow], threshold: Double = 0.98,
+                 envelopeDim: Int = 16): DataFrame = {
+    val batch = StreamAudioDedup.signBands(
+      media.filter(_.kind == "audio"), envelopeDim)
+    spark.table(audioTable).as("c")
+      .filter(col("c.bkey").isin(batchKeys(batch): _*))
+      .join(broadcast(batch.as("p")),
+        col("p.band") === col("c.band") && col("p.bkey") === col("c.bkey"))
+      .filter(col("p.vec_id") =!= col("c.media_id"))
+      .filter(col("p.band") === graft.operators.Similarity
+        .firstSharedKeyIdx(col("p.bkeys"), col("c.bkeys")))
+      .select(col("p.vec_id").as("media_id"),
+        col("c.media_id").as("corpus_id"),
+        graft.operators.Similarity.pairCos(col("p.v"), col("p.nrm"),
+          col("c.v"), col("c.nrm"), envelopeDim).as("cos"))
+      .filter(col("cos") > threshold)
+  }
 
   /** The batch's bounded distinct band-key set (≤ 28 · |batch
     * frames| longs, admission-paced) — the driver-side literals that
@@ -177,6 +234,8 @@ final class BucketedMediaStore(spark: SparkSession, prefix: String,
   def consolidate(): Unit = {
     val all = spark.table(table).localCheckpoint(true)
     writeBucketed(all)
+    val audio = spark.table(audioTable).localCheckpoint(true)
+    writeBucketed(audio, into = audioTable)
   }
 
   /** Drops the table and restores the session's prior
@@ -184,6 +243,7 @@ final class BucketedMediaStore(spark: SparkSession, prefix: String,
     */
   def drop(): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $audioTable")
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     priorAutoBucketedScan match {
       case Some(v) => spark.conf.set(key, v)

@@ -7,11 +7,11 @@ import graft.multimodal.Multimodal
 import graft.streaming.{BucketedMediaStore, StreamImageDedup, StreamVideoDedup}
 
 /** The bucketed-table face of the media fingerprint index: parity
-  * with the in-memory stream faces for BOTH modalities, the at-scale
-  * plan shape (bucket-pruned standing scan, broadcast batch, no
-  * corpus shuffle), and the decode-once contract (the probe plan
-  * reads the parquet table — it contains no media decode of the
-  * standing corpus).
+  * with the in-memory stream faces for all THREE modalities (image,
+  * video, audio), the at-scale plan shape (bucket-pruned standing
+  * scan, broadcast batch, no corpus shuffle), and the decode-once
+  * contract (the probe plan reads the parquet table — it contains no
+  * media decode of the standing corpus).
   */
 class MediaStoreSpec extends AnyFunSuite {
   import TestSpark._
@@ -145,6 +145,61 @@ class MediaStoreSpec extends AnyFunSuite {
         if (bhj.left.toString.contains(store.table)) bhj.left else bhj.right
       assert(standing.toString.contains(store.table),
         s"neither join side scans ${store.table}:\n$p")
+      val decodes = standing.collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+        case d: org.apache.spark.sql.execution.DeserializeToObjectExec => d
+      }
+      assert(decodes.isEmpty,
+        s"standing corpus side must not decode media:\n$standing")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      store.drop()
+    }
+  }
+
+  test("audio probe parity: persisted envelope fingerprints match " +
+       "the in-memory sign-band index, decode-free standing side") {
+    import graft.streaming.StreamAudioDedup
+    val all = Multimodal.syntheticAmWavMedia(spark, 20)
+    val corpus = all.filter(_.media_id < 12L)
+    val arrivals = all.filter(r =>
+      (r.media_id >= 1000L && r.media_id < 1012L) ||
+        (r.media_id >= 12L && r.media_id < 1000L))
+    val store = new BucketedMediaStore(spark, "ms_audio", nBuckets)
+    store.init()
+    // AQE off so the executedPlan is directly traversable for the
+    // decode-free pin (same convention as the image plan test)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // two appends: the standing table accretes, nothing rewrites
+      store.appendAudio(corpus.filter(_.media_id < 6L))
+      store.appendAudio(corpus.filter(_.media_id >= 6L))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      val probe = store.probeAudio(arrivals)
+      val got = probe.collect().map(key).toSet
+      val mem = StreamAudioDedup.audioDedupStream(
+          arrivals, StreamAudioDedup.bandIndex(corpus))
+        .collect().map(key).toSet
+      assert(got == mem,
+        s"missed=${(mem -- got).take(3)} extra=${(got -- mem).take(3)}")
+      // planted re-gained copies all matched their base
+      for (id <- 0L until 12L if id % 4 == 0)
+        assert(got.exists(p => p._1 == id + 1000L && p._2 == id),
+          s"arrival copy of base $id not matched")
+      // decode-once: the standing side of the probe join is a pure
+      // parquet scan of the audio table — no object-decode stages
+      val plan = probe.queryExecution.executedPlan
+      val bhj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.getOrElse(fail(s"no broadcast join in:\n$plan"))
+      val standing =
+        if (bhj.left.toString.contains(store.audioTable)) bhj.left
+        else bhj.right
+      assert(standing.toString.contains(store.audioTable),
+        s"neither join side scans ${store.audioTable}:\n$plan")
       val decodes = standing.collect {
         case m: org.apache.spark.sql.execution.MapPartitionsExec => m
         case d: org.apache.spark.sql.execution.DeserializeToObjectExec => d

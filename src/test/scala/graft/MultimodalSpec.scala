@@ -235,6 +235,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(streamed == got, "MemoryStream leg diverged from the static plan")
   }
 
+  test("streaming audio dedup: batch-parity on the cross pairs " +
+    "(cosine bit-exact) and a real MemoryStream leg in append mode") {
+    import graft.streaming.StreamAudioDedup
+    // standing corpus: 12 AM-modulated base tones; arrivals: their
+    // re-gained copies (true near-dups, ids 1000/1004/1008) + 8 new
+    // unrelated tones (bases 12..19 — the generator emits their
+    // copies 1012/1016 too; exclude those so arrivals are B-only)
+    val all = Multimodal.syntheticAmWavMedia(spark, 20)
+    val corpus = all.filter(_.media_id < 12L)
+    val arrivals = all.filter(r =>
+      (r.media_id >= 1000L && r.media_id < 1012L) ||
+        (r.media_id >= 12L && r.media_id < 1000L))
+    val idx = StreamAudioDedup.bandIndex(corpus)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    val got = StreamAudioDedup.audioDedupStream(arrivals, idx)
+      .collect().map(key).toSet
+
+    // batch-operator truth: audioNearDup over corpus ∪ arrivals,
+    // restricted to cross pairs, reoriented (arrival, corpus)
+    val corpusIds = corpus.collect().map(_.media_id).toSet
+    val batchPairs = Multimodal.audioNearDup(corpus.union(arrivals))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => corpusIds(a) ^ corpusIds(b) }
+      .map { case (a, b, c) =>
+        val bits = java.lang.Double.doubleToLongBits(c)
+        if (corpusIds(a)) (b, a, bits) else (a, b, bits) }.toSet
+    assert(got == batchPairs,
+      s"missed=${(batchPairs -- got).take(3)} extra=${(got -- batchPairs).take(3)}")
+    // every planted re-gained copy found its base
+    for (id <- 0L until 12L if id % 4 == 0)
+      assert(got.exists(p => p._1 == id + 1000L && p._2 == id),
+        s"arrival copy of base $id not matched")
+
+    // end-to-end: the SAME plan as a real streaming query, append
+    // mode, stateless
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MediaRow](spark)
+    val q = StreamAudioDedup.audioDedupStream(in.toDS(), idx)
+      .writeStream.format("memory").queryName("audio_dedup_stream")
+      .outputMode("append").start()
+    val arrivalRows = arrivals.collect()
+    in.addData(arrivalRows.take(5).toSeq)
+    q.processAllAvailable()
+    in.addData(arrivalRows.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamedAudio = spark.table("audio_dedup_stream")
+      .collect().map(key).toSet
+    assert(streamedAudio == got,
+      "MemoryStream leg diverged from the static plan")
+  }
+
   test("dHash block-averaging on non-grid-sized images matches an " +
     "independent pixel recomputation") {
     // 36x16: each dHash cell averages a 4x2 pixel block

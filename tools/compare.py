@@ -89,7 +89,12 @@ REPO = Path(__file__).resolve().parent.parent
 # removal) were all re-attested by CORRECTNESS_JUDGE_r15.json, which
 # the judge ran against final r15 HEAD — so the set is empty; r16's
 # new queries are never-green and order first without needing it.
-REVERIFY = set()
+# r16: nearDupPairs' band projection + first-shared-band rule were
+# factored into shared helpers (signBandProjection/firstSharedKeyIdx,
+# result-identical) for the streaming audio twin, and audioNearDup's
+# centering moved into Multimodal.centeredEnvelopes — re-attest the
+# two queries riding those code paths.
+REVERIFY = {"q_emb_neardup", "q_audio_neardup"}
 CHILD_TIMEOUT_S = 900
 # Phrases actually observed in OOM failures, matched WORD-BOUNDED
 # (regex \b on both sides): the old broad substring 'malloc' caught
