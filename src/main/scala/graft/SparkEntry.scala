@@ -682,6 +682,29 @@ object SparkEntry {
     // RAG-style overlapping chunk plan (128-token chunks, 16 overlap)
     "q_chunk_docs" -> ((s, d) =>
       TextAnalysis.chunkPlan(T(s, d)("documents"))),
+    // HTML boilerplate removal (jusText-style block scoring) over
+    // deterministic pages built from the documents themselves — the
+    // planted-content-recovery gate: kept blocks must re-join to
+    // EXACTLY the original text (`recovered`), chrome must die on the
+    // integer length/link-density rules. The oracle rebuilds the page
+    // AND replays the extraction, so both directions are pinned.
+    "q_html_extract" -> ((s, d) => {
+      val docs = T(s, d)("documents")
+      Web.extractMainText(Web.htmlFromDocs(docs))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_text"),
+          (col("main_text") === col("text")).as("recovered"))
+    }),
+    // URL quality-filter profile: every extracted link classified by
+    // the crawl rule ladder (scheme / binary ext / tracking params /
+    // path depth), rolled up per (domain, verdict)
+    "q_url_filter" -> ((s, d) =>
+      Web.urlFilterProfile(T(s, d)("documents"))),
+    // cross-site link graph from the KEPT outlinks (self-loop chrome
+    // excluded) — the crawl discovery structure
+    "q_link_graph" -> ((s, d) =>
+      Web.linkGraph(T(s, d)("documents"))),
     // temperature-scaled (α = 1/2) source-mixing weights + epochs
     "q_temperature_mix" -> ((s, d) =>
       TextAnalysis.temperatureMix(T(s, d)("documents"))),

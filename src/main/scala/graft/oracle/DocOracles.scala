@@ -2574,7 +2574,121 @@ object DocOracles {
        |FROM ww GROUP BY 1""".stripMargin
   }
 
+  /** Mirror of Web.htmlFromDocs: rebuild each synthetic page
+    * bit-for-bit in SQL (chr(10) block separators, 10-word
+    * paragraphs with the last absorbing the remainder, nav/sidebar/
+    * footer chrome, the four planted sidebar URL classes). The
+    * downstream extraction/filter oracles replay the OPERATOR over
+    * this rebuilt page, so both the fixture and the rules are pinned
+    * end-to-end — a drift in either engine's string/regex semantics
+    * fails the gate.
+    */
+  private val htmlCte: String =
+    """w AS (SELECT doc_id, source, text,
+      |        string_split(text, ' ') AS words,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |      FROM documents),
+      |p AS (SELECT doc_id, source, text, words, n,
+      |        CAST(FLOOR(n / 10) AS BIGINT) AS nfull FROM w),
+      |h AS (SELECT doc_id, source, text,
+      |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  '</title></head><body>' || chr(10) ||
+      |  '<nav><a href="https://' || source ||
+      |  '.example.com/">Home</a> <a href="https://' || source ||
+      |  '.example.com/tags">Tags</a> <a href="https://' || source ||
+      |  '.example.com/feed">Feed</a></nav>' || chr(10) ||
+      |  array_to_string(list_transform(range(0, nfull), i ->
+      |       '<p>' || array_to_string(list_slice(words,
+      |         i * 10 + 1,
+      |         CASE WHEN i = nfull - 1 THEN n ELSE i * 10 + 10 END),
+      |         ' ') || '</p>'), chr(10)) || chr(10) ||
+      |  '<div><a href="https://src' ||
+      |  CAST((doc_id * 3 + CAST(FLOOR(doc_id / 20) AS BIGINT) + 1) % 20 AS VARCHAR) ||
+      |  '.example.com/post/' || CAST(doc_id % 100 AS VARCHAR) ||
+      |  '">Related 1</a> <a href="https://src' ||
+      |  CAST((doc_id * 3 + CAST(FLOOR(doc_id / 20) AS BIGINT) + 2) % 20 AS VARCHAR) ||
+      |  '.example.com/img/' || CAST(doc_id AS VARCHAR) ||
+      |  '.jpg">Related 2</a> <a href="https://src' ||
+      |  CAST((doc_id * 3 + CAST(FLOOR(doc_id / 20) AS BIGINT) + 3) % 20 AS VARCHAR) ||
+      |  '.example.com/post/' || CAST(doc_id AS VARCHAR) ||
+      |  '?utm_source=feed">Related 3</a> <a href="https://src' ||
+      |  CAST((doc_id * 3 + CAST(FLOOR(doc_id / 20) AS BIGINT) + 4) % 20 AS VARCHAR) ||
+      |  '.example.com/a/b/c/d/e/' || CAST(doc_id AS VARCHAR) ||
+      |  '">Related 4</a></div>' || chr(10) ||
+      |  '<footer>© <a href="https://' || source ||
+      |  '.example.com/about">About</a> <a href="https://' || source ||
+      |  '.example.com/privacy">Privacy</a> <a href="https://' || source ||
+      |  '.example.com/terms">Terms</a></footer>' || chr(10) ||
+      |  '</body></html>' AS html
+      |FROM p)""".stripMargin
+
+  private val strippedOf: String => String = b =>
+    s"trim(regexp_replace($b, '<[^>]*>', '', 'g'))"
+
+  private def htmlExtractSql: String = {
+    // array_to_string([]) is NULL in DuckDB (Spark's array_join of an
+    // empty array is '') — coalesce so no-anchor blocks score 0
+    val anchor = "3 * coalesce(len(array_to_string(regexp_extract_all(b, " +
+      "'<a [^>]*>([^<]*)</a>', 1), '')), 0)"
+    s"""WITH $htmlCte,
+       |e AS (SELECT doc_id, text, string_split(html, chr(10)) AS blocks
+       |      FROM h),
+       |k AS (SELECT doc_id, text,
+       |        CAST(len(blocks) AS INTEGER) AS n_blocks,
+       |        list_filter(blocks, b ->
+       |          len(${strippedOf("b")}) >= 15 AND
+       |          $anchor <= len(${strippedOf("b")})) AS kept
+       |      FROM e)
+       |SELECT doc_id, n_blocks, CAST(len(kept) AS INTEGER) AS n_kept,
+       |  array_to_string(list_transform(kept, b -> ${strippedOf("b")}),
+       |    ' ') AS main_text,
+       |  array_to_string(list_transform(kept, b -> ${strippedOf("b")}),
+       |    ' ') = text AS recovered
+       |FROM k""".stripMargin
+  }
+
+  /** Shared link-extraction + verdict-ladder CTEs (mirror of
+    * Web.extractLinks + Web.urlVerdicts at maxDepth = 4).
+    */
+  private val urlVerdictCtes: String =
+    s"""$htmlCte,
+       |u AS (SELECT doc_id, source,
+       |        unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
+       |      FROM h),
+       |v AS (SELECT doc_id, source, url,
+       |        regexp_extract(url, '^https?://([^/?#]+)', 1) AS domain,
+       |        regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+       |        regexp_extract(url, '\\?([^#]*)', 1) AS q
+       |      FROM u),
+       |c AS (SELECT doc_id, source, domain,
+       |        CASE
+       |          WHEN NOT regexp_matches(url, '^https?://') THEN 'bad_scheme'
+       |          WHEN regexp_matches(path,
+       |            '\\.(jpe?g|png|gif|css|js|ico|svg|woff2?)$$')
+       |            THEN 'binary_ext'
+       |          WHEN regexp_matches(q, '(^|&)(utm_[a-z]+|fbclid|sessionid)=')
+       |            THEN 'tracking'
+       |          WHEN len(string_split(path, '/')) - 1 > 4 THEN 'too_deep'
+       |          ELSE 'keep' END AS verdict
+       |      FROM v)""".stripMargin
+
+  private def urlFilterSql: String =
+    s"""WITH $urlVerdictCtes
+       |SELECT domain, verdict, COUNT(*) AS n_urls,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  private def linkGraphSql: String =
+    s"""WITH $urlVerdictCtes
+       |SELECT source, domain, COUNT(*) AS n_links
+       |FROM c
+       |WHERE verdict = 'keep' AND domain <> source || '.example.com'
+       |GROUP BY 1, 2""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_html_extract" -> htmlExtractSql,
+    "q_url_filter" -> urlFilterSql,
+    "q_link_graph" -> linkGraphSql,
     "q_cluster_split" -> clusterAwareSplitSql,
     "q_cluster_family_shared" -> clusterFamilySql,
     "q_pii_scan" -> piiScanSql,
