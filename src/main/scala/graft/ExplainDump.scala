@@ -95,7 +95,11 @@ object ExplainDump {
       "q_eval_contamination", "q_ann_recall_curve",
       // round 15: full-ladder ANN recall eval + image perceptual dedup
       // through the real codec path
-      "q_ann_recall_ladder", "q_image_neardup")
+      "q_ann_recall_ladder", "q_image_neardup",
+      // round 16: audio/video near-dup promoted to the gate, the
+      // clustered-regime recall panel, and the web curation family
+      "q_audio_neardup", "q_video_neardup", "q_ann_recall_clustered",
+      "q_html_extract", "q_url_filter", "q_link_graph")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (auto-generated by " +
       "graft.ExplainDump; do not edit)\n\n")

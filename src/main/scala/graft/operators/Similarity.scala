@@ -1014,9 +1014,10 @@ object Similarity {
   /** The per-vector sign-band projection [[nearDupPairs]] joins on:
     * (vec_id, bkeys, band, bkey) with the full `bands`-long key
     * vector carried (~8·bands B) so the first-shared-band rule stays
-    * a row-local expression. Shared verbatim by the stream-static
-    * audio index so stream and batch bucket layouts agree
-    * bit-for-bit.
+    * a row-local expression. The streaming audio twin re-derives the
+    * same rows from [[bandKey]] with the envelope carried through
+    * (a vec_id join-back is not streaming-legal); the KEY definition
+    * is the shared piece that keeps the bucket layouts identical.
     */
   private[graft] def signBandProjection(all: DataFrame, bitsPerBand: Int,
                                         bands: Int): DataFrame = {

@@ -161,8 +161,9 @@ object Web {
         .when(query.rlike("(^|&)(utm_[a-z]+|fbclid|sessionid)="), "tracking")
         .when(depth > maxDepth, "too_deep")
         .otherwise("keep")
-    links.select(col("doc_id"), col("url"), domain.as("domain"),
-      verdict.as("verdict"))
+    // input columns pass through, so callers can carry page-level
+    // context (e.g. the source) without a corpus-size join-back
+    links.withColumn("domain", domain).withColumn("verdict", verdict)
   }
 
   /** Per-(domain, verdict) URL-filter profile over a page corpus —
@@ -182,12 +183,18 @@ object Web {
     * own domain: nav/footer chrome) are excluded so the edges are the
     * discovery structure, not the chrome.
     */
-  def linkGraph(docs: DataFrame, maxDepth: Int = 4): DataFrame =
-    urlVerdicts(extractLinks(htmlFromDocs(docs)), maxDepth)
+  def linkGraph(docs: DataFrame, maxDepth: Int = 4): DataFrame = {
+    // source rides the explode from the page row itself — carrying an
+    // 8-byte column beats a corpus-size join-back to recover it
+    val pages = htmlFromDocs(docs)
+    val links = pages.select(col("doc_id"), col("source"),
+      explode(regexp_extract_all(col("html"),
+        lit("href=\"([^\"]*)\""), lit(1))).as("url"))
+    urlVerdicts(links, maxDepth)
       .filter(col("verdict") === "keep")
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .filter(col("domain") =!=
         concat(col("source"), lit(".example.com")))
       .groupBy(col("source"), col("domain"))
       .agg(count(lit(1)).as("n_links"))
+  }
 }

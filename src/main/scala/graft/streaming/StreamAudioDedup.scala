@@ -65,12 +65,22 @@ object StreamAudioDedup {
       Multimodal.centeredEnvelopes(media, envelopeDim))
     // inline `prepared` (v + norm) rather than calling it: the batch
     // helper routes through Par.fan, whose toRdd partition probe is
-    // not legal on an unstarted streaming Dataset
-    val all = emb.select(col("vec_id"),
+    // not legal on an unstarted streaming Dataset. The envelope and
+    // norm are CARRIED through the band explode instead of joined
+    // back by vec_id the way the batch operator does — a self-join of
+    // a streaming Dataset would plan as a stateful stream-stream
+    // join (unbounded state), while the carry costs ~8·dim B per
+    // band row and keeps the query stateless. The band KEY definition
+    // ([[Similarity.bandKey]]) is the shared piece that makes stream
+    // and batch bucket layouts agree.
+    val bandArr = array((0 until Bands).map(b =>
+      Similarity.bandKey(col("v"), b, BitsPerBand)): _*)
+    emb.select(col("vec_id"),
         Similarity.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v"), envelopeDim))
-    Similarity.signBandProjection(all, BitsPerBand, Bands)
-      .join(all.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("bkeys", bandArr)
+      .select(col("vec_id"), col("v"), col("nrm"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
   }
 
   /** Static sign-banded probe index over the standing audio corpus:

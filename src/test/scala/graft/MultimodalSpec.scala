@@ -288,6 +288,12 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(streamedAudio == got,
       "MemoryStream leg diverged from the static plan")
+    // stateless contract: the probe must plan as a stream-static
+    // join — zero stateful operators (a vec_id join-back of the
+    // stream against itself would silently become a stream-stream
+    // join with unbounded state; this pin caught exactly that)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"audio dedup stream must be stateless: ${q.lastProgress}")
   }
 
   test("dHash block-averaging on non-grid-sized images matches an " +

@@ -93,5 +93,9 @@ class WebSpec extends AnyFunSuite {
     // partial_count/partial_distinct + final — one logical roll-up,
     // at most two exchanges (countDistinct expands to two-phase)
     assert(shuffles <= 2, s"profile roll-up shuffles: $shuffles")
+    // the link graph carries `source` through the explode — a
+    // corpus-size join-back to recover it would show as a Join here
+    val gp = Web.linkGraph(docs).queryExecution.executedPlan.toString
+    assert(!gp.contains("Join"), s"link graph must not join:\n$gp")
   }
 }
