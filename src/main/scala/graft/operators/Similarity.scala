@@ -1510,23 +1510,40 @@ object Similarity {
       s"digests (64 nibbles); dim=$dim > 64 would reuse noise")
     val centers = embeddings.filter(col("vec_id") < nCenters)
       .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
-    val noisy = (1 to copies).map { c =>
-      val withD = centers.select(col("vec_id"), col("embedding"),
-        md5(concat(lit(s"clu:$c:a:"), col("vec_id").cast("string")))
-          .as("da"),
-        md5(concat(lit(s"clu:$c:b:"), col("vec_id").cast("string")))
-          .as("db"))
-      def eps(j: Int): Column = {
-        val digest = if (j <= 32) col("da") else col("db")
-        val pos = (j - 1) % 32 + 1
-        val a = ascii(substring(digest, pos, 1))
-        val nib = when(a >= 97, a - 87).otherwise(a - 48)
-        (nib.cast("double") - lit(7.5)) / lit(128.0)
-      }
-      withD.select((col("vec_id") + lit(nCenters.toLong * c)).as("vec_id"),
-        array((1 to dim).map(j =>
-          element_at(col("embedding"), j) + eps(j)): _*).as("embedding"))
-    }.reduce(_ unionByName _)
-    centers.unionByName(noisy)
+    // ONE explode branch, not a `copies`-branch union: the md5 seed
+    // strings are built from the exploded copy index column, so the
+    // values are identical to the per-copy spelling while the plan
+    // stays a single projection (41 union branches × 64 nibble
+    // expressions each took longer to Janino-compile than to run)
+    val withD = centers
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(copies))).as("c"))
+      .select(col("vec_id"), col("embedding"), col("c"),
+        md5(concat(lit("clu:"), col("c").cast("string"), lit(":a:"),
+          col("vec_id").cast("string"))).as("da"),
+        md5(concat(lit("clu:"), col("c").cast("string"), lit(":b:"),
+          col("vec_id").cast("string"))).as("db"))
+    def eps(j: Int): Column = {
+      val digest = if (j <= 32) col("da") else col("db")
+      val pos = (j - 1) % 32 + 1
+      val a = ascii(substring(digest, pos, 1))
+      val nib = when(a >= 97, a - 87).otherwise(a - 48)
+      (nib.cast("double") - lit(7.5)) / lit(128.0)
+    }
+    val noisy = withD.select(
+      (col("vec_id") + lit(nCenters.toLong) * col("c")).as("vec_id"),
+      array((1 to dim).map(j =>
+        element_at(col("embedding"), j) + eps(j)): _*).as("embedding"))
+    // lineage CUT, not just cached: the corpus is a FIXED-SIZE
+    // nCenters·(copies+1) frame behind a `copies`-branch union of
+    // md5-heavy projections, and every ladder rung re-consumes it
+    // several times (truth leg, pivot scan, PQ encode, ADC, rerank).
+    // Uncached, each consumer re-evaluates all branches (198 s for
+    // the 3-rung clustered panel at sf0.1); cache() alone still
+    // serializes the whole union lineage into every task binary
+    // (13.5 MiB broadcasts, 137 s); localCheckpoint materializes the
+    // 656 rows once and hands consumers a leaf (7 s) — the same cut
+    // the CC label fixpoint uses.
+    centers.unionByName(noisy).localCheckpoint(true)
   }
 }
