@@ -130,7 +130,23 @@ object ScaleRehearsal {
         graft.multimodal.Multimodal.wavsFromIds(
             s.range(64).select(col("id").as("vec_id")),
             copyEvery = 1, copyOffset = 20000000L)
-          .filter(_.media_id >= 20000000L))))
+          .filter(_.media_id >= 20000000L))),
+    // r16c: the WIDENED audio banding the operator scaladoc
+    // prescribes past ~10× the gate corpus — ONE 16-bit band over
+    // the 16-window envelope (2^15 effective sign buckets after the
+    // centering constraint, vs 2 × 2^8 default): the quadratic
+    // Σ bucket² term that read 220× wall at 100× under the default
+    // regime collapses. NOT 32-window/16-bit-pairs: halving the
+    // window length against a 16-window fixture duplicates adjacent
+    // envelope values, so those keys carry only 8 real sign bits
+    // (measured: no improvement — 249×). Recall trade: a single
+    // all-sign band keeps exactly the pairs with IDENTICAL sign
+    // patterns — gain copies (sign-invariant by construction) stay
+    // at recall 1.0, single-sign-flip noisy dups drop out.
+    "x_audio_neardup_wide" -> ((s, d) => graft.multimodal.Multimodal
+      .audioNearDup(graft.multimodal.Multimodal.wavsFromIds(
+          graft.sources.Tables(s, d, "embeddings").select("vec_id")),
+        bitsPerBand = 16, bands = 1)))
 
   /** Memoized per-dir media fingerprint stores for
     * `x_media_probe_persisted`: the append (the one decode the corpus

@@ -1252,13 +1252,32 @@ object Multimodal {
     }
   }
 
+  /** `bitsPerBand`/`bands` widen the sign-bucket space: the default
+    * 8-bit × 2-band regime has only 2^8 buckets per band, so the
+    * banded join's Σ bucket² term goes quadratic once the corpus
+    * outgrows ~10× the gate SF (measured 220× wall at 100× —
+    * SCALE_r16); at that scale use ONE 16-bit band over the same
+    * envelope (2^15 effective buckets after centering's sign
+    * constraint — measured back to ~linear), trading band-OR recall
+    * for selectivity: gain copies keep IDENTICAL sign patterns and
+    * stay at recall 1.0, single-sign-flip dups drop out. Widening
+    * via a LONGER envelope only helps when the audio genuinely has
+    * more temporal structure than the window count — halving window
+    * length duplicates adjacent energies and adds zero sign entropy
+    * (measured: no improvement).
+    */
   def audioNearDup(media: Dataset[MediaRow],
                    threshold: Double = 0.98,
-                   envelopeDim: Int = 16): DataFrame =
+                   envelopeDim: Int = 16,
+                   bitsPerBand: Int = 8, bands: Int = 2): DataFrame = {
+    require(bitsPerBand * bands <= envelopeDim,
+      s"audioNearDup: $bands bands x $bitsPerBand bits need " +
+        s"envelopeDim >= ${bitsPerBand * bands}, got $envelopeDim")
     graft.operators.Similarity.nearDupPairs(
       asEmbeddings(centeredEnvelopes(media, envelopeDim)),
-      threshold = threshold, bitsPerBand = 8, bands = 2,
+      threshold = threshold, bitsPerBand = bitsPerBand, bands = bands,
       dim = envelopeDim)
+  }
 
   /** Deterministic corpus of REAL encoded WAVs with amplitude
     * MODULATION (id-derived carrier + id-derived AM rate): unlike the
