@@ -402,7 +402,15 @@ object Multimodal {
                     copyOffset: Long = 10000000L): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     import ids.sparkSession.implicits._
-    val base = ids.select(col(idCol).cast("long")).as[Long]
+    // Par.fan: the ids frame is typically a single-file parquet scan
+    // (1-5 partitions), and EVERYTHING downstream of the generator —
+    // including the decode pass that dominates every media query — is
+    // narrow, so without fanning the whole encode+decode pipeline runs
+    // in those few tasks (measured r16: q_video_neardup executed as 5
+    // single-task jobs, 3.0 s of decode on one core of 32). fan is a
+    // no-op when scan parallelism already matches the session default.
+    val base = graft.sources.Par.fan(ids.select(col(idCol).cast("long")))
+      .as[Long]
       .flatMap { id =>
         val copies =
           if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil
@@ -478,7 +486,15 @@ object Multimodal {
     val sampleRate = 8192
     val windows = 16
     val perWindow = 128
-    val base = ids.select(col(idCol).cast("long")).as[Long]
+    // Par.fan: the ids frame is typically a single-file parquet scan
+    // (1-5 partitions), and EVERYTHING downstream of the generator —
+    // including the decode pass that dominates every media query — is
+    // narrow, so without fanning the whole encode+decode pipeline runs
+    // in those few tasks (measured r16: q_video_neardup executed as 5
+    // single-task jobs, 3.0 s of decode on one core of 32). fan is a
+    // no-op when scan parallelism already matches the session default.
+    val base = graft.sources.Par.fan(ids.select(col(idCol).cast("long")))
+      .as[Long]
       .flatMap { id =>
         val copies =
           if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil
@@ -554,7 +570,15 @@ object Multimodal {
                     copyOffset: Long = 10000000L): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     import ids.sparkSession.implicits._
-    val base = ids.select(col(idCol).cast("long")).as[Long]
+    // Par.fan: the ids frame is typically a single-file parquet scan
+    // (1-5 partitions), and EVERYTHING downstream of the generator —
+    // including the decode pass that dominates every media query — is
+    // narrow, so without fanning the whole encode+decode pipeline runs
+    // in those few tasks (measured r16: q_video_neardup executed as 5
+    // single-task jobs, 3.0 s of decode on one core of 32). fan is a
+    // no-op when scan parallelism already matches the session default.
+    val base = graft.sources.Par.fan(ids.select(col(idCol).cast("long")))
+      .as[Long]
       .flatMap { id =>
         val copies =
           if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil

@@ -823,27 +823,21 @@ object Dedup {
     def sigOf(ls: DataFrame): Long =
       ls.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
     // the convergence probe (sum of labels — monotone, unique at the
-    // fixpoint) RIDES the jump's checkpoint job as an observe metric
-    // instead of costing its own action: the loop's cost at small
-    // graph sizes is driver job latency, not data, and this cuts each
-    // round from 3 jobs to 2 (measured: simhashClusters 4.39 → 3.88 s
-    // at sf0.1 — async metric delivery eats part of the saved job's
-    // latency, so the win is ~12%, not the naive third). Metric
-    // delivery is async on the listener bus, so the
-    // read is a bounded wait with the one-job aggregate as fallback —
-    // never an unbounded block, and bit-identical either way.
-    def jump(ls: DataFrame): (DataFrame, Long) = {
+    // fixpoint) RIDES each checkpoint job as an observe metric instead
+    // of costing its own action. Metric delivery is async on the
+    // listener bus, so the read is a bounded wait with the one-job
+    // aggregate as fallback — never an unbounded block, and
+    // bit-identical either way.
+    def observed(df: DataFrame): (DataFrame, Long) = {
       val obs = new org.apache.spark.sql.Observation()
-      val j = ls.as("x").join(ls.as("y"), col("x.cluster_id") === col("y.node"))
-        .select(col("x.node").as("node"),
-          col("y.cluster_id").as("cluster_id"))
+      val j = df
         .observe(obs, coalesce(sum(col("cluster_id")), lit(0L)).as("sig"))
         .localCheckpoint(true)
       // TIMED wait on the observation's own (public) future: only the
       // calling thread blocks, and a timeout falls back to the one-job
-      // aggregate — unlike the previous Future(obs.get) wrapper, which
-      // on timeout stranded one global-pool thread in the indefinite
-      // obs.get park (plus its listener) per timed-out round
+      // aggregate — unlike a Future(obs.get) wrapper, which on timeout
+      // stranded one global-pool thread in the indefinite obs.get park
+      // (plus its listener) per timed-out round
       val sig =
         try {
           import scala.concurrent.Await
@@ -856,10 +850,9 @@ object Dedup {
     // seed = the first hop with identity labels, join-free: the min
     // neighbor ID is a plain keyed min over the edge list (grouping
     // key usable inside the agg), restricted to paired nodes
-    val seed = sym.groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
-      .localCheckpoint(true)
-    var (labels, prev) = jump(seed)
+    var (labels, prev) = observed(
+      sym.groupBy(col("src").as("node"))
+        .agg(least(min(col("dst")), col("src")).as("cluster_id")))
     var done = false
     var rounds = 0
     while (!done) {
@@ -872,21 +865,33 @@ object Dedup {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("nb_node"))
         .agg(min(col("cluster_id")).as("nb_min"))
-      // hop checkpointed BEFORE the jump: fusing them makes the jump's
-      // two sides recompute the sym-join (measured 3× slower), and a
-      // lazy cache() in its place pays more in store/read overhead
-      // than the saved action (measured +15%)
       val hop = labels
         .join(nbrMin, col("node") === col("nb_node"), "left")
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
-      // one jump per hop: doubling the jumps was measured NOT to cut
-      // the round count on the sf0.1 near-dup graph (propagation is
-      // hop-limited, not pointer-chain-limited), so the extra action
-      // per round is pure overhead
-      val (rooted, sig) = jump(hop)
+      // ONE materialization per round (r16 optimization): the
+      // pointer-jump shortcut dereferences through the PREVIOUS
+      // round's labels — already checkpointed, so hop and shortcut
+      // fuse into a single plan and a single job, where the previous
+      // shape (hop checkpoint, then a separate self-join jump
+      // checkpoint) paid two passes over the label frame per round.
+      // Shortcutting through the old table is one monotone min-step
+      // weaker per round than jump-through-new (hop ≤ prev pointwise),
+      // but any schedule of monotone min updates reaches the SAME
+      // unique fixpoint — min id per component — so the result is
+      // bit-identical; only the round count can differ (measured: it
+      // does not on the near-dup gate graphs — DedupSpec pins the
+      // O(log) bound on worst-case chains).
+      // Labels are always ids of paired nodes, so the inner
+      // dereference join stays total; prev(l) ≤ l for every label l
+      // (labels only decrease from the identity seed), so the
+      // dereferenced value IS the min of the two.
+      val (rooted, sig) = observed(
+        hop.as("h").join(labels.as("p"),
+            col("h.cluster_id") === col("p.node"))
+          .select(col("h.node").as("node"),
+            col("p.cluster_id").as("cluster_id")))
       done = sig == prev
       prev = sig
       labels = rooted
