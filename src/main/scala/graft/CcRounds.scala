@@ -20,12 +20,18 @@ object CcRounds {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks)
+        val i = sc.stageInfo
+        val dur = (for (a <- i.completionTime; b <- i.submissionTime)
+          yield (a - b) / 1000.0).getOrElse(-1.0)
+        stageLog.add((i.name.takeWhile(_ != '\n').take(70), dur, i.numTasks))
       }
     })
     names.foreach { n =>
@@ -35,13 +41,20 @@ object CcRounds {
       graft.operators.OperatorCaches.releaseAll()
       spark.catalog.clearCache()
       Thread.sleep(500)
-      jobs.set(0); stages.set(0); tasks.set(0)
+      jobs.set(0); stages.set(0); tasks.set(0); stageLog.clear()
       val t0 = System.nanoTime()
       Bench.force(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       println(f"JOBCOUNT $n jobs=${jobs.get} stages=${stages.get} " +
         f"tasks=${tasks.get} wall=$wall%.2f")
+      if (sys.env.contains("SPARK_GRAFT_STAGE_DETAIL")) {
+        import scala.jdk.CollectionConverters._
+        stageLog.asScala.toSeq.sortBy(-_._2).take(8).foreach {
+          case (nm, dur, nt) =>
+            println(f"  STAGE $dur%6.2fs tasks=$nt%-4d $nm")
+        }
+      }
       graft.operators.OperatorCaches.releaseAll()
       spark.catalog.clearCache()
     }

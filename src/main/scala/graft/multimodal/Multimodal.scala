@@ -486,15 +486,14 @@ object Multimodal {
     val sampleRate = 8192
     val windows = 16
     val perWindow = 128
-    // Par.fan: the ids frame is typically a single-file parquet scan
-    // (1-5 partitions), and EVERYTHING downstream of the generator —
-    // including the decode pass that dominates every media query — is
-    // narrow, so without fanning the whole encode+decode pipeline runs
-    // in those few tasks (measured r16: q_video_neardup executed as 5
-    // single-task jobs, 3.0 s of decode on one core of 32). fan is a
-    // no-op when scan parallelism already matches the session default.
-    val base = graft.sources.Par.fan(ids.select(col(idCol).cast("long")))
-      .as[Long]
+    // NO Par.fan here, deliberately (r16): WAV synthesis + decode are
+    // ~50× cheaper per item than the image/video PNG path, and the
+    // interleaved A/B measured the fanned form consistently SLOWER
+    // (q_audio_neardup 0.96 s unfanned vs 1.40-1.56 s fanned — the
+    // extra exchange and 32-way tiny partitions cost more than the
+    // parallelism buys on a compute-light generator). The image and
+    // video generators keep the fan; see their comment.
+    val base = ids.select(col(idCol).cast("long")).as[Long]
       .flatMap { id =>
         val copies =
           if (id % copyEvery == 0) Seq((id + copyOffset, id, true)) else Nil

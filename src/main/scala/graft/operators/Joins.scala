@@ -241,7 +241,19 @@ object Joins {
       .groupBy("v")
       .agg(sort_array(collect_set(col("s"))).as("ss"))
       .filter(size(col("ss")) >= 2)
+    // Explicit repartition (r16): AQE coalesces the groupBy exchange
+    // by its PRE-explode byte size, so the Θ(deg²) pair enumeration
+    // below — the operator's dominant work, ~15× the grouped row
+    // count — landed in 1-2 tasks (measured: q_graph_cooccur 5 jobs /
+    // 17 tasks / 2.5 s). Re-spreading the GROUPED frame is the
+    // guide-§8 move — shuffle the small proxy rows (one per via,
+    // pre-explode) so the heavy derived work runs wide — and its one
+    // bounded exchange is negligible against the enumeration at any
+    // scale. NOT Par.fan: fan's partition probe executes the AQE
+    // subtree eagerly (the groupBy ran twice — measured +0.35 s on
+    // q_triangles); a pinned repartition needs no probe.
     val pairs = grouped
+      .repartition(grouped.sparkSession.sparkContext.defaultParallelism)
       .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
       .select(col("src_a"),
         explode(slice(col("ss"), col("i") + lit(2), size(col("ss"))))

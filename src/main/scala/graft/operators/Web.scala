@@ -84,7 +84,13 @@ object Web {
     val footer = concat(lit("<footer>© "),
       navA("/about", "About"), lit(" "), navA("/privacy", "Privacy"),
       lit(" "), navA("/terms", "Terms"), lit("</footer>"))
-    docs.select(col("doc_id"), col("source"),
+    // Par.fan (r16): the docs scan is a single-file parquet (1-5
+    // partitions) and EVERYTHING downstream of the page builder — the
+    // block-scoring regexes, link extraction, the URL rule ladder —
+    // is row-local, so without fanning the whole web-curation front
+    // end ran in ~3 tasks (measured: q_html_extract 3 jobs / 3 tasks /
+    // 1.3 s). No-op when scan parallelism already matches the session.
+    graft.sources.Par.fan(docs).select(col("doc_id"), col("source"),
       concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
         lit("</title></head><body>\n"),
