@@ -782,9 +782,28 @@ object Dedup {
     * frame — O(|nodes|) — never the closure itself (which is Θ(Σ k²)
     * and exists only on the small-SF oracle side).
     */
+  /** Edge-count gate below which [[connectedComponents]] solves the
+    * paired subgraph with a SINGLE-TASK union-find instead of the
+    * driver-coordinated loop (r16). Rationale: on a contracted
+    * near-dup graph the paired subgraph is a few thousand edges while
+    * the loop costs ~4 stages per round × ~5 rounds of KB-sized
+    * shuffles — pure coordination latency. 2M symmetrized edges is
+    * ~32 MB of task state (two longs + union-find parents), trivially
+    * safe on any executor; a corpus whose pair graph exceeds it takes
+    * the log-round loop unchanged. The gate reads the ALREADY-CACHED
+    * edge list (the count is the cache-fill action the loop's seed
+    * would have paid anyway), so choosing a path never adds a pass.
+    * Same justified-escape-hatch rule as Layout.globalIndex's .rdd
+    * drop: the closure replaces a fixed number of shuffles with one
+    * bounded task, and the result — min id per component — is the
+    * same unique fixpoint either way (DedupSpec pins local ≡ loop).
+    */
+  val CcLocalMaxEdges: Long = 2000000L
+
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           idCol: String = "doc_id",
-                          audit: Option[CcAudit] = None): DataFrame = {
+                          audit: Option[CcAudit] = None,
+                          localMaxEdges: Long = CcLocalMaxEdges): DataFrame = {
     // symmetrize with a row-local explode, NOT a union of two
     // projections: materializing a union's cache evaluates the pair
     // frame once per branch — for an upstream like simhashPairs that
@@ -845,6 +864,52 @@ object Dedup {
           Await.result(obs.future, 30.seconds).getAs[Long]("sig")
         } catch { case _: scala.concurrent.TimeoutException => sigOf(j) }
       (j, sig)
+    }
+
+    // == path gate (r16) ==
+    // One count over the edge list fills the tracked cache (the action
+    // the loop's seed would have paid anyway) and sizes the graph. A
+    // paired subgraph under the gate is solved by a single bounded
+    // union-find task reading the cache through coalesce(1) — no
+    // shuffle, no rounds, no convergence machinery; the min-root
+    // invariant (unions always attach the larger root under the
+    // smaller) makes every final root the component minimum, i.e. the
+    // loop's exact fixpoint, independent of edge order.
+    val nEdges = sym.count()
+    if (nEdges <= localMaxEdges) {
+      audit.foreach(_.rounds = 0)
+      val tupleEnc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+      val local = sym
+        .select(col("src").as("_1"), col("dst").as("_2"))
+        .as(tupleEnc)
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def add(x: Long): Unit =
+            if (!parent.containsKey(x)) parent.put(x, x)
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            add(a); add(b)
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+          val out = Vector.newBuilder[(Long, Long)]
+          val ks = parent.keySet().iterator()
+          while (ks.hasNext) { val n0 = ks.next(); out += ((n0, find(n0))) }
+          out.result().iterator
+        }(tupleEnc)
+        .toDF("node", "cluster_id")
+      return nodes.select(col(idCol).as("node"))
+        .join(local, Seq("node"), "left")
+        .select(col("node").as(idCol),
+          coalesce(col("cluster_id"), col("node")).as("cluster_id"))
     }
 
     // seed = the first hop with identity labels, join-free: the min

@@ -23,9 +23,12 @@ class DedupSpec extends AnyFunSuite {
   private def ccRounds(pairs: Seq[(Long, Long)],
                        nodes: Seq[Long]): (Map[Long, Long], Int) = {
     val audit = new Dedup.CcAudit
+    // localMaxEdges = 0 forces the DISTRIBUTED loop: these tests pin
+    // the pointer-jumping round bound, which the single-task
+    // union-find path (r16) would bypass.
     val out = Dedup.connectedComponents(
         pairs.toDF("doc_a", "doc_b"), nodes.toDF("doc_id"),
-        audit = Some(audit))
+        audit = Some(audit), localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (out, audit.rounds)
   }
@@ -70,12 +73,39 @@ class DedupSpec extends AnyFunSuite {
     val a2 = new Dedup.CcAudit
     Dedup.connectedComponents(
       Seq((1L, 2L)).toDF("doc_a", "doc_b"),
-      Seq(1L, 2L).toDF("doc_id"), audit = Some(a1)).count()
+      Seq(1L, 2L).toDF("doc_id"), audit = Some(a1),
+      localMaxEdges = 0L).count()
     Dedup.connectedComponents(
       (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
-      (1L to 64L).toDF("doc_id"), audit = Some(a2)).count()
+      (1L to 64L).toDF("doc_id"), audit = Some(a2),
+      localMaxEdges = 0L).count()
     assert(a1.rounds >= 1 && a2.rounds >= 1)
     assert(a2.rounds >= a1.rounds,
       s"64-path rounds (${a2.rounds}) < edge rounds (${a1.rounds})")
+  }
+
+  test("local union-find path == distributed loop, label for label") {
+    // worst-case-ish mixed shape: a path, a clique, singletons, and a
+    // star — exercises chains (jump-dependent), hamming-0 style
+    // cliques, and identity labels in one graph
+    val pairs =
+      (1L until 40L).map(i => (i, i + 1)) ++          // 40-node path
+      (for (a <- 100L to 104L; b <- (a + 1) to 105L)  // 6-clique
+        yield (a, b)) ++
+      (201L to 208L).map(t => (200L, t))               // star hub 200
+    val nodes = (1L to 40L) ++ (100L to 105L) ++ (200L to 208L) ++
+      Seq(777L, 888L) // singletons
+    def run(gate: Long): Map[Long, Long] =
+      Dedup.connectedComponents(
+          pairs.toDF("doc_a", "doc_b"), nodes.toDF("doc_id"),
+          localMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue) // union-find path
+    val loop = run(0L)             // distributed loop
+    assert(local == loop, s"paths disagree: ${
+      (local.toSet diff loop.toSet).take(5)} vs ${
+      (loop.toSet diff local.toSet).take(5)}")
+    assert(local(40L) == 1L && local(105L) == 100L &&
+      local(208L) == 200L && local(777L) == 777L)
   }
 }
