@@ -588,49 +588,89 @@ object Similarity {
     */
   private[graft] def mmrTail(short: DataFrame, vecs: DataFrame, k: Int,
                              lam: Double, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val withVec = short.join(vecs, "neighbor_id")
     val aSide = withVec.select(col("query_id"),
       col("neighbor_id").as("na"), col("v").as("va"), col("nrm").as("nna"))
     val bSide = withVec.select(col("query_id"),
       col("neighbor_id").as("nb"), col("v").as("vb"), col("nrm").as("nnb"))
-    val sims = OperatorCaches.track(aSide.join(bSide, Seq("query_id"))
+    val sims = aSide.join(bSide, Seq("query_id"))
       .filter(col("na") =!= col("nb"))
       .select(col("query_id"), col("na"), col("nb"),
         pairCos(col("va"), col("nna"), col("vb"), col("nnb"), dim)
-          .as("sim")))
-    def pickTop(scored: DataFrame, round: Int): DataFrame =
-      scored.withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("mmr").desc, col("neighbor_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("mmr"),
-          lit(round).as("pick"))
-    // per-round lineage cut (the CC-loop discipline): each round
-    // references the running selection THREE times (union arm,
-    // max-sim join, anti join), so a lazy `sel` re-evaluates earlier
-    // rounds ~3^k times — measured 33 s at sf0.1 before the cut, and
-    // the frame is ≤ |Q|·r rows, so the eager checkpoint is free.
-    var sel = pickTop(short.select(col("query_id"), col("neighbor_id"),
-      (lit(lam) * col("rel")).as("mmr")), 1).localCheckpoint(true)
-    for (r <- 2 to k) {
-      val selIds = sel.select(col("query_id"), col("neighbor_id"))
-      val maxsim = sims
-        .join(selIds.withColumnRenamed("neighbor_id", "nb"),
-          Seq("query_id", "nb"))
-        .groupBy(col("query_id"), col("na"))
-        .agg(max(col("sim")).as("maxsim"))
-      val cand = short.join(selIds, Seq("query_id", "neighbor_id"),
-        "left_anti")
-      val scored = cand
-        .join(maxsim, cand("query_id") === maxsim("query_id") &&
-          col("neighbor_id") === col("na"))
-        .select(cand("query_id"), col("neighbor_id"),
-          (lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim"))
-            .as("mmr"))
-      sel = sel.unionByName(pickTop(scored, r)).localCheckpoint(true)
-    }
-    sel.select("query_id", "neighbor_id", "mmr", "pick")
+          .as("sim"))
+    // == group-local greedy (r16) ==
+    // The former spelling unrolled the k−1 greedy rounds as DataFrame
+    // ops — per round an anti join, a max-sim join, a window pick and
+    // an eager localCheckpoint: ~45 driver-coordinated stages of
+    // KB-sized frames for k = 5 (measured: q_mmr_rerank ran 51 jobs).
+    // But the greedy recurrence is INDEPENDENT PER QUERY over frames
+    // bounded by `pool` (the operator contract), so it belongs in one
+    // row-local pass: collect each query's (candidate, rel) list and
+    // its pool² sim list, then run the selection loop inside the row.
+    // EVERY float the loop consumes (rel, sim) is still computed by
+    // the shared Catalyst kernels above — the closure only compares
+    // them and forms lam·rel − (1−lam)·maxsim, the same two JVM-double
+    // ops the old Catalyst projection performed on the same operands,
+    // so picks and scores stay bit-identical (DocOpsSpec + the
+    // StreamServe parity pin + the DuckDB oracle all re-attest).
+    // Scale: one groupBy on query_id replaces 3(k−1) joins; per-group
+    // state is O(pool²) ≈ driver-trivial, groups stay fully parallel.
+    val candArr = short.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("rel"))).as("cands"))
+    val simArr = sims.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("na"), col("nb"), col("sim"))).as("sims"))
+    val joined = candArr.join(simArr, Seq("query_id"), "left")
+    val enc = org.apache.spark.sql.Encoders.product[(Long, Long, Double, Int)]
+    joined.flatMap { row =>
+      val qid = row.getLong(0)
+      val cands = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1)
+      val simRows = if (row.isNullAt(2)) Seq.empty[org.apache.spark.sql.Row]
+        else row.getSeq[org.apache.spark.sql.Row](2)
+      val sim = new java.util.HashMap[(Long, Long), java.lang.Double]()
+      simRows.foreach(r => sim.put((r.getLong(0), r.getLong(1)),
+        java.lang.Double.valueOf(r.getDouble(2))))
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+      var round = 1
+      while (round <= k && selected.size < cands.size) {
+        var bestId = -1L
+        var bestScore = Double.NaN
+        cands.foreach { case (nid, rel) =>
+          if (!selected.contains(nid)) {
+            val score =
+              if (round == 1) lam * rel
+              else {
+                var maxsim = Double.NegativeInfinity
+                var sawSim = false
+                selected.foreach { s =>
+                  val v = sim.get((nid, s))
+                  if (v != null) {
+                    sawSim = true
+                    if (v.doubleValue > maxsim) maxsim = v.doubleValue
+                  }
+                }
+                // mirror of the old INNER max-sim join: a candidate
+                // with no sim row to any selected pick is not scored
+                if (!sawSim) Double.NaN
+                else lam * rel - (1.0 - lam) * maxsim
+              }
+            // ties to the smaller neighbor id: cands is id-sorted and
+            // the comparison is strict, so the first max wins
+            if (!score.isNaN && (bestScore.isNaN || score > bestScore))
+            { bestId = nid; bestScore = score }
+          }
+        }
+        if (bestId < 0) round = k + 1 // no scorable candidate left
+        else {
+          selected += bestId
+          picks += ((qid, bestId, bestScore, round))
+          round += 1
+        }
+      }
+      picks
+    }(enc).toDF("query_id", "neighbor_id", "mmr", "pick")
   }
 
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: sign(j, i)
