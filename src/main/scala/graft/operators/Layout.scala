@@ -259,8 +259,18 @@ object Layout {
     * disjointness by reading back with `input_file_name()`.
     */
   def writeRangeLayout(df: DataFrame, keyCol: String, numFiles: Int,
-                       path: String): Unit =
-    df.repartitionByRange(numFiles, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode("overwrite").parquet(path)
+                       path: String): Unit = {
+    // cache across the RangePartitioner's two passes (r16): range
+    // repartitioning SAMPLES its input to pick bounds, then shuffles
+    // it — an uncached df computes its whole upstream twice (for the
+    // feature store that upstream is a stack + a lag window over the
+    // events table). The cache is read once by the sampler and once
+    // by the shuffle, then dropped here — never escapes the call.
+    val cached = df.cache()
+    try
+      cached.repartitionByRange(numFiles, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(path)
+    finally cached.unpersist()
+  }
 }
