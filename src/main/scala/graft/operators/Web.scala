@@ -122,13 +122,21 @@ object Web {
       length(array_join(
         regexp_extract_all(b, lit("<a [^>]*>([^<]*)</a>"), lit(1)), ""))
     val blocks = split(col("html"), "\n")
-    val kept = filter(blocks, b =>
-      length(stripped(b)) >= minLen &&
-        anchorChars(b) * 3 <= length(stripped(b)))
+    // strip ONCE per block (r16): the filter used `stripped(b)` twice
+    // and the projection a third time — three tag-strip regex passes
+    // per block on what is the pipeline's per-row hot path at corpus
+    // scale. Materialize (stripped, anchor_chars) per block in one
+    // transform, then filter/join on the precomputed fields — same
+    // regexes on the same operands, so kept blocks and main_text are
+    // byte-identical.
+    val scored = transform(blocks, b =>
+      struct(stripped(b).as("s"), anchorChars(b).as("ac")))
+    val kept = filter(scored, e =>
+      length(e("s")) >= minLen && e("ac") * 3 <= length(e("s")))
     pages.select(col("doc_id"),
       size(blocks).as("n_blocks"),
       size(kept).as("n_kept"),
-      array_join(transform(kept, stripped), " ").as("main_text"))
+      array_join(transform(kept, e => e("s")), " ").as("main_text"))
   }
 
   /** One row per hyperlink: (doc_id, url) via a single

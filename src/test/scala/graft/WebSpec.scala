@@ -83,8 +83,12 @@ class WebSpec extends AnyFunSuite {
        "the profile shuffles only for its final roll-up") {
     val extract = Web.extractMainText(Web.htmlFromDocs(docs))
     val ep = extract.queryExecution.executedPlan.toString
-    assert(!ep.contains("Exchange"),
-      s"row-local extraction must not shuffle:\n$ep")
+    // the page builder's Par.fan (r16) adds ONE round-robin exchange
+    // to spread the single-file test scan; extraction itself must
+    // still add no KEYED shuffle — data never moves by value
+    assert(!ep.contains("Exchange hashpartitioning") &&
+        !ep.contains("Exchange rangepartitioning"),
+      s"row-local extraction must not shuffle by key:\n$ep")
     assert(!ep.contains("BatchEvalPython") && !ep.contains("ScalaUDF"),
       s"no UDFs in the web family:\n$ep")
     val profile = Web.urlFilterProfile(docs)
