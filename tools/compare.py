@@ -126,6 +126,7 @@ PREFLIGHT_STEP_S = 15
 PREFLIGHT_BUDGET_S = 600       # total pre-flight waiting per sweep
 RETRY_BACKOFFS_S = (30, 120, 300)
 RETRY_BUDGET_S = 1800          # total backoff sleeping per sweep
+VERIFY_TIMEOUT_S = 7200        # bound on the sbt Verify leg
 
 
 def mem_available_mb():
@@ -283,6 +284,10 @@ def fresh_con(sfdir):
     c.execute("SET threads TO 8")
     c.execute("SET memory_limit='2GB'")
     c.execute(f"SET temp_directory='{spill}'")
+    # compare() sorts both frames itself, so result order is free —
+    # dropping insertion-order preservation lets DuckDB stream rather
+    # than buffer large results (a real memory lever under the 2GB cap)
+    c.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if Path(p).exists():
@@ -480,16 +485,44 @@ def main():
         tmp.write_text(json.dumps(records, indent=1, sort_keys=True))
         tmp.replace(json_path)
 
+    # The artifact must exist from the first moment (r16: the driver's
+    # round artifact came back a literal {} — a sweep that dies before
+    # its first record must still leave a parseable file, and every
+    # recorded row after that strictly improves on it).
+    if json_path is not None and not json_path.exists():
+        json_path.write_text("{}")
+
     if "--skip-run" not in sys.argv:
-        r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
-            cwd="/root/repo", capture_output=True, text=True)
-        tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
-        if r.returncode != 0:
-            print(tail); sys.exit(1)
-        if "[verify]" in r.stdout + r.stderr:
+        # Bounded + survivable Verify leg (r16 verdict #1): the old
+        # path exited the whole sweep on a non-zero sbt rc, so one
+        # Spark-side death (or an OOM-killed JVM) zeroed the round's
+        # correctness artifact. Now: bound the run, and on failure fall
+        # through to the compare if a usable oracle_sql.json + dumps
+        # exist (from a partial run or an earlier one) — queries whose
+        # dump is missing record "no spark output" err rows instead of
+        # the artifact not existing at all.
+        try:
+            r = subprocess.run(
+                ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+                cwd=str(REPO), capture_output=True, text=True,
+                timeout=VERIFY_TIMEOUT_S)
+            tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+            verify_rc = r.returncode
+            out_all = r.stdout + r.stderr
+        except subprocess.TimeoutExpired:
+            tail = f"graft.Verify timed out after {VERIFY_TIMEOUT_S}s"
+            verify_rc = -1
+            out_all = ""
+        if verify_rc != 0:
+            print(tail)
+            if not Path(f"{outdir}/oracle_sql.json").exists():
+                sys.exit(1)
+            print("WARNING: graft.Verify failed; comparing against the "
+                  "dumps that exist (missing dumps become err rows)",
+                  file=sys.stderr)
+        if "[verify]" in out_all:
             print("verify-time failures:")
-            for line in (r.stdout + r.stderr).splitlines():
+            for line in out_all.splitlines():
                 if "[verify]" in line:
                     print(" ", line)
 
@@ -502,17 +535,17 @@ def main():
     # accumulates allocator state across ~150 oracle queries and has
     # twice produced a spurious mid-suite "Out of Memory Error".
     state = {"con": fresh_con(sfdir)} if inproc else None
-    since_reset = 0
-    n_pass = n_fail = 0
+    counters = {"since_reset": 0, "pass": 0, "fail": 0}
     preflight_budget = {"s": PREFLIGHT_BUDGET_S}
     retry_budget = {"s": RETRY_BUDGET_S}
-    for name in names:
+
+    def run_query(name):
         if inproc:
-            since_reset += 1
-            if since_reset > 25:
+            counters["since_reset"] += 1
+            if counters["since_reset"] > 25:
                 state["con"].close()
                 state["con"] = fresh_con(sfdir)
-                since_reset = 0
+                counters["since_reset"] = 0
             r = run_one(state, sfdir, outdir, name, oracle[name], strict)
         else:
             # don't launch into a box that cannot host the child
@@ -548,18 +581,39 @@ def main():
         issues = r.get("issues", [])
         ok = r["rows_match"] and r["schema_match"] and r["hash_match"]
         if ok:
-            n_pass += 1
+            counters["pass"] += 1
             print(f"PASS {name} ({r['spark_rows']} rows)")
         else:
-            n_fail += 1
+            counters["fail"] += 1
             if r["err"]:
                 print(f"FAIL {name}: {r['err']}")
             else:
                 print(f"FAIL {name} ({r['spark_rows']} rows)")
             for it in issues[:6]:
                 print("   ", it)
-    print(f"\n{n_pass} pass / {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+
+    for name in names:
+        # A sweep must never die on one query (r16 verdict #1: the
+        # driver artifact came back {}): any exception this loop body
+        # can throw — including ones outside the per-query child —
+        # records an err row and moves on.
+        try:
+            run_query(name)
+        except Exception as e:  # noqa: BLE001 — err row, keep sweeping
+            counters["fail"] += 1
+            record(name, False, False, False, 0, 0,
+                   f"sweep-level: {type(e).__name__}: {e}")
+            print(f"FAIL {name}: sweep-level {type(e).__name__}: {e}")
+            if inproc:
+                # the shared connection may be the casualty — replace it
+                try:
+                    state["con"].close()
+                except Exception:
+                    pass
+                state["con"] = fresh_con(sfdir)
+                counters["since_reset"] = 0
+    print(f"\n{counters['pass']} pass / {counters['fail']} fail")
+    sys.exit(1 if counters["fail"] else 0)
 
 
 if __name__ == "__main__":
