@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
   val Dim = 64
 
+  /** Shipped IVF-family defaults, shared by every entry point AND by
+    * the ladder/curve hoists (r16 ADVICE): the hoisted pivot/book/
+    * encode frames must always be built at the same parameters the
+    * standalone rung queries default to — referencing one constant
+    * makes a future default change land in both places or neither.
+    */
+  val DefaultNlist = 16
+  val DefaultKsub = 16
+  val DefaultMsub = 8
+
   /** Upcast array<float> → array<double> (exact). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -202,12 +212,15 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
 
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, dim: Int = Dim,
+              nlist: Int = DefaultNlist, nprobe: Int = 4, dim: Int = Dim,
               pivotsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: scored against pivots twice (assignment + query probes)
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val pv = pivotsOpt.getOrElse(pivotArr(all, nlist))
+    // default pivots as a tracked cache (r16 verdict #6): both
+    // broadcast builds otherwise re-run the one-row agg subtree
+    val pv = pivotsOpt.getOrElse(
+      OperatorCaches.track(pivotArr(all, nlist)))
     def pivotScores(src: DataFrame): DataFrame = pivotScoredBy(src, pv, dim)
     val assigned = assignBy(all, pv, dim)
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
@@ -338,14 +351,20 @@ object Similarity {
   }
 
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-                nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
-                ksub: Int = 16, dim: Int = Dim,
+                nlist: Int = DefaultNlist, nprobe: Int = 4, msub: Int = DefaultMsub,
+                ksub: Int = DefaultKsub, dim: Int = Dim,
                 pivotsOpt: Option[DataFrame] = None,
                 bookOpt: Option[DataFrame] = None): DataFrame = {
     require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val pivots = pivotsOpt.getOrElse(pivotArr(all, nlist))
-    val book = bookOpt.getOrElse(pqBook(all, ksub))
+    // default pivots/book as tracked caches (r16 verdict #6): pivots
+    // feed the encode assignment AND the probe planner, the book the
+    // encode AND the ADC tables — uncached, each broadcast build
+    // re-ran the one-row agg as its own driver job. Values unchanged:
+    // the cached frames ARE the default plans.
+    val pivots = pivotsOpt.getOrElse(
+      OperatorCaches.track(pivotArr(all, nlist)))
+    val book = bookOpt.getOrElse(OperatorCaches.track(pqBook(all, ksub)))
     val encoded = pqEncode(all, pivots, book, msub, dim)
     val qsrc = all.filter(queryPred)
     val cand = probeLists(qsrc, pivots, nprobe, dim)
@@ -368,8 +387,8 @@ object Similarity {
     * bounded, never a scan.
     */
   def ivfPqRerankTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-                      rerank: Int = 20, nlist: Int = 16, nprobe: Int = 4,
-                      msub: Int = 8, ksub: Int = 16, dim: Int = Dim,
+                      rerank: Int = 20, nlist: Int = DefaultNlist, nprobe: Int = 4,
+                      msub: Int = DefaultMsub, ksub: Int = DefaultKsub, dim: Int = Dim,
                       pivotsOpt: Option[DataFrame] = None,
                       bookOpt: Option[DataFrame] = None): DataFrame =
     rerankShortlist(embeddings, queryPred,
@@ -438,11 +457,12 @@ object Similarity {
     * the production IVFADC shape) that then feeds
     * [[ivfPqResidualTopK]]'s `bookOpt`.
     */
-  def residualFrame(embeddings: DataFrame, nlist: Int = 16,
+  def residualFrame(embeddings: DataFrame, nlist: Int = DefaultNlist,
                     dim: Int = Dim,
                     pivotsOpt: Option[DataFrame] = None): DataFrame = {
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    residualOf(all, pivotsOpt.getOrElse(pivotArr(all, nlist)), dim)
+    residualOf(all,
+      pivotsOpt.getOrElse(OperatorCaches.track(pivotArr(all, nlist))), dim)
   }
 
   /** IVF-PQ over RESIDUALS — the published IVFADC layout (Jégou et
@@ -479,22 +499,30 @@ object Similarity {
     * broadcast.
     */
   def ivfPqResidualTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-                        nlist: Int = 16, nprobe: Int = 4, msub: Int = 8,
-                        ksub: Int = 16, dim: Int = Dim,
+                        nlist: Int = DefaultNlist, nprobe: Int = 4, msub: Int = DefaultMsub,
+                        ksub: Int = DefaultKsub, dim: Int = Dim,
                         pivotsOpt: Option[DataFrame] = None,
                         bookOpt: Option[DataFrame] = None): DataFrame = {
     require(dim % msub == 0, s"dim $dim must divide into $msub sub-spaces")
     val dsub = dim / msub
     import org.apache.spark.sql.expressions.Window
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val pivots = pivotsOpt.getOrElse(pivotArr(all, nlist))
+    // default pivots/book hoisted into tracked caches (r16 verdict #6,
+    // the ladder-hoist pattern applied to the standalone entry points):
+    // the pivot frame feeds FOUR broadcast builds here (residual
+    // projection, probe planner, query-residual lookup, plus the
+    // encode's assignment) and the book two — uncached, every build
+    // re-ran the one-row agg subtree as its own driver job. Caching
+    // changes no value: the cached frame IS the default plan.
+    val pivots = pivotsOpt.getOrElse(
+      OperatorCaches.track(pivotArr(all, nlist)))
     // cached: feeds the residual-book derivation and the encode pass
     val resid = OperatorCaches.track(residualOf(all, pivots, dim))
-    val book = bookOpt.getOrElse(
+    val book = bookOpt.getOrElse(OperatorCaches.track(
       resid.filter(col("vec_id") >= nlist && col("vec_id") < nlist + ksub)
         .agg(sort_array(collect_list(
           struct((col("vec_id") - nlist).as("cid"),
-            col("r").as("cv")))).as("carr")))
+            col("r").as("cv")))).as("carr"))))
     val encoded = resid.crossJoin(broadcast(book))
       .select(col("vec_id"), col("list_id"),
         array((0 until msub).map { mi =>
@@ -537,9 +565,9 @@ object Similarity {
     * shared rerank-tail SQL.
     */
   def ivfPqResidualRerankTopK(embeddings: DataFrame, queryPred: Column,
-                              k: Int, rerank: Int = 20, nlist: Int = 16,
-                              nprobe: Int = 4, msub: Int = 8,
-                              ksub: Int = 16, dim: Int = Dim,
+                              k: Int, rerank: Int = 20, nlist: Int = DefaultNlist,
+                              nprobe: Int = 4, msub: Int = DefaultMsub,
+                              ksub: Int = DefaultKsub, dim: Int = Dim,
                               pivotsOpt: Option[DataFrame] = None,
                               bookOpt: Option[DataFrame] = None): DataFrame =
     rerankShortlist(embeddings, queryPred,
@@ -568,7 +596,7 @@ object Similarity {
     * λ·rel (empty selected set ⇒ maxsim 0).
     */
   def mmrTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
-              pool: Int = 20, lam: Double = 0.7, nlist: Int = 16,
+              pool: Int = 20, lam: Double = 0.7, nlist: Int = DefaultNlist,
               nprobe: Int = 4, dim: Int = Dim): DataFrame = {
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
     val all = OperatorCaches.track(prepared(embeddings, dim))
@@ -759,7 +787,7 @@ object Similarity {
     * neg_id, top `k` per query.
     */
   def hardNegatives(embeddings: DataFrame, queryPred: Column, k: Int = 5,
-                    pool: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+                    pool: Int = 20, nlist: Int = DefaultNlist, nprobe: Int = 4,
                     dim: Int = Dim): DataFrame = {
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
     hardNegativesTail(
@@ -1451,7 +1479,7 @@ object Similarity {
     // rungs (r16) — same plan each rung built for itself, so values
     // are bit-identical; only the repeated derivation disappears
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    val pivots = OperatorCaches.track(pivotArr(all, 16))
+    val pivots = OperatorCaches.track(pivotArr(all, DefaultNlist))
     val aggs = recallAggs("n_truth")
     nprobes.map { np =>
       truthHits(truth,
@@ -1508,10 +1536,10 @@ object Similarity {
     // frames ARE the rungs' own default plans. Lazy, so a `methods`
     // subset only builds what its rungs reference.
     val all = OperatorCaches.track(prepared(embeddings, dim))
-    lazy val pivots = OperatorCaches.track(pivotArr(all, 16))
-    lazy val rawBook = OperatorCaches.track(pqBook(all, 16))
+    lazy val pivots = OperatorCaches.track(pivotArr(all, DefaultNlist))
+    lazy val rawBook = OperatorCaches.track(pqBook(all, DefaultKsub))
     lazy val rawEncoded = OperatorCaches.track(
-      pqEncode(all, pivots, rawBook, 8, dim))
+      pqEncode(all, pivots, rawBook, DefaultMsub, dim))
     // the trained book is paid ONCE and reused for the trained rung
     // (mirrors q_ann_trained_rerank's single-Lloyd-round training);
     // lazy, so a `methods` subset that skips the trained rung never
@@ -1611,7 +1639,12 @@ object Similarity {
     // serializes the whole union lineage into every task binary
     // (13.5 MiB broadcasts, 137 s); localCheckpoint materializes the
     // 656 rows once and hands consumers a leaf (7 s) — the same cut
-    // the CC label fixpoint uses.
-    centers.unionByName(noisy).localCheckpoint(true)
+    // the CC label fixpoint uses. coalesce(1) first (r17): the cut
+    // otherwise keeps the SCAN's partitioning, so every map-side
+    // stage of the 3-rung panel paid 32 tasks for ~20 rows each
+    // (measured: 927 tasks / 57 jobs over a 656-row corpus); the
+    // frame is fixed-size by contract, so one partition is its right
+    // layout at any scale.
+    centers.unionByName(noisy).coalesce(1).localCheckpoint(true)
   }
 }
