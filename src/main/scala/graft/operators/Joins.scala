@@ -252,8 +252,16 @@ object Joins {
     // scale. NOT Par.fan: fan's partition probe executes the AQE
     // subtree eagerly (the groupBy ran twice — measured +0.35 s on
     // q_triangles); a pinned repartition needs no probe.
+    // width = max(defaultParallelism, shuffle partitions) (r16
+    // ADVICE): pinning to defaultParallelism alone under-partitions a
+    // cluster whose configured shuffle width exceeds its core count —
+    // the session's shuffle setting is the operator's scale dial, the
+    // core count only the local floor
+    val session = grouped.sparkSession
+    val width = math.max(session.sparkContext.defaultParallelism,
+      session.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val pairs = grouped
-      .repartition(grouped.sparkSession.sparkContext.defaultParallelism)
+      .repartition(width)
       .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
       .select(col("src_a"),
         explode(slice(col("ss"), col("i") + lit(2), size(col("ss"))))

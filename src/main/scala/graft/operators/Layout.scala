@@ -260,17 +260,35 @@ object Layout {
     */
   def writeRangeLayout(df: DataFrame, keyCol: String, numFiles: Int,
                        path: String): Unit = {
+    // ONE output file needs no range bounds: repartitionByRange(1)
+    // pays the RangePartitioner's sampling pass (plus the cache below
+    // that exists only to absorb it) to decide a placement with
+    // exactly one choice. coalesce(1) + the same within-file sort
+    // writes identical bytes — disjointness across one file is
+    // trivial (r17; the definitions catalog in FeatureStoreOps is the
+    // caller).
+    if (numFiles == 1) {
+      df.coalesce(1).sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(path)
+      return
+    }
     // cache across the RangePartitioner's two passes (r16): range
     // repartitioning SAMPLES its input to pick bounds, then shuffles
     // it — an uncached df computes its whole upstream twice (for the
     // feature store that upstream is a stack + a lag window over the
     // events table). The cache is read once by the sampler and once
     // by the shuffle, then dropped here — never escapes the call.
-    val cached = df.cache()
+    // skip the pair when the caller already manages a cache for this
+    // frame (r16 ADVICE): unconditionally unpersisting in the finally
+    // would drop a shared OperatorCaches entry out from under later
+    // consumers (and Spark logs 'Asked to cache already cached data')
+    val ownCache =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (ownCache) df.cache() else df
     try
       cached.repartitionByRange(numFiles, col(keyCol))
         .sortWithinPartitions(keyCol)
         .write.mode("overwrite").parquet(path)
-    finally cached.unpersist()
+    finally if (ownCache) cached.unpersist()
   }
 }
