@@ -1480,6 +1480,13 @@ object Similarity {
     // are bit-identical; only the repeated derivation disappears
     val all = OperatorCaches.track(prepared(embeddings, dim))
     val pivots = OperatorCaches.track(pivotArr(all, DefaultNlist))
+    // shared corpus assignment (r17): each nprobe rung re-ran the
+    // 16-pivot × dim-dot assignment pass over the whole corpus —
+    // the assignment does not depend on nprobe. Registering the
+    // tracked frame here lets every rung's plan-identical assignBy
+    // subtree hit the CacheManager instead (the rawEncoded dedupe
+    // mechanism); values unchanged.
+    OperatorCaches.track(assignBy(all, pivots, dim))
     val aggs = recallAggs("n_truth")
     nprobes.map { np =>
       truthHits(truth,
