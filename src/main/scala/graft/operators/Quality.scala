@@ -62,7 +62,10 @@ object Quality {
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
-    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    // fan the scan (r17): the triple-countDistinct expand ran in ONE
+    // task over the single-file scan (measured: 1.13 s single-task
+    // stage); fan is a guarded no-op at cluster scan parallelism
+    val one = graft.sources.Par.fan(df).agg(count(lit(1)).as("_n"), aggs: _*)
     val perCol = cols.map { c =>
       struct(lit(c).as("col_name"), col("_n").as("n_rows"),
         (col("_n") - col(s"_cnt_$c")).as("n_nulls"),

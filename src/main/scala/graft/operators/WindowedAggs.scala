@@ -38,7 +38,11 @@ object WindowedAggs {
     * never materializes.
     */
   def supplierStats(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy(col("l_suppkey")).agg(
+    // fan the scan (r17): the partial-agg pass (countDistinct expand +
+    // the exact-sum rounding per row) ran in the file's 3 splits while
+    // the box idled (measured: 1.55 s in a 3-task stage); fan is a
+    // guarded no-op at cluster scan parallelism (Par.scala)
+    graft.sources.Par.fan(lineitem).groupBy(col("l_suppkey")).agg(
       count(lit(1)).as("n_items"),
       dsum(col("l_quantity")).as("sum_qty"),
       davg(col("l_extendedprice")).as("avg_price"),
@@ -222,9 +226,22 @@ object WindowedAggs {
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"),
           expr("INTERVAL 1 HOUR"))).as("h"))
-    val joined = spine.join(hourly, Seq("user_id", "h"), "left")
-      .withColumn("hidx", (col("h").cast("long") / 3600).cast("long"))
-      .withColumn("is_empty", col("n").isNull)
+    // Respread + share the spine join (r17): the exploded spine is
+    // derived work ≫ its bytes, so AQE coalesced the join to ~1 task
+    // (measured: 0.82 s single-task final stage), and the frame feeds
+    // BOTH the empty-run scan and the per-user profile — uncached each
+    // consumer re-ran spine+join. Repartitioning by user_id satisfies
+    // the window AND both groupBys (no further exchange), same §8 move
+    // as coOccurrenceDense.
+    val width = math.max(
+      events.sparkSession.sparkContext.defaultParallelism,
+      events.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        .toInt)
+    val joined = OperatorCaches.track(
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("hidx", (col("h").cast("long") / 3600).cast("long"))
+        .withColumn("is_empty", col("n").isNull)
+        .repartition(width, col("user_id")))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hidx"))
     val runs = joined.filter(col("is_empty"))
       .withColumn("grp", col("hidx") - row_number().over(w))
